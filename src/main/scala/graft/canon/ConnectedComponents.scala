@@ -1,0 +1,107 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components via alternating large-star / small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) — converges in O(log n) rounds, vs O(diameter) for naive
+  * label propagation, which matters at 10^12-edge scale.
+  *
+  * This generalizes the reference's single-hop `normalizeObj` alias merge
+  * (ESNormalizer.java:214-222) to multi-hop canonicalization (SURVEY.md §2.4
+  * A3 / §7.1 module 7).
+  *
+  * Scale notes:
+  *  - Neighborhood minima are computed with `groupBy().min()` + join — a
+  *    partial-aggregatable map-side-combinable shuffle — never with
+  *    `collect_set`, so a hot entity with millions of neighbors cannot blow
+  *    a single task's memory.
+  *  - Every round materializes via persist + count and truncates lineage
+  *    with `localCheckpoint`, so the plan does not grow unboundedly.
+  *  - AQE handles residual join skew (skew-join split enabled in session).
+  *
+  * Ids are compared with `least`/min — works for any orderable id type
+  * (long ids preferred at scale; string URNs accepted).
+  */
+object ConnectedComponents {
+
+  /** @param edgesIn DataFrame with columns (src, dst); undirected semantics.
+    * @return DataFrame (id, component) covering every node that appears in
+    *         any edge; component = min id of the node's component.
+    */
+  def run(edgesIn: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edgesIn.sparkSession
+
+    // Canonical directed form (hi -> lo), self-loops dropped, deduped.
+    var edges = edgesIn
+      .select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var prevSig: (Long, Long) = signature(edges)
+    var converged = false
+    var it = 0
+
+    while (!converged && it < maxIter) {
+      // ---- large-star: for every node, connect its larger neighbors to the
+      // minimum of its neighborhood (incl. itself).
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val afterLarge = sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // ---- small-star: connect all smaller neighbors (and the node) to the
+      // minimum of the smaller neighborhood.
+      val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(minsS, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(minsS.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(
+          greatest(col("n"), col("m")).as("u"),
+          least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage each round
+
+      val sig = signature(afterSmall)
+      converged = sig == prevSig
+      prevSig = sig
+      edges.unpersist()
+      edges = afterSmall
+      it += 1
+    }
+
+    // At the fixpoint every edge is (member -> root); add the roots themselves.
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Component assignment including isolated nodes. */
+  def runWithNodes(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val comp = run(edges, maxIter)
+    nodes.select(col("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Cheap order-insensitive convergence signature: (row count, xor-ish sum
+    * of row hashes). */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

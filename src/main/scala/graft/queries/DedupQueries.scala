@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextNorm
+
+/** Large-scale training-data deduplication + similarity-search operators over
+  * the `documents` / `embeddings` tables: exact hash dedup, n-gram Jaccard,
+  * MinHash+LSH banding, SimHash, embedding-cosine near-dup, brute-force ANN
+  * top-k, and a sign-LSH bucketed ANN variant (the 100 TB scale path).
+  *
+  * Cross-engine float discipline: similarity ratios are single double
+  * divisions of exact integer counts (bit-identical in any engine); cosine
+  * dot products are computed as an ordered left-fold over double-cast floats
+  * on both sides and rounded to 6 dp before ranking.
+  */
+object DedupQueries {
+
+  /** Distinct word-level 3-gram shingles per doc (docs shorter than 3 tokens
+    * have none). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val l = TextNorm.tokensCol(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), l.as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("l")) - 3),
+        i => concat_ws(" ",
+          element_at(col("l"), i + 1),
+          element_at(col("l"), i + 2),
+          element_at(col("l"), i + 3)))).as("s"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+      |         FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS s
+      |       FROM (SELECT doc_id, l, unnest(range(len(l) - 2)) AS i
+      |             FROM toks WHERE len(l) >= 3))""".stripMargin
+
+  /** Ordered left-fold dot product over double-cast arrays — same summation
+    * order as the DuckDB oracle, so the doubles match bit-for-bit. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(transform(a, x => x.cast("double")),
+               transform(b, x => x.cast("double")),
+               (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- exact dedup: content-hash groupBy, keep min id per group
+    "dd_exact_hash" -> Q(
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("h")
+    },
+
+    // ---- n-gram Jaccard near-dup: candidate pairs via shared-shingle
+    // equality join (never a cross join), verified Jaccard >= 0.5.
+    // Restricted to doc_id < 200 to bound the oracle's pair blow-up; the
+    // MinHash/LSH query below is the unrestricted scale path.
+    "dd_ngram_jaccard" -> Q(
+      s"""WITH $shinglesSql,
+         |shs AS (SELECT * FROM sh WHERE doc_id < 200),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM shs x JOIN shs y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+         |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |           JOIN sz sb ON inter.b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).filter(col("doc_id") < 200)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = sh.toDF("a", "s")
+      val y = sh.toDF("b", "s")
+      val inter = x.join(y, "s").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.toDF("a", "na"), "a")
+        .join(sz.toDF("b", "nb"), "b")
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jac") >= 0.5)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    },
+
+    // ---- MinHash + LSH banding: 8 md5-derived min-hashes, 4 bands of 2;
+    // candidates = band-signature equality join; verified Jaccard >= 0.3.
+    // Band-bucket join keeps candidate generation linear-ish in corpus size —
+    // the canonical web-scale near-dup pattern.
+    "dd_minhash_lsh" -> Q(
+      s"""WITH $shinglesSql,
+         |ks AS (SELECT unnest(range(8)) AS k),
+         |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+         |       FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(mh, '|' ORDER BY k)) AS sig
+         |          FROM mh GROUP BY doc_id, k // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i
+         |          FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND x.s = y.s
+         |          GROUP BY c.a, c.b)
+         |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+         |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |           JOIN sz sb ON inter.b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sh = shingles(s, d).persist()
+      val ks = broadcast((0 until 8).toDF("k"))
+      val mh = sh.crossJoin(ks)
+        .groupBy("doc_id", "k")
+        .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")).cast("binary"))).as("mh"))
+      val bands = mh
+        .withColumn("band", (col("k") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+            x => x.getField("mh")), "|").cast("binary")).as("sig"))
+      val cand = bands.toDF("a", "band", "sig")
+        .join(bands.toDF("b", "band", "sig"), Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.toDF("a", "s"), "a")
+        .join(sh.toDF("b", "s"), Seq("b", "s"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.toDF("a", "na"), "a")
+        .join(sz.toDF("b", "nb"), "b")
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jac") >= 0.3)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    },
+
+    // ---- SimHash: 32-bit signature from per-token md5 hex-digit high bits;
+    // identical signatures = near-dup bucket
+    "dd_simhash" -> Q(
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |js AS (SELECT unnest(range(32)) AS j),
+        |bits AS (SELECT doc_id, j,
+        |           SUM(CASE WHEN substr(md5(tok), CAST(j + 1 AS INT), 1)
+        |                IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
+        |         FROM toks CROSS JOIN js WHERE length(tok) > 0 GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val js = broadcast((0 until 32).toDF("j"))
+      val bits = toks.crossJoin(js)
+        .groupBy("doc_id", "j")
+        .agg(sum(when(md5(col("tok").cast("binary")).substr(col("j") + 1, lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("sgn"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- embedding-cosine near-dup: brute-force pair join (baseline);
+    // ordered-fold dot product, 6-dp rounding before the threshold
+    "dd_embed_cosine" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    },
+
+    // ---- ANN top-k, brute force baseline: top-5 neighbors for the first 20
+    // query vectors, ranked by (cos desc, neighbor asc)
+    "ann_topk_brute" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos
+        |  FROM q JOIN n ON q.vec_id <> n.vec_id),
+        |ranked AS (SELECT qid, nid, cos,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |           FROM scored)
+        |SELECT qid, rnk, nid, cos FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = broadcast(n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+      val scored = q.join(n, col("qid") =!= col("vec_id"))
+        .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos"))
+        .orderBy("qid", "rnk")
+    },
+
+    // ---- LSH-bucketed ANN (the scale path): 8-bit sign bucket over fixed
+    // coordinates; pairs only within a bucket — turns the O(n^2) scan into a
+    // per-bucket join that shards across the cluster
+    "ann_lsh_buckets" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |        (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[9] > 0 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN v[17] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[25] > 0 THEN 8 ELSE 0 END)
+        |      + (CASE WHEN v[33] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[41] > 0 THEN 32 ELSE 0 END)
+        |      + (CASE WHEN v[49] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[57] > 0 THEN 128 ELSE 0 END)
+        |        AS bucket FROM e),
+        |n AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM b)
+        |SELECT x.bucket AS bucket, x.vec_id AS a, y.vec_id AS b,
+        |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+        |FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3
+        |ORDER BY x.bucket, a, b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bucket = (0 until 8).map { i =>
+        when(element_at(col("v"), i * 8 + 1) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      val n = e.withColumn("bucket", bucket)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val x = n.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      val y = n.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+      x.join(y, Seq("bucket")).filter(col("a") < col("b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.3)
+        .select("bucket", "a", "b", "cos")
+        .orderBy("bucket", "a", "b")
+    }
+  )
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.canon.ConnectedComponents
+import graft.text.TextNorm
+
+/** The KG-construction pipeline stages (north rule: triple extraction ->
+  * entity linking -> canonicalization -> materialization) expressed as
+  * driver-verifiable queries. The transcript shape (conv_id, turn_idx, role,
+  * text) is derived deterministically from the `documents` table so the
+  * DuckDB oracle can derive the identical input — the full synthetic
+  * `Turn`-typed pipeline (with ts/tool, golden-fixture P/R scoring, resume)
+  * lives in graft.pipeline and is exercised by `sbt test`.
+  */
+object KgQueries {
+
+  /** Deterministic transcript view over documents:
+    * conv_id = conv-%04d(doc_id mod 50), turn_idx = doc_id div 50. */
+  private def turns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("conv-"), lpad((col("doc_id") % 50).cast("string"), 4, "0")).as("conv_id"),
+      floor(col("doc_id") / 50).cast("bigint").as("turn_idx"),
+      when(col("doc_id") % 3 === 0, "user")
+        .when(col("doc_id") % 3 === 1, "assistant")
+        .otherwise("tool").as("role"),
+      col("doc_id"), col("text"), col("lang"))
+
+  private val turnsSql: String =
+    """SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+      |       doc_id // 50 AS turn_idx,
+      |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+      |       doc_id, text, lang
+      |FROM documents""".stripMargin
+
+  /** Extraction dictionary: surface term -> predicate URI (graft analogue of
+    * the proplist/normProp river config, Indexer.java:350-463). */
+  private val termPreds = Seq(
+    ("spark", "urn:p:tech"), ("table", "urn:p:artifact"), ("query", "urn:p:op"),
+    ("join", "urn:p:op"), ("window", "urn:p:op"), ("stream", "urn:p:artifact"),
+    ("vector", "urn:p:artifact"), ("hash", "urn:p:op"), ("merge", "urn:p:op"),
+    ("filter", "urn:p:op"))
+
+  private val termPredsSql: String =
+    termPreds.map { case (t, p) => s"('$t','$p')" }.mkString(", ")
+
+  /** Linking dictionary: alias -> (entity, rank); deliberate alias collisions
+    * force the first-match-wins priority (W3, ESNormalizer.java:417-455). */
+  private val aliasEntities = Seq(
+    ("spark", "urn:ent:00001", 1), ("table", "urn:ent:00002", 1),
+    ("table", "urn:ent:00012", 2), ("query", "urn:ent:00003", 1),
+    ("vector", "urn:ent:00004", 1), ("vector", "urn:ent:00014", 2),
+    ("stream", "urn:ent:00005", 1), ("hash", "urn:ent:00006", 1))
+
+  private val aliasEntitiesSql: String =
+    aliasEntities.map { case (a, e, r) => s"('$a','$e',$r)" }.mkString(", ")
+
+  /** Entity contexts for Jaccard-scored disambiguation (J1 + TF-IDF/Jaccard
+    * scoring per the north star). */
+  private val entityCtx = Seq(
+    ("urn:ent:00001", "spark fast batch engine data"),
+    ("urn:ent:00002", "table row column part storage"),
+    ("urn:ent:00003", "query filter join plan scan"),
+    ("urn:ent:00004", "vector embedding hash data"),
+    ("urn:ent:00005", "stream window batch data"))
+
+  private val entityCtxSql: String =
+    entityCtx.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
+
+  val all: Map[String, Q] = Map(
+
+    // ---- stable turn ordering + cross-turn context (north-rule invariant:
+    // Window over (conv_id, turn_idx); lag gives coreference context)
+    "kg_turn_ordering" -> Q(
+      s"""WITH t AS ($turnsSql)
+         |SELECT conv_id, turn_idx, role,
+         |       lag(doc_id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_doc
+         |FROM t ORDER BY conv_id, turn_idx""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      turns(s, d)
+        .withColumn("prev_doc", lag(col("doc_id"), 1).over(w))
+        .select("conv_id", "turn_idx", "role", "prev_doc")
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // ---- mention detection: tokenize turns, equality-join tokens against a
+    // broadcast dictionary (NOT a contains() theta-join — stays a hash join
+    // at any scale)
+    "kg_extract_mentions" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |dict(term, pred) AS (VALUES $termPredsSql)
+         |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, pred, tok AS obj, count(*) AS n
+         |FROM toks JOIN dict ON toks.tok = dict.term
+         |WHERE length(tok) > 0
+         |GROUP BY 1, 2, 3 ORDER BY subj, pred, obj""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dict = broadcast(termPreds.toDF("term", "pred"))
+      turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .join(dict, col("tok") === col("term"))
+        .groupBy(
+          concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
+          col("pred"), col("tok").as("obj"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("subj", "pred", "obj")
+    },
+
+    // ---- entity linking, first-match-wins: alias collisions resolved by
+    // rank via row_number over a per-(doc,alias) window (J1 + W3)
+    "kg_entity_link_rank" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |ranked AS (
+         |  SELECT doc_id, alias, entity_id,
+         |         row_number() OVER (PARTITION BY doc_id, alias ORDER BY rnk, entity_id) AS rn
+         |  FROM toks JOIN dict ON toks.tok = dict.alias)
+         |SELECT doc_id, alias, entity_id FROM ranked WHERE rn = 1
+         |ORDER BY doc_id, alias""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      val toks = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
+      toks.join(dict, col("tok") === col("alias"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "alias", "entity_id")
+        .orderBy("doc_id", "alias")
+    },
+
+    // ---- entity linking, Jaccard-scored: token-set overlap between turn and
+    // entity context; top-1 per turn (score desc, entity asc). Counts are
+    // exact ints, the ratio is a single double division — bit-identical in
+    // both engines.
+    "kg_link_jaccard" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |dtoks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |ctx(entity_id, ctx_text) AS (VALUES $entityCtxSql),
+         |ctoks AS (SELECT DISTINCT entity_id, unnest(string_split(ctx_text, ' ')) AS tok FROM ctx),
+         |dsize AS (SELECT doc_id, count(*) AS dn FROM dtoks GROUP BY doc_id),
+         |csize AS (SELECT entity_id, count(*) AS cn FROM ctoks GROUP BY entity_id),
+         |inter AS (SELECT d.doc_id, c.entity_id, count(*) AS i
+         |          FROM dtoks d JOIN ctoks c ON d.tok = c.tok GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT i.doc_id, i.entity_id,
+         |         CAST(i.i AS DOUBLE) / (ds.dn + cs.cn - i.i) AS score,
+         |         row_number() OVER (PARTITION BY i.doc_id
+         |           ORDER BY CAST(i.i AS DOUBLE) / (ds.dn + cs.cn - i.i) DESC, i.entity_id) AS rn
+         |  FROM inter i JOIN dsize ds ON i.doc_id = ds.doc_id
+         |               JOIN csize cs ON i.entity_id = cs.entity_id)
+         |SELECT doc_id, entity_id, score FROM scored WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dtoks = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val ctoks = entityCtx.toDF("entity_id", "ctx_text")
+        .select(col("entity_id"), explode(TextNorm.tokensCol(col("ctx_text"))).as("tok"))
+        .distinct()
+      val dsize = dtoks.groupBy("doc_id").agg(count(lit(1)).as("dn"))
+      val csize = broadcast(ctoks.groupBy("entity_id").agg(count(lit(1)).as("cn")))
+      val inter = dtoks.join(broadcast(ctoks), "tok")
+        .groupBy("doc_id", "entity_id").agg(count(lit(1)).as("i"))
+      val scored = inter
+        .join(dsize, "doc_id").join(csize, "entity_id")
+        .withColumn("score", col("i").cast("double") / (col("dn") + col("cn") - col("i")))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("entity_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "entity_id", "score")
+        .orderBy("doc_id")
+    },
+
+    // ---- canonicalization: connected components over a co-occurrence graph
+    // (users sharing an (event_type, day) bucket), large-star/small-star on
+    // the Spark side, transitive closure via recursive CTE in the oracle
+    "kg_canonicalize_cc" -> Q(
+      """WITH RECURSIVE
+        |buckets AS (SELECT event_type, date_trunc('day', ts) AS d, min(user_id) AS mn
+        |            FROM events GROUP BY 1, 2),
+        |edges AS (SELECT DISTINCT e.user_id AS u, b.mn AS v
+        |          FROM events e JOIN buckets b
+        |            ON e.event_type = b.event_type AND date_trunc('day', e.ts) = b.d
+        |          WHERE e.user_id <> b.mn),
+        |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+        |nodes AS (SELECT DISTINCT u AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("day"))
+      val buckets = ev.groupBy("event_type", "day").agg(min(col("user_id")).as("mn"))
+      val edges = ev.join(buckets, Seq("event_type", "day"))
+        .filter(col("user_id") =!= col("mn"))
+        .select(col("user_id").as("src"), col("mn").as("dst"))
+        .distinct()
+      ConnectedComponents.run(edges)
+        .orderBy("id")
+    },
+
+    // ---- full mini-pipeline: normalize text -> extract -> link -> emit the
+    // materialized edge-table rows (subj, pred, obj, lang) — the flagship
+    "kg_triples_full" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM t),
+         |preds(term, pred) AS (VALUES $termPredsSql),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |linked AS (
+         |  SELECT doc_id, alias, entity_id,
+         |         row_number() OVER (PARTITION BY doc_id, alias ORDER BY rnk, entity_id) AS rn
+         |  FROM toks JOIN dict ON toks.tok = dict.alias)
+         |SELECT DISTINCT 'urn:doc:' || CAST(t.doc_id AS VARCHAR) AS subj,
+         |       p.pred, coalesce(l.entity_id, t.tok) AS obj, t.lang
+         |FROM toks t
+         |JOIN preds p ON t.tok = p.term
+         |LEFT JOIN (SELECT * FROM linked WHERE rn = 1) l
+         |  ON t.doc_id = l.doc_id AND t.tok = l.alias
+         |ORDER BY subj, pred, obj, lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val preds = broadcast(termPreds.toDF("term", "pred"))
+      val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      val toks = turns(s, d)
+        .select(col("doc_id"), col("lang"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
+      val linked = toks.join(dict, col("tok") === col("alias"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("ldoc"), col("alias"), col("entity_id"))
+      toks.join(preds, col("tok") === col("term"))
+        .join(linked, col("doc_id") === col("ldoc") && col("tok") === col("alias"), "left")
+        .select(
+          concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
+          col("pred"),
+          coalesce(col("entity_id"), col("tok")).as("obj"),
+          col("lang"))
+        .distinct()
+        .orderBy("subj", "pred", "obj", "lang")
+    }
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextNorm
+
+/** Text-analysis operators for a training-data pipeline: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic, and
+  * document fingerprinting — all pure codegen'd Column expressions. */
+object TextStatsQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // ---- token counting: whitespace tokens + BPE-ish regex pieces
+    "ta_token_counts" -> Q(
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_ws,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        |       length(text) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextNorm.tokensCol(col("text"))).as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length / stopword ratio / mean token length —
+    // exact-int numerators and denominators, single double division
+    "ta_quality_score" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars_calc,
+        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |         length(replace(text, ' ', '')) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, n_chars_calc, n_words,
+        |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        |       CAST(n_alpha AS DOUBLE) / n_words AS avg_word_len
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextNorm.tokensCol(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          size(toks).as("n_words"),
+          size(filter(toks, t => t.isin("the", "a"))).as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_chars_calc"), col("n_words"),
+          col("n_stop").cast("double") / col("n_words") as "stop_ratio",
+          col("n_alpha").cast("double") / col("n_words") as "avg_word_len")
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic: function-word ratio n-gram-style signal;
+    // agreement flag against the labeled lang column
+    "ta_langid" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE) / n_words > 0.05
+        |            THEN 'en' ELSE 'unk' END AS predicted
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextNorm.tokensCol(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(filter(toks, t => t.isin("the", "a"))).as("n_stop"),
+          size(toks).as("n_words"))
+        .select(col("doc_id"), col("lang"),
+          when(col("n_words") > 0 &&
+            col("n_stop").cast("double") / col("n_words") > 0.05, "en")
+            .otherwise("unk").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint: content-defined key = md5 over the sorted
+    // distinct token set (word-order-insensitive near-dup key)
+    "ta_fingerprint" -> Q(
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            TextNorm.tokensCol(col("text")))), " ").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing: opaque binary payload column + typed
+    // metadata (byte length, magic prefix); the decode/feature kernel is the
+    // deterministic stub in graft.multimodal (no image/audio libs in-box)
+    "mm_binary_meta" -> Q(
+      """SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes,
+        |       upper(substr(md5(text), 1, 8)) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(unhex(md5(col("text").cast("binary")))).as("n_bytes"),
+          upper(substring(md5(col("text").cast("binary")), 1, 8)).as("magic"))
+        .orderBy("doc_id")
+    }
+  )
+}
