@@ -1,0 +1,58 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.PipelineConfig
+import graft.pipeline.KgPipeline
+import graft.schema.{CatalogEntry, Turn}
+import graft.sources.TranscriptGen
+
+/** spark-submit entry point (SURVEY.md §7.1 module 9): full vs sync mode
+  * dispatch (the reference's S4 query-type dispatch + indexAll/sync flag,
+  * Harvester.java:571-575), reading the transcript table and the entity
+  * catalog from parquet, publishing node/edge tables via the committer.
+  *
+  * Usage:
+  *   KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]
+  *
+  * With no catalog dir, the built-in demo catalog is used (so the app is
+  * drivable end-to-end on a bare fixture).
+  */
+object KgMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]")
+    val Array(mode, turnsDir, workDir) = args.take(3)
+    require(mode == "full" || mode == "sync", s"unknown mode: $mode")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .appName("graft-kg")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val turns = spark.read.parquet(turnsDir).as[Turn]
+    val catalog: Seq[CatalogEntry] =
+      if (args.length >= 4)
+        spark.read.parquet(args(3)).as[CatalogEntry].collect().toSeq
+      else TranscriptGen.catalog(50)
+
+    val cfg = PipelineConfig(workDir = workDir)
+    val pipeline = new KgPipeline(cfg)
+    val runId = s"$mode-${System.currentTimeMillis()}"
+    val result =
+      if (mode == "full")
+        pipeline.runFull(spark, turns, catalog, TranscriptGen.markerPreds, runId)
+      else
+        pipeline.runSync(spark, turns, catalog, TranscriptGen.markerPreds, runId)
+
+    println(s"""{"run_id":"${result.runId}","mode":"$mode","edges_gen":"${result.edgesGen}","nodes_gen":"${result.nodesGen}","published_triples":${result.triples}}""")
+    spark.stop()
+  }
+}

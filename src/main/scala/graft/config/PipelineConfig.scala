@@ -1,0 +1,36 @@
+package graft.config
+
+/** Pipeline configuration mirroring the reference's river settings surface
+  * (every data-shaping key parsed in Indexer.addHarvesterSettings,
+  * Indexer.java:350-463) plus the graft's scale knobs.
+  *
+  * Driver-side plain Scala — no Spark types; the reference persists the same
+  * shape as a JSON blob via JPA (River.java:14-47).
+  */
+final case class PipelineConfig(
+    pipelineId: String = "kg",
+    // P1: predicate white/blacklist (proplist/listtype,
+    //     docs/EEA_Indexer_README.rst:268-291)
+    proplist: Set[String] = Set.empty,
+    listType: String = "white", // "white" | "black"
+    // A4: normProp — predicate rename / 1->N fan-out
+    //     (EEA_Indexer_README.rst:339-412)
+    normProp: Map[String, Seq[String]] = Map.empty,
+    // A3: normObj — object value canonicalization (rst:414-433)
+    normObj: Map[String, String] = Map.empty,
+    // A5: normMissing — per-predicate default values (rst:435-463)
+    normMissing: Map[String, Seq[String]] = Map.empty,
+    // P2: per-predicate object white/black value sets (rst:293-331)
+    whiteMap: Map[String, Set[String]] = Map.empty,
+    blackMap: Map[String, Set[String]] = Map.empty,
+    // A6: language handling (rst:190-198)
+    language: String = "en",
+    addLanguage: Boolean = true,
+    // J1: label source priority (uriDescriptionList, EEASettings.java:46-50)
+    uriDescription: Seq[String] = Seq("prefLabel", "title", "label"),
+    // sync (Harvester.java:1199-1453)
+    syncOldData: Boolean = false,
+    // graft scale knobs
+    saltBuckets: Int = 8,
+    numPartitions: Int = 32,
+    workDir: String = "/tmp/graft-work")

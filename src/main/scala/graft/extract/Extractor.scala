@@ -1,0 +1,177 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineConfig
+import graft.schema.{CatalogEntry, Triple, Turn}
+import graft.text.TextNorm
+
+/** Per-turn mention detection + (subj, pred, obj) emission.
+  *
+  * The kernel is a single `mapPartitions` pass with broadcast dictionaries
+  * (north star: "per-turn batched mention detection and triple extraction via
+  * mapPartitions with broadcast dictionaries") — one tokenizer sweep per
+  * turn, O(1) hash lookups per token, no shuffle until the downstream
+  * aggregate. The reference's analogue walks Jena statements row-at-a-time
+  * (Harvester.java:1811-1877); here a turn is the row and each partition
+  * processes turns independently, so the stage scales embarrassingly with
+  * input splits.
+  *
+  * Semantics: text is cleaned with the char-exact `parseForJson` chain
+  * first (per-turn text-equality invariant), then whitespace-tokenized. A
+  * token that is a catalog alias is a mention, resolved first-match-wins by
+  * (rank, entityId) (W3, ESNormalizer.java:417-455). A token that is a
+  * predicate marker emits a triple between the nearest mention on its left
+  * and the nearest on its right. Every distinct mentioned entity also yields
+  * a (urn:conv:<id>, urn:p:mentions, entity) triple (the per-subject doc
+  * emission of Harvester.java:1826-1856 recast as edges).
+  */
+object Extractor {
+
+  /** A raw extracted statement with provenance (conv, turn) for lineage. */
+  final case class Extracted(
+      conv_id: String,
+      turn_idx: Int,
+      subj: String,
+      pred: String,
+      obj: String)
+
+  val MentionsPred = "urn:p:mentions"
+
+  def extract(
+      turns: Dataset[Turn],
+      catalog: Seq[CatalogEntry],
+      markers: Map[String, String]): Dataset[Extracted] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+
+    // first-match-wins alias resolution, broadcast once per job
+    val resolve: Map[String, String] =
+      catalog.groupBy(_.alias).map { case (a, es) =>
+        a -> es.minBy(e => (e.rank, e.entityId)).entityId
+      }
+    val bcResolve = spark.sparkContext.broadcast(resolve)
+    val bcMarkers = spark.sparkContext.broadcast(markers)
+
+    turns.mapPartitions { it =>
+      val res = bcResolve.value
+      val mk = bcMarkers.value
+      it.flatMap { turn =>
+        val text = if (turn.text == null) "" else TextNorm.parseForJson(turn.text)
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        // single sweep: collect mention and marker positions
+        val mentions = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+        val markersAt = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          res.get(t) match {
+            case Some(e) => mentions += ((i, e))
+            case None =>
+              mk.get(t) match {
+                case Some(p) => markersAt += ((i, p))
+                case None =>
+              }
+          }
+          i += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[Extracted]
+        // marker-adjacency triples
+        markersAt.foreach { case (pos, pred) =>
+          val left = mentions.filter(_._1 < pos).lastOption
+          val right = mentions.find(_._1 > pos)
+          (left, right) match {
+            case (Some((_, s)), Some((_, o))) =>
+              out += Extracted(turn.conv_id, turn.turn_idx, s, pred, o)
+            case _ =>
+          }
+        }
+        // distinct mention edges per turn
+        mentions.map(_._2).distinct.foreach { e =>
+          out += Extracted(turn.conv_id, turn.turn_idx,
+            s"urn:conv:${turn.conv_id}", MentionsPred, e)
+        }
+        out
+      }
+    }
+  }
+
+  /** Config-driven normalization of raw statements — the ESNormalizer stage
+    * re-expressed as Catalyst column ops over the long (triple) form:
+    * P1 proplist filter, A4 normProp fan-out (explode), A3 normObj rewrite,
+    * P2 white/blackMap object filters, all against broadcast literal maps.
+    * normProp keys escape the P1 filter exactly like the reference
+    * (Harvester.java:1818-1822). */
+  def normalize(raw: DataFrame, cfg: PipelineConfig): DataFrame = {
+    var df = raw
+
+    // P1 predicate white/blacklist (+ normProp-key escape hatch)
+    if (cfg.proplist.nonEmpty) {
+      val keep = if (cfg.listType == "white") cfg.proplist ++ cfg.normProp.keySet
+                 else cfg.proplist -- cfg.normProp.keySet
+      df = if (cfg.listType == "white")
+        df.filter(col("pred").isInCollection(keep))
+      else
+        df.filter(!col("pred").isInCollection(keep))
+    }
+
+    // A4 normProp rename / fan-out: explode the rename targets
+    if (cfg.normProp.nonEmpty) {
+      val entries = cfg.normProp.toSeq.flatMap { case (from, tos) =>
+        tos.map(to => (from, to))
+      }
+      // map literal: pred -> array(renames); fallback to identity
+      val m = map(entries.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (k, vs) =>
+        Seq(lit(k), array(vs.map(v => lit(v._2)): _*))
+      }: _*)
+      df = df.withColumn("pred",
+        explode(coalesce(element_at(m, col("pred")), array(col("pred")))))
+    }
+
+    // A3 normObj canonicalization (before downstream dedup, as in
+    // ESNormalizer.java:214-222)
+    if (cfg.normObj.nonEmpty) {
+      val m = map(cfg.normObj.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      df = df.withColumn("obj", coalesce(element_at(m, col("obj")), col("obj")))
+    }
+
+    // P2 white/blackMap per-predicate object filters
+    if (cfg.whiteMap.nonEmpty) {
+      val cond = cfg.whiteMap.toSeq.sortBy(_._1).map { case (p, allowed) =>
+        col("pred") === p && !col("obj").isInCollection(allowed)
+      }.reduce(_ || _)
+      df = df.filter(!cond)
+    }
+    if (cfg.blackMap.nonEmpty) {
+      val cond = cfg.blackMap.toSeq.sortBy(_._1).map { case (p, banned) =>
+        col("pred") === p && col("obj").isInCollection(banned)
+      }.reduce(_ || _)
+      df = df.filter(!cond)
+    }
+    df
+  }
+
+  /** A5 normalizeMissing: for every subject missing a defaulted predicate,
+    * emit the default triples (ESNormalizer.java:129-155). Implemented as
+    * subjects x defaults anti-join union in long form — no per-doc map
+    * mutation, fully parallel. */
+  def fillMissing(triples: DataFrame, cfg: PipelineConfig): DataFrame = {
+    if (cfg.normMissing.isEmpty) return triples
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val defaults = cfg.normMissing.toSeq
+      .flatMap { case (p, vs) => vs.map(v => (p, v)) }
+      .toDF("pred", "obj")
+    val subjects = triples.select("subj").distinct()
+    val missing = subjects.crossJoin(broadcast(defaults))
+      .join(triples.select("subj", "pred").distinct(), Seq("subj", "pred"), "left_anti")
+    triples.unionByName(missing.select(triples.columns.map {
+      case "subj" => col("subj")
+      case "pred" => col("pred")
+      case "obj" => col("obj")
+      case other => lit(null).cast("string").as(other)
+    }: _*))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, batch-shaped decode / feature-extract /
+  * frame-sample kernels.
+  *
+  * The Spark-side mechanics (schema, partition-parallel batch processing,
+  * kernel signature) are real and tested; the *decoder itself* is a
+  * clearly-marked deterministic stub — the container ships no image/audio
+  * codecs, and at cluster scale the stub body is replaced by the actual
+  * codec call with zero plan changes. In PySpark this stage would be
+  * `mapInPandas`; the Scala-native equivalent is a partition-batched
+  * `mapPartitions` over the binary column, which keeps the same
+  * one-batch-per-invocation shape.
+  */
+object Multimodal {
+
+  /** Feature row produced by the decode kernel. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** Attach a synthetic binary payload + modality metadata to documents
+    * (deterministic fake: md5 bytes of the text). */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      unhex(md5(col("text").cast("binary"))).as("payload"),
+      struct(
+        length(col("text")).as("source_len"),
+        lit(16).as("payload_len")).as("meta"))
+
+  /** STUB — deterministic stand-in for the real media decoder.
+    * Real implementation would decode `payload` with an image/audio codec
+    * (not available in this container); the fake derives a fixed-width
+    * feature vector from the payload bytes so the pipeline shape (binary in,
+    * float vector out, batch-parallel) is fully exercised. */
+  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = ((payload(i % payload.length) & 0xff) - 128) / 128.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-batched decode/feature-extract over the payload column. */
+  def extractFeatures(withPayload: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select("doc_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          MediaFeatures(id, modality, payload.length, decodeStub(payload, dim))
+        }
+      }
+  }
+
+  /** Frame sampling: every k-th byte-chunk of the payload (stand-in for
+    * every k-th video frame) — pure Column ops over the binary column
+    * (Substring supports BinaryType), no kernel needed. */
+  def frameSample(withPayload: DataFrame, k: Int): DataFrame =
+    withPayload.select(
+      col("doc_id"),
+      transform(sequence(lit(1), length(col("payload")), lit(k)),
+        i => col("payload").substr(i, lit(1))).as("frames"))
+}

@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.config.PipelineConfig
+import graft.extract.Extractor
+import graft.io.{CheckpointStore, TableCommitter}
+import graft.schema.{CatalogEntry, Turn}
+
+/** End-to-end KG construction: read -> stable order + salted partitioning ->
+  * extract -> normalize -> canonicalize (CC) -> materialize node/edge tables
+  * with atomic publish; full and incremental-sync modes; stage-checkpointed
+  * for resume-from-failure.
+  *
+  * Scale design (north rule):
+  *  - turns are repartitioned on (conv_id, salt(turn_idx)) so a hot
+  *    conversation spreads over `saltBuckets` tasks instead of one straggler;
+  *    extraction is per-turn, so no conv-level state needs co-location.
+  *  - the support table is keyed per conversation, so incremental sync is
+  *    dynamic-partition-overwrite of only the changed conversations —
+  *    recomputing a conversation is idempotent and replaces exactly its rows.
+  *  - every stage writes its output once (write-then-atomic-rename); a rerun
+  *    skips completed stages by directory presence, so a kill at any point
+  *    resumes without recomputation and publishes byte-identical tables
+  *    (SURVEY.md §2.8: re-running whole bulks from bulksWithErrors,
+  *    Harvester.java:1281-1432, upgraded to stage granularity).
+  */
+final class KgPipeline(cfg: PipelineConfig) {
+
+  private val stagesRoot = s"${cfg.workDir}/stages"
+  val supportTable = new TableCommitter(s"${cfg.workDir}/tables/support")
+  val edgeTable = new TableCommitter(s"${cfg.workDir}/tables/edges")
+  val nodeTable = new TableCommitter(s"${cfg.workDir}/tables/nodes")
+  val checkpoints = new CheckpointStore(s"${cfg.workDir}/checkpoints")
+
+  /** Test hook: simulate a crash immediately after the named stage commits. */
+  @volatile var failAfterStage: Option[String] = None
+
+  /** Write-once stage checkpoint: compute -> write tmp -> atomic rename.
+    * Presence of the final dir == stage complete; a killed run can never
+    * leave a half-readable checkpoint (K3 invariant). */
+  private def stage(spark: SparkSession, runKey: String, name: String)
+                   (compute: => DataFrame): DataFrame = {
+    val dir = Paths.get(s"$stagesRoot/$runKey/$name")
+    if (!Files.exists(dir)) {
+      val tmp = Paths.get(s"$stagesRoot/$runKey/.$name.tmp")
+      if (Files.exists(tmp)) { // stale partial write from a killed run
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+      compute.write.parquet(tmp.toString)
+      Files.createDirectories(dir.getParent)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      if (failAfterStage.contains(name))
+        throw new RuntimeException(s"injected failure after stage $name")
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Stable ordering + salted repartition (input contract: turn order must be
+    * recovered from (conv_id, turn_idx), never from partition order). */
+  def prepare(turns: Dataset[Turn]): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns.repartition(cfg.numPartitions,
+      col("conv_id"), pmod(hash(col("turn_idx")), lit(cfg.saltBuckets)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .as[Turn]
+  }
+
+  /** Per-conversation triple supports: (conv_id, subj, pred, obj, lang,
+    * weight) — the unit of idempotent incremental replacement. */
+  private def computeSupports(spark: SparkSession, turns: Dataset[Turn],
+                              catalog: Seq[CatalogEntry],
+                              markers: Map[String, String]): DataFrame = {
+    val raw = Extractor.extract(prepare(turns), catalog, markers).toDF()
+    val normalized = Extractor.normalize(raw, cfg)
+
+    // canonicalization: alias-equivalence edges from the catalog -> CC
+    val canonMap = canonicalMap(spark, catalog)
+    val canonical = normalized
+      .join(broadcast(canonMap.toDF("subj", "subj_canon")), Seq("subj"), "left")
+      .join(broadcast(canonMap.toDF("obj", "obj_canon")), Seq("obj"), "left")
+      .select(
+        col("conv_id"),
+        coalesce(col("subj_canon"), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("obj_canon"), col("obj")).as("obj"))
+      .withColumn("lang", lit(cfg.language))
+
+    canonical
+      .groupBy("conv_id", "subj", "pred", "obj", "lang")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Entity -> canonical id via distributed CC over alias-sharing edges
+    * (multi-hop generalization of normalizeObj, ESNormalizer.java:214-222). */
+  def canonicalMap(spark: SparkSession, catalog: Seq[CatalogEntry]): DataFrame = {
+    import spark.implicits._
+    val cat = catalog.toDF("entity_id", "alias", "pref_label", "rank")
+    // entities sharing an alias: min entity per alias <-> each other holder
+    val perAlias = cat.select("alias", "entity_id").distinct()
+    val aliasMin = perAlias.groupBy("alias").agg(min(col("entity_id")).as("root"))
+    val edges = perAlias.join(aliasMin, "alias")
+      .filter(col("entity_id") =!= col("root"))
+      .select(col("entity_id").as("src"), col("root").as("dst"))
+    val nodes = perAlias.select(col("entity_id").as("id")).distinct()
+    ConnectedComponents.runWithNodes(nodes, edges)
+      .select(col("id"), col("component"))
+  }
+
+  final case class RunResult(runId: String, edgesGen: String, nodesGen: String,
+                             triples: Long)
+
+  /** Full harvest (reference lifecycle §3.1): compute everything, publish
+    * atomically, record watermark + metrics + lineage. */
+  def runFull(spark: SparkSession, turns: Dataset[Turn],
+              catalog: Seq[CatalogEntry], markers: Map[String, String],
+              runId: String): RunResult = {
+    val supports = stage(spark, runId, "supports") {
+      computeSupports(spark, turns, catalog, markers)
+    }
+    checkpoints.writeLineage(spark, runId, "supports", supports)
+
+    supportTable.stage(supports, runId)
+    supportTable.publish(runId)
+
+    publishDerived(spark, runId, supports, maxEventTime(turns))
+  }
+
+  /** Event-time watermark: the max source timestamp processed — the next
+    * sync run re-extracts only conversations with turns after it (the
+    * reference uses harvest start time, Harvester.java:712; event time is
+    * the Spark-idiomatic equivalent and is deterministic under replay). */
+  private def maxEventTime(turns: Dataset[Turn]): Option[Timestamp] = {
+    val r = turns.toDF().agg(max(col("ts"))).head()
+    if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
+  }
+
+  /** Incremental sync (reference lifecycle §3.2): watermark-filtered changed
+    * set -> semi-join re-extract of changed conversations ->
+    * partition-overwrite MERGE -> optional vanished-key delete. */
+  def runSync(spark: SparkSession, turns: Dataset[Turn],
+              catalog: Seq[CatalogEntry], markers: Map[String, String],
+              runId: String): RunResult = {
+    import spark.implicits._
+    val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
+      .getOrElse(new Timestamp(0L))
+
+    // A8: distinct changed-conversation set since watermark
+    val changedConvs = turns.toDF()
+      .filter(col("ts") > lit(wm))
+      .select("conv_id").distinct()
+
+    // J3: re-extract only changed conversations (semi-join restriction)
+    val changedTurns = turns.join(changedConvs, Seq("conv_id"), "left_semi").as[Turn]
+    val newSupports = stage(spark, runId, "sync_supports") {
+      computeSupports(spark, changedTurns, catalog, markers)
+    }
+    checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
+
+    // dynamic-partition-overwrite of the changed conversations
+    val cur = supportTable.read(spark)
+    val merged = cur match {
+      case Some(c) =>
+        c.join(changedConvs, Seq("conv_id"), "left_anti").unionByName(newSupports)
+      case None => newSupports
+    }
+    // J4: drop conversations that vanished from the source entirely
+    val kept = if (cfg.syncOldData) {
+      val liveConvs = turns.select("conv_id").distinct()
+      merged.join(liveConvs, Seq("conv_id"), "left_semi")
+    } else merged
+    supportTable.stage(kept, runId)
+    supportTable.publish(runId)
+
+    publishDerived(spark, runId, supportTable.read(spark).get, maxEventTime(turns))
+  }
+
+  /** Derive + publish the edge and node snapshots from the support table. */
+  private def publishDerived(spark: SparkSession, runId: String,
+                             supports: DataFrame,
+                             newWatermark: Option[Timestamp]): RunResult = {
+    val edges = supports
+      .groupBy("subj", "pred", "obj", "lang")
+      .agg(sum(col("weight")).as("weight"))
+    edgeTable.stage(edges, runId)
+    val edgesGen = edgeTable.publish(runId)
+
+    val nodes = edges.select(col("subj").as("entity_id"))
+      .union(edges.select(col("obj").as("entity_id")))
+      .distinct()
+    nodeTable.stage(nodes, runId)
+    val nodesGen = nodeTable.publish(runId)
+
+    val nTriples = edgeTable.read(spark).get.count()
+    checkpoints.writeMetrics(spark, runId, Seq(
+      ("edges", "published_triples", nTriples)))
+    val wm = newWatermark
+      .orElse(checkpoints.lastWatermark(spark, cfg.pipelineId))
+      .getOrElse(new Timestamp(0L))
+    checkpoints.writeWatermark(spark, cfg.pipelineId, runId, wm, "success")
+    RunResult(runId, edgesGen, nodesGen, nTriples)
+  }
+}

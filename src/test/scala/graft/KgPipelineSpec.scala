@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.PipelineConfig
+import graft.pipeline.KgPipeline
+import graft.scoring.PrScorer
+import graft.sources.TranscriptGen
+
+/** Golden-fixture end-to-end gates: P/R >= 0.95 (in fact exact), idempotent
+  * re-run, resume-after-kill, incremental sync == full recompute, and
+  * determinism under repartitioning (SURVEY.md §5). */
+class KgPipelineSpec extends AnyFunSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-test-").toString
+
+  private def edgesOf(p: KgPipeline): Set[(String, String, String, String, Long)] = {
+    val spark = SparkTestSession.get
+    p.edgeTable.read(spark).get
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+  }
+
+  private val fx = TranscriptGen.generate(nConv = 60, nEnt = 30, hotFactor = 10)
+
+  private def turnsDs(ts: Seq[graft.schema.Turn]) = {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // written shuffled on disk: ordering must be recovered by the pipeline
+    new scala.util.Random(1).shuffle(ts).toDS().repartition(7)
+  }
+
+  test("full run: P/R vs independently planted golden triples is 1.0 (gate >= 0.95)") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "run1")
+    val got = p.edgeTable.read(spark).get
+    val pr = PrScorer.score(got, PrScorer.goldenDf(spark, fx.goldenTriples))
+    info(s"tp=${pr.tp} fp=${pr.fp} fn=${pr.fn} P=${pr.precision} R=${pr.recall}")
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95)
+    assert(pr.precision == 1.0 && pr.recall == 1.0)
+  }
+
+  test("canonicalization matches union-find golden components") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    val got = p.canonicalMap(spark, fx.catalog).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == fx.goldenComponents)
+  }
+
+  test("re-run is idempotent: same edge table content") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "runA")
+    val first = edgesOf(p)
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "runB")
+    assert(edgesOf(p) == first)
+  }
+
+  test("determinism under repartitioning: 3 vs 13 partitions, same output") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val a = new KgPipeline(PipelineConfig(workDir = freshDir(), numPartitions = 3))
+    val b = new KgPipeline(PipelineConfig(workDir = freshDir(), numPartitions = 13, saltBuckets = 3))
+    a.runFull(spark, fx.turns.toDS().repartition(2), fx.catalog, fx.markers, "r")
+    b.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "r")
+    assert(edgesOf(a) == edgesOf(b))
+  }
+
+  test("resume after injected crash publishes the same tables as a clean run") {
+    val spark = SparkTestSession.get
+    val dirty = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    dirty.failAfterStage = Some("supports")
+    val ex = intercept[RuntimeException] {
+      dirty.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "crash1")
+    }
+    assert(ex.getMessage.contains("injected failure"))
+    assert(dirty.edgeTable.read(spark).isEmpty) // nothing published (K5)
+    dirty.failAfterStage = None
+    dirty.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "crash1")
+
+    val clean = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    clean.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "clean1")
+    assert(edgesOf(dirty) == edgesOf(clean))
+  }
+
+  test("incremental sync of appended+vanished conversations == full recompute") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // t0: everything up to a global event-time cutoff (turn-major ts means
+    // turn_idx <= 6 is exactly "ts <= cutoff"); t1: the full stream with the
+    // later turns appended, except conversation conv-000003 vanishes
+    val t0 = fx.turns.filter(_.turn_idx <= 6)
+    val t1 = fx.turns.filterNot(_.conv_id == "conv-000003")
+
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncOldData = true))
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "scratch")
+    assert(edgesOf(p) == edgesOf(scratch))
+  }
+
+  test("normalize applies proplist/normProp/normObj/white/black semantics") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val raw = Seq(
+      ("c1", 0, "s1", "p_keep", "v1"),
+      ("c1", 0, "s1", "p_drop", "v1"),
+      ("c1", 1, "s1", "p_fan", "Organisation"),
+      ("c1", 1, "s1", "p_white", "ok"),
+      ("c1", 1, "s1", "p_white", "bad"),
+      ("c1", 2, "s1", "p_black", "banned"),
+      ("c1", 2, "s1", "p_black", "fine"))
+      .toDF("conv_id", "turn_idx", "subj", "pred", "obj")
+    val cfg = PipelineConfig(
+      proplist = Set("p_keep", "p_white", "p_black"),
+      listType = "white",
+      normProp = Map("p_fan" -> Seq("p_a", "p_b")),
+      normObj = Map("Organisation" -> "Organization"),
+      whiteMap = Map("p_white" -> Set("ok")),
+      blackMap = Map("p_black" -> Set("banned")))
+    val got = graft.extract.Extractor.normalize(raw, cfg)
+      .select("pred", "obj").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("p_keep", "v1"),
+      ("p_a", "Organization"), ("p_b", "Organization"),
+      ("p_white", "ok"),
+      ("p_black", "fine")))
+  }
+
+  test("fillMissing adds defaults only for absent (subject, predicate)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val triples = Seq(("s1", "p1", "x"), ("s2", "p2", "y"))
+      .toDF("subj", "pred", "obj")
+    val cfg = PipelineConfig(normMissing = Map("p1" -> Seq("default1")))
+    val got = graft.extract.Extractor.fillMissing(triples, cfg)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("s1", "p1", "x"), ("s2", "p2", "y"), ("s2", "p1", "default1")))
+  }
+}

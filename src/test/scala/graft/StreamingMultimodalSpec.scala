@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.PipelineConfig
+import graft.io.TableCommitter
+import graft.multimodal.Multimodal
+import graft.sources.TranscriptGen
+import graft.streaming.StreamingSync
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+
+  test("streaming AvailableNow ingest merges the same supports as batch extract") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 10, nEnt = 10, hotFactor = 2)
+    val inDir = Files.createTempDirectory("stream-in-").toString
+    fx.turns.toDS().repartition(3).write.mode("overwrite").parquet(inDir)
+    val table = new TableCommitter(Files.createTempDirectory("stream-tbl-").toString)
+    val ckpt = Files.createTempDirectory("stream-ckpt-").toString
+
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+
+    val batch = graft.extract.Extractor
+      .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
+      .groupBy("conv_id", "subj", "pred", "obj").count()
+    val streamed = table.read(spark).get
+    // same distinct support keys (weights may differ if a conv spans batches)
+    assert(streamed.select("conv_id", "subj", "pred", "obj").distinct().count()
+      == batch.count())
+
+    // restart with same checkpoint: no new data -> no new generation
+    val genBefore = table.currentGeneration()
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+    assert(table.currentGeneration() == genBefore)
+  }
+
+  test("streaming windowed mention-rate aggregate runs with watermark") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 5, nEnt = 5, hotFactor = 1)
+    val got = StreamingSync.mentionRate(fx.turns.toDF())
+    // batch-execute the streaming-shaped plan for value checking
+    assert(got.count() > 0)
+    assert(got.columns.toSet == Set("window", "role", "n_turns"))
+  }
+
+  test("multimodal payload plumbing: schema, determinism, feature shape") {
+    val spark = SparkTestSession.get
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val withPayload = Multimodal.attachPayload(docs)
+    assert(withPayload.schema("payload").dataType.typeName == "binary")
+
+    val feats = Multimodal.extractFeatures(withPayload, dim = 8)
+    val rows = feats.collect()
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.n_bytes == 16)) // md5 payload
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(withPayload, dim = 8).collect()
+    assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+
+    val frames = Multimodal.frameSample(withPayload, k = 4)
+    val f0 = frames.orderBy("doc_id").head()
+    assert(f0.getSeq[Array[Byte]](1).length == 4) // 16 bytes / every 4th
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TableCommitter
+
+class TableCommitterSpec extends AnyFunSuite {
+
+  private def fresh() = new TableCommitter(
+    Files.createTempDirectory("committer-").toString)
+
+  test("staged data is invisible until publish; publish flips atomically") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq((1, "a")).toDF("k", "v"), "r1")
+    assert(t.read(spark).isEmpty)
+    val gen = t.publish("r1")
+    assert(gen == "gen-0")
+    assert(t.read(spark).get.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a")))
+  }
+
+  test("rollback removes staging, live table untouched (K5)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq((1, "a")).toDF("k", "v"), "r1"); t.publish("r1")
+    t.stage(Seq((2, "b")).toDF("k", "v"), "r2")
+    t.rollback("r2")
+    assert(t.read(spark).get.count() == 1)
+    intercept[IllegalArgumentException](t.publish("r2"))
+  }
+
+  test("merge-by-key: updates win, others carry over; re-merge is idempotent") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq((1, "a"), (2, "b")).toDF("k", "v"), "r1"); t.publish("r1")
+    t.merge(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"), "r2")
+    val want = Set((1, "a"), (2, "B"), (3, "c"))
+    def content = t.read(spark).get.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(content == want)
+    t.merge(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"), "r3")
+    assert(content == want)
+  }
+
+  test("deleteMissing drops keys absent from keep-set (J4)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "r1"); t.publish("r1")
+    t.deleteMissing(spark, Seq(Tuple1(1), Tuple1(3)).toDF("k"), Seq("k"), "r2")
+    assert(t.read(spark).get.collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
+  test("blue/green alias pointers flip between generations (K6)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq(Tuple1("blue")).toDF("v"), "r1"); t.publish("r1")
+    t.stage(Seq(Tuple1("green")).toDF("v"), "r2"); t.publish("r2")
+    // current points at gen-1; serve alias flips back to gen-0
+    t.setPointer("serve", "gen-0")
+    assert(t.read(spark, "serve").get.head().getString(0) == "blue")
+    assert(t.read(spark).get.head().getString(0) == "green")
+    t.setPointer("serve", "gen-1")
+    assert(t.read(spark, "serve").get.head().getString(0) == "green")
+  }
+}
