@@ -1,24 +1,159 @@
 package graft
+
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
+
+import graft.config.PipelineConfig
+import graft.pipeline.KgPipeline
+import graft.schema.Turn
+import graft.sources.TranscriptGen
+
+/** Per-round benchmark: (1) every registered query at SPARK_GRAFT_SF_DIR;
+  * (2) the KG extraction pipeline on a deterministic synthetic transcript
+  * corpus at multiple parallelism levels — local[1] vs local[4] (the N->4N
+  * pair) and local[32] (peak) on identical parquet input, each in a fresh
+  * child JVM — reporting triples/sec at each plus the N->4N scaling
+  * efficiency (the sandbox evidence for the north rule's two-cluster-size
+  * criterion; see BASELINE.md targets).
+  *
+  * Prints ONE JSON line: {"metric","value","unit","queries","sf","kg"}.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def fmt(d: Double): String = "%.4f".formatLocal(Locale.ROOT, d)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the bench corpus is many small parquet files: with the default 128MB
+      // maxPartitionBytes the scan collapses to ~6 input partitions and no
+      // core count beyond ~6 helps; size splits so the map stage can fan out
+      // (on a real cluster with 128MB+ row groups the default is right)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle spill on tmpfs: /tmp is disk-backed here and random flush
+      // stalls add 3-5x noise to per-pass timings
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Timed KG pipeline passes (min of `passes`, first pass warms JIT +
+    * codegen): parquet scan -> mapPartitions extraction -> normalize -> CC
+    * canonicalization join -> support + edge aggregation -> count. */
+  private def kgPass(spark: SparkSession, turnsDir: String, cores: Int,
+                     passes: Int = 2): (Double, Long, Long) = {
+    import spark.implicits._
+    val cfg = PipelineConfig(numPartitions = cores * 2, saltBuckets = 8,
+      workDir = s"/tmp/graft-bench-unused")
+    val p = new KgPipeline(cfg)
+    val turns = spark.read.parquet(turnsDir).as[Turn]
+    val nTurns = turns.count() // warm the file listing/footers
+    var best = Double.MaxValue
+    var nTriples = 0L
+    (1 to passes).foreach { _ =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      nTriples = p.computeSupports(spark, turns,
+        TranscriptGen.catalog(50), TranscriptGen.markerPreds)
+        .groupBy("subj", "pred", "obj", "lang").count().count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, nTurns, nTriples)
+  }
+
+  /** Run ScalingBench in a fresh child JVM and parse its JSON line. */
+  private def scalingChild(cores: Int, turnsDir: String): (Double, Long, Long) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // Spark-4-on-JDK17 module opens (same list as build.sbt / spark-submit)
+    val jvmArgs = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC")
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScalingBench", cores.toString, turnsDir,
+      if (cores <= 2) "2" else if (cores >= 16) "4" else "3")
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val rdr = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = rdr.readLine()
+    while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+    proc.waitFor()
+    val json = out.toString.linesIterator
+      .find(_.contains("\"cores\"")).getOrElse(
+        sys.error(s"scaling child ($cores cores) produced no result: $out"))
+    def field(k: String): String =
+      json.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+    (field("sec").toDouble, field("turns").toLong, field("triples").toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---- part 1: registered queries at the round's scale factor
+    val spark1 = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ---- part 2: generate the KG bench corpus once (identical input for
+    // both parallelism levels)
+    // ~9.5M turns: large enough that compute dominates the fixed per-job
+    // overheads at every measured parallelism level
+    val nConv = sys.env.getOrElse("SPARK_GRAFT_KG_CONVS", "1000000").toInt
+    val turnsDir = s"/tmp/graft-bench-turns-$nConv"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(turnsDir))) {
+      TranscriptGen.generateDistributed(spark1, nConv, partitions = 64)
+        .write.mode("overwrite").parquet(turnsDir)
+    }
+    spark1.stop()
+
+    // ---- part 3: same job at N and 4N cores on identical input, each level
+    // in a FRESH child JVM (same-JVM back-to-back sessions contaminate each
+    // other via JIT/GC/heap state — measured up to 40% skew).
+    // local[1] -> local[4] is the N->4N evidence pair: at these levels the
+    // box's shared memory bus is not saturated, so the measurement isolates
+    // framework scaling (on a real cluster every executor brings its own
+    // memory bandwidth, GC capacity and shuffle disks). local[32] is also
+    // run for peak single-box throughput; the 4->32 ratio is reported for
+    // transparency about the single-socket bandwidth wall.
+    val (t1, nTurns, nTriples) = scalingChild(1, turnsDir)
+    val (t4, _, _) = scalingChild(4, turnsDir)
+    val (t32, _, _) = scalingChild(32, turnsDir)
+
+    val eff14 = (t1 / t4) / 4.0
+    val eff432 = (t4 / t32) / 8.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val kg = s"""{"turns":$nTurns,"triples":$nTriples,""" +
+      s""""sec_local1":${fmt(t1)},"sec_local4":${fmt(t4)},"sec_local32":${fmt(t32)},""" +
+      s""""triples_per_sec_local1":${fmt(nTriples / t1)},""" +
+      s""""triples_per_sec_local4":${fmt(nTriples / t4)},""" +
+      s""""triples_per_sec_local32":${fmt(nTriples / t32)},""" +
+      s""""turns_per_sec_local32":${fmt(nTurns / t32)},""" +
+      s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
+      s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")
   }
 }

