@@ -419,6 +419,51 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ---- F3: timestamp <-> string formatting (yyyy-MM-dd'T'HH:mm:ss, the
+    // reference's sync-filter literal format, Harvester.java:1204-1213)
+    "f3_date_format" -> Q(
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+        |       CAST(date_trunc('day', ts) AS DATE) AS day
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .orderBy("event_id")
+    },
+
+    // ---- sessionization: gap-based event-time sessions per user (30-min
+    // inactivity gap) — lag + cumulative window sum, the batch equivalent of
+    // streaming session windows
+    "w4_sessionize" -> Q(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id,
+        |             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n, min(ts) AS t0, max(ts) AS t1
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+            .otherwise(0L))
+      g.withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ---- sync delete: keys present before the watermark but vanished after
     // (syncOldData + removeMissingUris anti-join, Harvester.java:1245-1258)
     "sync_vanished_keys" -> Q(

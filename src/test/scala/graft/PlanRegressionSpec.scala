@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Extractor
+import graft.sources.TranscriptGen
+
+/** Locks the physical-plan properties that matter at 100 TB: filter/column
+  * pushdown into the parquet scan, broadcast strategy on dimension joins,
+  * hash (not nested-loop) joins for the LSH bucket path, and a shuffle-free
+  * narrow extraction stage. A regression here is a performance bug even if
+  * results stay correct. */
+class PlanRegressionSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val spark = SparkTestSession.get
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("s1: range predicates reach the parquet scan; schema pruned") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_shipdate:timestamp"))
+    assert(!p.contains("l_extendedprice"), "scan reads more columns than projected")
+  }
+
+  test("j1: dimension join is a broadcast hash join, never sort-merge") {
+    val p = plan("j1_label_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("kg_extract_mentions: dictionary join broadcasts; scan pruned to (doc_id, text)") {
+    val p = plan("kg_extract_mentions")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("ann_lsh_buckets: bucket join is hash-based, not a cartesian product") {
+    val p = plan("ann_lsh_buckets")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("extraction stage is narrow: no Exchange below the mapPartitions kernel") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 3, nEnt = 5, hotFactor = 1)
+    val p = Extractor.extract(fx.turns.toDS(), fx.catalog, fx.markers)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"extraction plan has a shuffle:\n$p")
+    // only the 3 needed columns are deserialized into the kernel
+    assert(p.contains("conv_id") && p.contains("text"))
+    assert(!p.contains("tool#"), "kernel deserializes unused columns")
+  }
+}
