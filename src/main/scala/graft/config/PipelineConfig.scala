@@ -33,4 +33,11 @@ final case class PipelineConfig(
     // graft scale knobs
     saltBuckets: Int = 8,
     numPartitions: Int = 32,
-    workDir: String = "/tmp/graft-work")
+    workDir: String = "/tmp/graft-work",
+    // canonicalization strategy: driver union-find for broadcast-sized
+    // catalogs (default); distributed large-star/small-star CC for
+    // graph-scale catalogs
+    useDistributedCanon: Boolean = false,
+    // split structurally-bad input rows into the quarantine table instead of
+    // failing the job (K2 failure-granularity shrink)
+    quarantineBadRows: Boolean = true)

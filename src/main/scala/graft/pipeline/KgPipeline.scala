@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.canon.ConnectedComponents
 import graft.config.PipelineConfig
 import graft.extract.Extractor
-import graft.io.{CheckpointStore, TableCommitter}
+import graft.io.{CheckpointStore, Quarantine, TableCommitter}
 import graft.schema.{CatalogEntry, Turn}
 
 /** End-to-end KG construction: read -> stable order + salted partitioning ->
@@ -77,6 +77,14 @@ final class KgPipeline(cfg: PipelineConfig) {
   def computeSupports(spark: SparkSession, turns: Dataset[Turn],
                               catalog: Seq[CatalogEntry],
                               markers: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    // K2: structurally-bad rows can never succeed on retry — divert them to
+    // the quarantine table with a reason instead of failing the job
+    val goodTurns = if (cfg.quarantineBadRows) {
+      val (good, bad) = Quarantine.split(turns.toDF(), Quarantine.turnChecks)
+      bad.write.mode("append").parquet(s"${cfg.workDir}/quarantine")
+      good.as[Turn]
+    } else turns
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
     // a narrow map stage is pure cost at 100 TB. The support aggregation
@@ -84,11 +92,15 @@ final class KgPipeline(cfg: PipelineConfig) {
     // which also absorbs hot-conversation skew (a hot conv's turns are
     // already spread across input splits). prepare() exists for operators
     // that genuinely need ordered per-conversation windows.
-    val raw = Extractor.extract(turns, catalog, markers).toDF()
+    val raw = Extractor.extract(goodTurns, catalog, markers).toDF()
     val normalized = Extractor.normalize(raw, cfg)
 
     // canonicalization: alias-equivalence edges from the catalog -> CC
-    val canonMap = canonicalMap(spark, catalog)
+    val canonMap =
+      if (cfg.useDistributedCanon)
+        canonicalMapDistributed(spark,
+          catalog.toDF("entity_id", "alias", "pref_label", "rank"))
+      else canonicalMap(spark, catalog)
     val canonical = normalized
       .join(broadcast(canonMap.toDF("subj", "subj_canon")), Seq("subj"), "left")
       .join(broadcast(canonMap.toDF("obj", "obj_canon")), Seq("obj"), "left")
