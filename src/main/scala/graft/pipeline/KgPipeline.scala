@@ -74,17 +74,24 @@ final class KgPipeline(cfg: PipelineConfig) {
 
   /** Per-conversation triple supports: (conv_id, subj, pred, obj, lang,
     * weight) — the unit of idempotent incremental replacement. */
+  /** K2: structurally-bad rows can never succeed on retry — divert them to
+    * the quarantine table with a reason instead of failing the job. Runs
+    * once per pipeline run (not per recompute) so the extraction job itself
+    * stays a single input pass. */
+  private def quarantined(spark: SparkSession, turns: Dataset[Turn]): Dataset[Turn] = {
+    import spark.implicits._
+    if (!cfg.quarantineBadRows) turns
+    else {
+      val (good, bad) = Quarantine.split(turns.toDF(), Quarantine.turnChecks)
+      bad.write.mode("append").parquet(s"${cfg.workDir}/quarantine")
+      good.as[Turn]
+    }
+  }
+
   def computeSupports(spark: SparkSession, turns: Dataset[Turn],
                               catalog: Seq[CatalogEntry],
                               markers: Map[String, String]): DataFrame = {
     import spark.implicits._
-    // K2: structurally-bad rows can never succeed on retry — divert them to
-    // the quarantine table with a reason instead of failing the job
-    val goodTurns = if (cfg.quarantineBadRows) {
-      val (good, bad) = Quarantine.split(turns.toDF(), Quarantine.turnChecks)
-      bad.write.mode("append").parquet(s"${cfg.workDir}/quarantine")
-      good.as[Turn]
-    } else turns
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
     // a narrow map stage is pure cost at 100 TB. The support aggregation
@@ -92,7 +99,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     // which also absorbs hot-conversation skew (a hot conv's turns are
     // already spread across input splits). prepare() exists for operators
     // that genuinely need ordered per-conversation windows.
-    val raw = Extractor.extract(goodTurns, catalog, markers).toDF()
+    val raw = Extractor.extract(turns, catalog, markers).toDF()
     val normalized = Extractor.normalize(raw, cfg)
 
     // canonicalization: alias-equivalence edges from the catalog -> CC
@@ -154,7 +161,7 @@ final class KgPipeline(cfg: PipelineConfig) {
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
     val supports = stage(spark, runId, "supports") {
-      computeSupports(spark, turns, catalog, markers)
+      computeSupports(spark, quarantined(spark, turns), catalog, markers)
     }
     checkpoints.writeLineage(spark, runId, "supports", supports)
 
@@ -191,7 +198,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     // J3: re-extract only changed conversations (semi-join restriction)
     val changedTurns = turns.join(changedConvs, Seq("conv_id"), "left_semi").as[Turn]
     val newSupports = stage(spark, runId, "sync_supports") {
-      computeSupports(spark, changedTurns, catalog, markers)
+      computeSupports(spark, quarantined(spark, changedTurns), catalog, markers)
     }
     checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
 
