@@ -45,6 +45,24 @@ final class TableCommitter(rootDir: String) {
   def read(spark: SparkSession, alias: String = "current"): Option[DataFrame] =
     currentPath(alias).map(spark.read.parquet(_))
 
+  /** Time travel: read any retained generation directly (generations are
+    * immutable once published — the Iceberg snapshot-read equivalent). */
+  def readGeneration(spark: SparkSession, gen: String): Option[DataFrame] = {
+    val p = root.resolve(gen)
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** All published generations, oldest first. */
+  def generations(): Seq[String] =
+    if (!Files.exists(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("gen-"))
+        .toSeq.sortBy(_.stripPrefix("gen-").toLong)
+    }
+
   def stagingPath(runId: String): String = staging.resolve(runId).toString
 
   /** Write a full snapshot into staging (not yet visible). */

@@ -114,18 +114,18 @@ object DedupQueries {
          |           JOIN sz sb ON inter.b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      import s.implicits._
       val sh = shingles(s, d).persist()
-      val ks = broadcast((0 until 8).toDF("k"))
-      val mh = sh.crossJoin(ks)
-        .groupBy("doc_id", "k")
-        .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")).cast("binary"))).as("mh"))
-      val bands = mh
-        .withColumn("band", (col("k") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(md5(array_join(
-          transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-            x => x.getField("mh")), "|").cast("binary")).as("sig"))
+      // all 8 min-hashes in ONE aggregation pass (no x8 row blow-up; values
+      // identical to the oracle's per-k group-by min over md5("k|shingle"))
+      val mhCols = (0 until 8).map(k =>
+        min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k"))
+      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // bands of 2: sig = md5(mh_{2b} || "|" || mh_{2b+1})
+      val bands = (0 until 4).map { b =>
+        mh.select(col("doc_id"), lit(b).as("band"),
+          md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+            .cast("binary")).as("sig"))
+      }.reduce(_ unionByName _)
       val cand = bands.toDF("a", "band", "sig")
         .join(bands.toDF("b", "band", "sig"), Seq("band", "sig"))
         .filter(col("a") < col("b"))

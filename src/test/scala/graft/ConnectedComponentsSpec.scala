@@ -65,6 +65,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("5000-node random graph matches union-find (log-round convergence)") {
+    val rnd = new scala.util.Random(11)
+    val n = 5000
+    val edges = Seq.fill(4000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    check(edges)
+  }
+
   test("runWithNodes keeps isolated nodes as their own component") {
     val spark = SparkTestSession.get
     import spark.implicits._

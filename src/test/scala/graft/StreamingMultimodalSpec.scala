@@ -39,14 +39,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(table.currentGeneration() == genBefore)
   }
 
-  test("streaming windowed mention-rate aggregate runs with watermark") {
+  test("streaming windowed mention-rate aggregate runs as a real stream") {
     val spark = SparkTestSession.get
     import spark.implicits._
     val fx = TranscriptGen.generate(nConv = 5, nEnt = 5, hotFactor = 1)
-    val got = StreamingSync.mentionRate(fx.turns.toDF())
-    // batch-execute the streaming-shaped plan for value checking
+    val inDir = Files.createTempDirectory("stream-mr-").toString
+    fx.turns.toDS().write.mode("overwrite").parquet(inDir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[graft.schema.Turn]].schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = StreamingSync.mentionRate(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mention_rate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("mention_rate")
     assert(got.count() > 0)
     assert(got.columns.toSet == Set("window", "role", "n_turns"))
+    // streamed totals equal the batch aggregation
+    val batchTotal = fx.turns.size
+    val streamedTotal = got.agg(org.apache.spark.sql.functions.sum("n_turns"))
+      .head().getLong(0)
+    assert(streamedTotal == batchTotal)
   }
 
   test("multimodal payload plumbing: schema, determinism, feature shape") {

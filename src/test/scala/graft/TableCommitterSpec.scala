@@ -57,6 +57,18 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.read(spark).get.collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
+  test("time travel: every published generation stays readable") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq((1, "v1")).toDF("k", "v"), "r1"); t.publish("r1")
+    t.merge(spark, Seq((1, "v2")).toDF("k", "v"), Seq("k"), "r2")
+    assert(t.generations() == Seq("gen-0", "gen-1"))
+    assert(t.readGeneration(spark, "gen-0").get.head().getString(1) == "v1")
+    assert(t.readGeneration(spark, "gen-1").get.head().getString(1) == "v2")
+    assert(t.readGeneration(spark, "gen-9").isEmpty)
+  }
+
   test("blue/green alias pointers flip between generations (K6)") {
     val spark = SparkTestSession.get
     import spark.implicits._
