@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point — makes the engine's native Catalyst
+  * expressions available to pure-SQL users:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  *
+  * (Public injection API; for an already-running session use
+  * `GraftExtensions.register(spark)`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.FunctionBridge.registerDot(spark)
+
+  /** Register every driver table of an sf directory as a temp view, so the
+    * whole surface is queryable with spark.sql. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}

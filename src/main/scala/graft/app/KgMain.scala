@@ -26,6 +26,7 @@ object KgMain {
     require(mode == "full" || mode == "sync", s"unknown mode: $mode")
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .appName("graft-kg")
       .config("spark.sql.shuffle.partitions",

@@ -40,4 +40,7 @@ final case class PipelineConfig(
     useDistributedCanon: Boolean = false,
     // split structurally-bad input rows into the quarantine table instead of
     // failing the job (K2 failure-granularity shrink)
-    quarantineBadRows: Boolean = true)
+    quarantineBadRows: Boolean = true,
+    // also publish the per-(subject, language) document table — the
+    // reference's actual output shape (one ES doc per resource@lang)
+    publishDocs: Boolean = false)

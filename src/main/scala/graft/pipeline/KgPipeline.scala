@@ -36,6 +36,7 @@ final class KgPipeline(cfg: PipelineConfig) {
   val supportTable = new TableCommitter(s"${cfg.workDir}/tables/support")
   val edgeTable = new TableCommitter(s"${cfg.workDir}/tables/edges")
   val nodeTable = new TableCommitter(s"${cfg.workDir}/tables/nodes")
+  val docTable = new TableCommitter(s"${cfg.workDir}/tables/docs")
   val checkpoints = new CheckpointStore(s"${cfg.workDir}/checkpoints")
 
   /** Test hook: simulate a crash immediately after the named stage commits. */
@@ -235,6 +236,14 @@ final class KgPipeline(cfg: PipelineConfig) {
       .distinct()
     nodeTable.stage(nodes, runId)
     val nodesGen = nodeTable.publish(runId)
+
+    // optional document-shaped sink (the reference's per-resource@lang docs)
+    if (cfg.publishDocs) {
+      val docs = graft.materialize.DocAssembler.assemble(
+        edges.select("subj", "pred", "obj", "lang"), cfg)
+      docTable.stage(docs, runId)
+      docTable.publish(runId)
+    }
 
     val nTriples = edgeTable.read(spark).get.count()
     checkpoints.writeMetrics(spark, runId, Seq(

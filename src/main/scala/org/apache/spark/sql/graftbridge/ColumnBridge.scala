@@ -12,3 +12,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Runtime function registration (sessionState is private[sql]). */
+object FunctionBridge {
+  def registerDot(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+}
