@@ -27,7 +27,8 @@ class KgPipelineSpec extends AnyFunSuite {
       .toSet
   }
 
-  private val fx = TranscriptGen.generate(nConv = 60, nEnt = 30, hotFactor = 10)
+  // FIXTURES.md test scale: 200 conversations, ~5k turns, one hot conv
+  private val fx = TranscriptGen.generate(nConv = 200, nEnt = 50, hotFactor = 50)
 
   private def turnsDs(ts: Seq[graft.schema.Turn]) = {
     val spark = SparkTestSession.get
@@ -55,6 +56,37 @@ class KgPipelineSpec extends AnyFunSuite {
     val got = p.canonicalMapDistributed(spark, catDf).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == fx.goldenComponents)
+  }
+
+  test("per-conversation count reconciliation (CLUSTERS-TEST style)") {
+    // the reference validated its v1->v2 port by per-cluster doc-count
+    // parity (src/logs/2/CLUSTERS-TEST); here: per-conversation mention-edge
+    // counts vs the planted golden counts
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "rc")
+    val got = p.edgeTable.read(spark).get
+      .filter(org.apache.spark.sql.functions.col("subj").startsWith("urn:conv:"))
+      .groupBy("subj").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = fx.goldenTriples.toSeq
+      .filter(_.subj.startsWith("urn:conv:"))
+      .groupBy(_.subj).map { case (k, ts) => k -> ts.map(t => (t.pred, t.obj)).distinct.size.toLong }
+    assert(got == want)
+  }
+
+  test("resume cleans a partial stage write left by a kill mid-write") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val p = new KgPipeline(PipelineConfig(workDir = wd))
+    // simulate a crash in the middle of the supports stage write
+    val tmp = java.nio.file.Paths.get(s"$wd/stages/killed/.supports.tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.writeString(tmp.resolve("part-junk"), "partial garbage")
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "killed")
+    val clean = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    clean.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "c")
+    assert(edgesOf(p) == edgesOf(clean))
   }
 
   test("re-run is idempotent: same edge table content") {
