@@ -39,10 +39,18 @@ object Extractor {
 
   val MentionsPred = "urn:p:mentions"
 
+  /** Sentinel subject for a marker with a right-hand mention but no
+    * left-hand one — resolved by [[CorefResolver]] from prior turns. */
+  val OrphanSubj = "__orphan__"
+
+  /** Per-turn context row: the turn's last mention by token position. */
+  val LastMentionPred = "urn:graft:lastMention"
+
   def extract(
       turns: Dataset[Turn],
       catalog: Seq[CatalogEntry],
-      markers: Map[String, String]): Dataset[Extracted] = {
+      markers: Map[String, String],
+      emitContext: Boolean = false): Dataset[Extracted] = {
     val spark = turns.sparkSession
     import spark.implicits._
 
@@ -108,8 +116,12 @@ object Extractor {
             }
             if (li >= 0 && ri >= 0)
               out += Extracted(convId, turnIdx, mEnt(li), kPred(k), mEnt(ri))
+            else if (emitContext && li < 0 && ri >= 0)
+              out += Extracted(convId, turnIdx, OrphanSubj, kPred(k), mEnt(ri))
             k += 1
           }
+          if (emitContext && nM > 0)
+            out += Extracted(convId, turnIdx, "__ctx__", LastMentionPred, mEnt(nM - 1))
           // distinct mention edges per turn (nM is tiny: linear distinct)
           if (nM > 0) {
             val convUri = s"urn:conv:$convId"
