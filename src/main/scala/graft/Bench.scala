@@ -110,6 +110,12 @@ object Bench {
 
     // ---- part 1: registered queries at the round's scale factor
     val spark1 = session(cpus)
+    // warm the session (codegen, parquet reader init, file listing) so the
+    // alphabetically-first query does not absorb one-time costs
+    Seq("lineitem", "events", "documents", "embeddings", "orders", "customer",
+      "supplier", "part", "nation", "region").foreach { t =>
+      Tables(spark1, sfDir, t).limit(1).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
