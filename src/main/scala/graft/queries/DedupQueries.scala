@@ -223,6 +223,19 @@ object DedupQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ---- IVF ANN (the other scale path): coarse k-means quantizer, probe
+    // the nearest buckets only. Training is iterative (no SQL oracle; the
+    // driver records rows-only) — exactness under full probing and recall
+    // under partial probing are asserted in IvfIndexSpec.
+    "ann_ivf" -> Q.noOracle { (s, d) =>
+      val vectors = Tables.embeddings(s, d)
+      val model = graft.similarity.IvfIndex.train(s, vectors, k = 16, iters = 2)
+      val assigned = graft.similarity.IvfIndex.assign(vectors, model)
+      graft.similarity.IvfIndex.topK(assigned,
+        vectors.filter(col("vec_id") < 20), model, k = 5, nProbe = 6)
+        .orderBy("qid", "rank")
+    },
+
     // ---- LSH-bucketed ANN (the scale path): 8-bit sign bucket over fixed
     // coordinates; pairs only within a bucket — turns the O(n^2) scan into a
     // per-bucket join that shards across the cluster
