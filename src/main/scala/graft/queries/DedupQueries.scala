@@ -120,12 +120,17 @@ object DedupQueries {
       val mhCols = (0 until 8).map(k =>
         min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k"))
       val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      // bands of 2: sig = md5(mh_{2b} || "|" || mh_{2b+1})
-      val bands = (0 until 4).map { b =>
-        mh.select(col("doc_id"), lit(b).as("band"),
+      // bands of 2: sig = md5(mh_{2b} || "|" || mh_{2b+1}); all 4 bands
+      // exploded from ONE pass over the aggregate (a 4-way union would
+      // recompute the aggregation per branch)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
           md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
             .cast("binary")).as("sig"))
-      }.reduce(_ unionByName _)
+      }
+      val bands = mh
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.toDF("a", "band", "sig")
         .join(bands.toDF("b", "band", "sig"), Seq("band", "sig"))
         .filter(col("a") < col("b"))
