@@ -46,6 +46,33 @@ object Extractor {
   /** Per-turn context row: the turn's last mention by token position. */
   val LastMentionPred = "urn:graft:lastMention"
 
+  /** Token-trie node for multi-token alias matching (longest match wins).
+    * A single-token alias is a depth-1 terminal, so the trie scan is a
+    * strict generalization of plain hash lookup. */
+  final case class TrieNode(
+      children: Map[String, TrieNode],
+      entity: String) extends Serializable
+
+  /** Build the alias trie with first-match-wins resolution per full alias
+    * (rank, then entityId — W3 semantics), aliases tokenized on whitespace. */
+  def buildTrie(catalog: Seq[CatalogEntry]): TrieNode = {
+    val resolve: Map[String, String] =
+      catalog.groupBy(_.alias).map { case (a, es) =>
+        a -> es.minBy(e => (e.rank, e.entityId)).entityId
+      }
+    def insert(node: TrieNode, toks: List[String], entity: String): TrieNode =
+      toks match {
+        case Nil => if (node.entity == null) node.copy(entity = entity) else node
+        case t :: rest =>
+          val child = node.children.getOrElse(t, TrieNode(Map.empty, null))
+          node.copy(children = node.children.updated(t, insert(child, rest, entity)))
+      }
+    resolve.toSeq.sortBy(_._1).foldLeft(TrieNode(Map.empty, null)) {
+      case (root, (alias, entity)) =>
+        insert(root, alias.split("\\s+").filter(_.nonEmpty).toList, entity)
+    }
+  }
+
   def extract(
       turns: Dataset[Turn],
       catalog: Seq[CatalogEntry],
@@ -54,12 +81,7 @@ object Extractor {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    // first-match-wins alias resolution, broadcast once per job
-    val resolve: Map[String, String] =
-      catalog.groupBy(_.alias).map { case (a, es) =>
-        a -> es.minBy(e => (e.rank, e.entityId)).entityId
-      }
-    val bcResolve = spark.sparkContext.broadcast(resolve)
+    val bcTrie = spark.sparkContext.broadcast(buildTrie(catalog))
     val bcMarkers = spark.sparkContext.broadcast(markers)
 
     // project before the kernel: only 3 of the 6 turn columns are consumed,
@@ -69,7 +91,7 @@ object Extractor {
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val res = bcResolve.value
+        val trie = bcTrie.value
         val mk = bcMarkers.value
         // per-partition reusable scratch (no boxed tuples, no per-turn
         // collection churn — the kernel is allocation-rate-bound at high
@@ -87,19 +109,36 @@ object Extractor {
             kPos = new Array[Int](toks.length)
             kPred = new Array[String](toks.length)
           }
-          // single sweep: collect mention and marker positions
+          // single sweep: longest-match trie scan for (possibly multi-token)
+          // mentions; marker lookup on non-mention tokens
           var nM = 0
           var nK = 0
           var i = 0
           while (i < toks.length) {
-            val t = toks(i)
-            val e = res.getOrElse(t, null)
-            if (e != null) { mPos(nM) = i; mEnt(nM) = e; nM += 1 }
-            else {
-              val p = mk.getOrElse(t, null)
-              if (p != null) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
+            // walk the trie greedily from position i, remember the longest
+            // terminal hit
+            var node = trie
+            var j = i
+            var bestEnd = -1
+            var bestEnt: String = null
+            var continue = true
+            while (continue && j < toks.length) {
+              node.children.getOrElse(toks(j), null) match {
+                case null => continue = false
+                case child =>
+                  if (child.entity != null) { bestEnd = j; bestEnt = child.entity }
+                  node = child
+                  j += 1
+              }
             }
-            i += 1
+            if (bestEnd >= 0) {
+              mPos(nM) = i; mEnt(nM) = bestEnt; nM += 1
+              i = bestEnd + 1 // non-overlapping, longest match consumes its span
+            } else {
+              val p = mk.getOrElse(toks(i), null)
+              if (p != null) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
+              i += 1
+            }
           }
           val out = new scala.collection.mutable.ArrayBuffer[Extracted](nK + nM)
           // marker-adjacency triples (mention positions are sorted: walk)

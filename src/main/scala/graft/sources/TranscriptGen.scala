@@ -42,12 +42,17 @@ object TranscriptGen {
 
   /** Entity catalog with deliberate alias collisions: `shared<g>` maps to
     * entities 10g (rank 1) and 10g+1 (rank 2) — linking must pick rank 1,
-    * canonicalization must merge the pair (both reachable via the alias). */
+    * canonicalization must merge the pair (both reachable via the alias).
+    * Every 5th entity also carries a multi-token alias (`mt<i> unit`) to
+    * exercise the extractor's longest-match trie scan. */
   def catalog(nEnt: Int): Seq[CatalogEntry] = {
     val base = (0 until nEnt).flatMap { i =>
+      val multi =
+        if (i % 5 == 0) Seq(CatalogEntry(entityId(i), s"mt$i unit", s"entity$i", 1))
+        else Seq.empty
       Seq(
         CatalogEntry(entityId(i), s"al${i}x", s"entity$i", 1),
-        CatalogEntry(entityId(i), s"al${i}y", s"entity$i", 1))
+        CatalogEntry(entityId(i), s"al${i}y", s"entity$i", 1)) ++ multi
     }
     val shared = (0 until nEnt / 10).flatMap { g =>
       val a = 10 * g
