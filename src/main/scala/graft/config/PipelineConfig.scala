@@ -43,4 +43,7 @@ final case class PipelineConfig(
     quarantineBadRows: Boolean = true,
     // also publish the per-(subject, language) document table — the
     // reference's actual output shape (one ES doc per resource@lang)
-    publishDocs: Boolean = false)
+    publishDocs: Boolean = false,
+    // integer-coded support shuffle (identity-normalization fast path):
+    // exchanges (conv_id, 3 ints) instead of four URI strings
+    encodedShuffle: Boolean = true)

@@ -54,11 +54,16 @@ object Extractor {
       entity: String) extends Serializable
 
   /** Build the alias trie with first-match-wins resolution per full alias
-    * (rank, then entityId — W3 semantics), aliases tokenized on whitespace. */
-  def buildTrie(catalog: Seq[CatalogEntry]): TrieNode = {
+    * (rank, then entityId — W3 semantics), aliases tokenized on whitespace.
+    * When a canonical map is given, resolution composes with it so mentions
+    * are emitted (and per-turn deduplicated) at canonical granularity —
+    * two aliases of one canonical cluster in a turn are ONE mention. */
+  def buildTrie(catalog: Seq[CatalogEntry],
+                canon: Map[String, String] = Map.empty): TrieNode = {
     val resolve: Map[String, String] =
       catalog.groupBy(_.alias).map { case (a, es) =>
-        a -> es.minBy(e => (e.rank, e.entityId)).entityId
+        val e = es.minBy(e => (e.rank, e.entityId)).entityId
+        a -> canon.getOrElse(e, e)
       }
     def insert(node: TrieNode, toks: List[String], entity: String): TrieNode =
       toks match {
@@ -77,11 +82,12 @@ object Extractor {
       turns: Dataset[Turn],
       catalog: Seq[CatalogEntry],
       markers: Map[String, String],
-      emitContext: Boolean = false): Dataset[Extracted] = {
+      emitContext: Boolean = false,
+      canon: Map[String, String] = Map.empty): Dataset[Extracted] = {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    val bcTrie = spark.sparkContext.broadcast(buildTrie(catalog))
+    val bcTrie = spark.sparkContext.broadcast(buildTrie(catalog, canon))
     val bcMarkers = spark.sparkContext.broadcast(markers)
 
     // project before the kernel: only 3 of the 6 turn columns are consumed,
@@ -176,6 +182,126 @@ object Extractor {
           out
         }
       }
+  }
+
+  /** Dictionary-encoded extraction row: subjC == -1 encodes the
+    * conversation subject (urn:conv:<conv_id> is derivable from conv_id);
+    * entity and predicate codes index the dictionaries returned by
+    * [[extractEncoded]]. */
+  final case class EncodedExtracted(
+      conv_id: String,
+      subjC: Int,
+      predC: Int,
+      objC: Int)
+
+  /** Shuffle-lean extraction: the kernel emits canonical integer codes
+    * instead of URI strings, so the downstream aggregation exchanges
+    * (conv_id, 3 ints) instead of four ~20-60 byte strings — at 10^12-turn
+    * scale the support shuffle is the dominant wire cost. Canonicalization
+    * composes into the dictionary (code of entity = code of its canonical
+    * representative), which also removes the two broadcast joins of the
+    * string path. Only valid for identity normalization configs (no
+    * proplist/normProp/normObj/white/black rewrites).
+    *
+    * @return (rows, entity dictionary by code, predicate dictionary by code)
+    */
+  def extractEncoded(
+      turns: Dataset[Turn],
+      catalog: Seq[CatalogEntry],
+      markers: Map[String, String],
+      canon: Map[String, String]): (Dataset[EncodedExtracted], Array[String], Array[String]) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+
+    val entities = canon.values.toSeq.distinct.sorted.toArray
+    val entCode = entities.zipWithIndex.toMap
+    val preds = (markers.values.toSeq :+ MentionsPred).distinct.sorted.toArray
+    val predCode = preds.zipWithIndex.toMap
+
+    // trie resolving straight to the canonical entity CODE
+    val trie = buildTrie(catalog, canon)
+    def mapTrie(n: TrieNode): TrieNode = TrieNode(
+      n.children.map { case (k, v) => k -> mapTrie(v) },
+      if (n.entity == null) null else entCode(n.entity).toString)
+    val bcTrie = spark.sparkContext.broadcast(mapTrie(trie))
+    val bcMarkers = spark.sparkContext.broadcast(
+      markers.map { case (k, v) => k -> predCode(v) })
+    val mentionsCode = predCode(MentionsPred)
+
+    val rows = turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val trie = bcTrie.value
+        val mk = bcMarkers.value
+        var mPos = new Array[Int](64)
+        var mEnt = new Array[Int](64)
+        var kPos = new Array[Int](16)
+        var kPred = new Array[Int](16)
+        it.flatMap { case (convId, _, rawText) =>
+          val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
+          val toks = TextNorm.fastTokens(text)
+          if (toks.length > mPos.length) {
+            mPos = new Array[Int](toks.length)
+            mEnt = new Array[Int](toks.length)
+            kPos = new Array[Int](toks.length)
+            kPred = new Array[Int](toks.length)
+          }
+          var nM = 0
+          var nK = 0
+          var i = 0
+          while (i < toks.length) {
+            var node = trie
+            var j = i
+            var bestEnd = -1
+            var bestEnt = -1
+            var continue = true
+            while (continue && j < toks.length) {
+              node.children.getOrElse(toks(j), null) match {
+                case null => continue = false
+                case child =>
+                  if (child.entity != null) { bestEnd = j; bestEnt = child.entity.toInt }
+                  node = child
+                  j += 1
+              }
+            }
+            if (bestEnd >= 0) {
+              mPos(nM) = i; mEnt(nM) = bestEnt; nM += 1
+              i = bestEnd + 1
+            } else {
+              val p = mk.getOrElse(toks(i), -1)
+              if (p >= 0) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
+              i += 1
+            }
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[EncodedExtracted](nK + nM)
+          var k = 0
+          while (k < nK) {
+            val pos = kPos(k)
+            var li = -1
+            var ri = -1
+            var m = 0
+            while (m < nM) {
+              if (mPos(m) < pos) li = m
+              else if (ri < 0 && mPos(m) > pos) ri = m
+              m += 1
+            }
+            if (li >= 0 && ri >= 0)
+              out += EncodedExtracted(convId, mEnt(li), kPred(k), mEnt(ri))
+            k += 1
+          }
+          var m = 0
+          while (m < nM) {
+            var seen = false
+            var j2 = 0
+            while (j2 < m && !seen) { seen = mEnt(j2) == mEnt(m); j2 += 1 }
+            if (!seen) out += EncodedExtracted(convId, -1, mentionsCode, mEnt(m))
+            m += 1
+          }
+          out
+        }
+      }
+    (rows, entities, preds)
   }
 
   /** Config-driven normalization of raw statements — the ESNormalizer stage

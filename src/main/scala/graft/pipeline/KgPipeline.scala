@@ -93,6 +93,10 @@ final class KgPipeline(cfg: PipelineConfig) {
                               catalog: Seq[CatalogEntry],
                               markers: Map[String, String]): DataFrame = {
     import spark.implicits._
+    val identityCfg = cfg.proplist.isEmpty && cfg.normProp.isEmpty &&
+      cfg.normObj.isEmpty && cfg.whiteMap.isEmpty && cfg.blackMap.isEmpty
+    if (cfg.encodedShuffle && identityCfg && !cfg.useDistributedCanon)
+      return computeSupportsEncoded(spark, turns, catalog, markers)
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
     // a narrow map stage is pure cost at 100 TB. The support aggregation
@@ -100,28 +104,46 @@ final class KgPipeline(cfg: PipelineConfig) {
     // which also absorbs hot-conversation skew (a hot conv's turns are
     // already spread across input splits). prepare() exists for operators
     // that genuinely need ordered per-conversation windows.
-    val raw = Extractor.extract(turns, catalog, markers).toDF()
-    val normalized = Extractor.normalize(raw, cfg)
-
-    // canonicalization: alias-equivalence edges from the catalog -> CC
-    val canonMap =
+    // canonicalization composes into the kernel's broadcast dictionary
+    // (code/string resolution at canonical granularity — no joins needed;
+    // the CC result is catalog-sized by definition, so collecting the
+    // distributed variant back to a broadcast map is bounded)
+    val canon: Map[String, String] =
       if (cfg.useDistributedCanon)
         canonicalMapDistributed(spark,
           catalog.toDF("entity_id", "alias", "pref_label", "rank"))
-      else canonicalMap(spark, catalog)
-    val canonical = normalized
-      .join(broadcast(canonMap.toDF("subj", "subj_canon")), Seq("subj"), "left")
-      .join(broadcast(canonMap.toDF("obj", "obj_canon")), Seq("obj"), "left")
-      .select(
-        col("conv_id"),
-        coalesce(col("subj_canon"), col("subj")).as("subj"),
-        col("pred"),
-        coalesce(col("obj_canon"), col("obj")).as("obj"))
-      .withColumn("lang", lit(cfg.language))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      else graft.sources.TranscriptGen.components(catalog)
+    val raw = Extractor.extract(turns, catalog, markers, canon = canon).toDF()
+    val normalized = Extractor.normalize(raw, cfg)
 
-    canonical
+    normalized
+      .withColumn("lang", lit(cfg.language))
       .groupBy("conv_id", "subj", "pred", "obj", "lang")
       .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Identity-config fast path: dictionary-coded extraction + integer-key
+    * aggregation, decoded after the exchange — same rows as the string path
+    * (asserted by KgPipelineSpec), a fraction of the shuffle bytes. */
+  private def computeSupportsEncoded(spark: SparkSession, turns: Dataset[Turn],
+                                     catalog: Seq[CatalogEntry],
+                                     markers: Map[String, String]): DataFrame = {
+    val canon = graft.sources.TranscriptGen.components(catalog)
+    val (enc, ents, preds) =
+      Extractor.extractEncoded(turns, catalog, markers, canon)
+    val entLit = typedlit(ents.toSeq)
+    val predLit = typedlit(preds.toSeq)
+    enc.groupBy("conv_id", "subjC", "predC", "objC")
+      .agg(count(lit(1)).as("weight"))
+      .select(
+        col("conv_id"),
+        when(col("subjC") === -1, concat(lit("urn:conv:"), col("conv_id")))
+          .otherwise(element_at(entLit, col("subjC") + 1)).as("subj"),
+        element_at(predLit, col("predC") + 1).as("pred"),
+        element_at(entLit, col("objC") + 1).as("obj"),
+        lit(cfg.language).as("lang"),
+        col("weight"))
   }
 
   /** Entity -> canonical id over alias-sharing edges (multi-hop

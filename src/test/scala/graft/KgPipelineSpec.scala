@@ -89,6 +89,20 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(clean))
   }
 
+  test("encoded-shuffle fast path emits exactly the string path's tables") {
+    val spark = SparkTestSession.get
+    val fast = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    val slow = new KgPipeline(PipelineConfig(workDir = freshDir(), encodedShuffle = false))
+    fast.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "f")
+    slow.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "s")
+    assert(edgesOf(fast) == edgesOf(slow))
+    // support tables (incl. conv provenance and weights) also identical
+    def supports(p: KgPipeline) = p.supportTable.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSet
+    assert(supports(fast) == supports(slow))
+  }
+
   test("re-run is idempotent: same edge table content") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
