@@ -247,9 +247,12 @@ final class KgPipeline(cfg: PipelineConfig) {
   private def publishDerived(spark: SparkSession, runId: String,
                              supports: DataFrame,
                              newWatermark: Option[Timestamp]): RunResult = {
+    // metrics ride the write itself (Dataset.observe) — no extra count job
+    val obs = new org.apache.spark.sql.Observation()
     val edges = supports
       .groupBy("subj", "pred", "obj", "lang")
       .agg(sum(col("weight")).as("weight"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("weight")).as("total_weight"))
     edgeTable.stage(edges, runId)
     val edgesGen = edgeTable.publish(runId)
 
@@ -267,9 +270,10 @@ final class KgPipeline(cfg: PipelineConfig) {
       docTable.publish(runId)
     }
 
-    val nTriples = edgeTable.read(spark).get.count()
+    val nTriples = obs.get("n").asInstanceOf[Long]
     checkpoints.writeMetrics(spark, runId, Seq(
-      ("edges", "published_triples", nTriples)))
+      ("edges", "published_triples", nTriples),
+      ("edges", "total_weight", obs.get("total_weight").asInstanceOf[Long])))
     val wm = newWatermark
       .orElse(checkpoints.lastWatermark(spark, cfg.pipelineId))
       .getOrElse(new Timestamp(0L))

@@ -42,4 +42,32 @@ object StatefulSessionizer {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
   }
+
+  /** Like [[assign]] but with event-time state eviction: once the watermark
+    * passes a key's session gap, its state is dropped — state size stays
+    * bounded by the number of *active* keys, the requirement for unbounded
+    * key spaces at stream scale. A key seen again after eviction starts a
+    * fresh session numbering (by design: evicted state is gone). */
+  def assignWithEviction(userId: Long, events: Iterator[Ev],
+                         state: GroupState[SessionState]): Iterator[Assigned] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = assign(userId, events, state)
+      // evict after one gap of event-time inactivity
+      state.setTimeoutTimestamp(state.get.lastTsMicros / 1000 + GapMicros / 1000)
+      out
+    }
+  }
+
+  /** Streaming variant with eviction; `events` must carry a watermark on
+    * `ts` (event-time timeouts are driven by it). */
+  def sessionizeWithEviction(events: Dataset[Ev]): Dataset[Assigned] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Assigned]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(assignWithEviction)
+  }
 }
