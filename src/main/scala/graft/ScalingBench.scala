@@ -34,7 +34,11 @@ object ScalingBench {
       .config("spark.sql.files.openCostInBytes", "1m")
       // shuffle spill on tmpfs: /tmp is disk-backed here and random flush
       // stalls add 3-5x noise to per-pass timings
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", {
+        val d = java.nio.file.Paths.get("/dev/shm/spark-local")
+        java.nio.file.Files.createDirectories(d)
+        d.toString
+      })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
