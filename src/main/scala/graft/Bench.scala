@@ -52,29 +52,6 @@ object Bench {
     s
   }
 
-  /** Timed KG pipeline passes (min of `passes`, first pass warms JIT +
-    * codegen): parquet scan -> mapPartitions extraction -> normalize -> CC
-    * canonicalization join -> support + edge aggregation -> count. */
-  private def kgPass(spark: SparkSession, turnsDir: String, cores: Int,
-                     passes: Int = 2): (Double, Long, Long) = {
-    import spark.implicits._
-    val cfg = PipelineConfig(numPartitions = cores * 2, saltBuckets = 8,
-      workDir = s"/tmp/graft-bench-unused")
-    val p = new KgPipeline(cfg)
-    val turns = spark.read.parquet(turnsDir).as[Turn]
-    val nTurns = turns.count() // warm the file listing/footers
-    var best = Double.MaxValue
-    var nTriples = 0L
-    (1 to passes).foreach { _ =>
-      val t0 = System.nanoTime()
-      nTriples = p.computeSupports(spark, turns,
-        TranscriptGen.catalog(50), TranscriptGen.markerPreds)
-        .groupBy("subj", "pred", "obj", "lang").count().count()
-      best = math.min(best, (System.nanoTime() - t0) / 1e9)
-    }
-    (best, nTurns, nTriples)
-  }
-
   /** Run ScalingBench in a fresh child JVM and parse its JSON line. */
   private def scalingChild(cores: Int, turnsDir: String): (Double, Long, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -94,7 +71,10 @@ object Bench {
       "graft.ScalingBench", cores.toString, turnsDir,
       if (cores <= 2) "2" else if (cores >= 16) "4" else "3")
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    // child stderr inherits the parent's (Spark logs are chatty: an unread
+    // stderr pipe would fill and deadlock the child mid-write)
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val rdr = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = rdr.readLine()

@@ -102,18 +102,20 @@ object Extractor {
         // per-partition reusable scratch (no boxed tuples, no per-turn
         // collection churn — the kernel is allocation-rate-bound at high
         // task concurrency)
-        var mPos = new Array[Int](64)
-        var mEnt = new Array[String](64)
-        var kPos = new Array[Int](16)
-        var kPred = new Array[String](16)
+        var cap = 64
+        var mPos = new Array[Int](cap)
+        var mEnt = new Array[String](cap)
+        var kPos = new Array[Int](cap)
+        var kPred = new Array[String](cap)
         it.flatMap { case (convId, turnIdx, rawText) =>
           val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
           val toks = TextNorm.fastTokens(text)
-          if (toks.length > mPos.length) {
-            mPos = new Array[Int](toks.length)
-            mEnt = new Array[String](toks.length)
-            kPos = new Array[Int](toks.length)
-            kPred = new Array[String](toks.length)
+          if (toks.length > cap) { // all four sized to cap: nM, nK <= toks.length
+            cap = toks.length
+            mPos = new Array[Int](cap)
+            mEnt = new Array[String](cap)
+            kPos = new Array[Int](cap)
+            kPred = new Array[String](cap)
           }
           // single sweep: longest-match trie scan for (possibly multi-token)
           // mentions; marker lookup on non-mention tokens
@@ -234,18 +236,20 @@ object Extractor {
       .mapPartitions { it =>
         val trie = bcTrie.value
         val mk = bcMarkers.value
-        var mPos = new Array[Int](64)
-        var mEnt = new Array[Int](64)
-        var kPos = new Array[Int](16)
-        var kPred = new Array[Int](16)
+        var cap = 64
+        var mPos = new Array[Int](cap)
+        var mEnt = new Array[Int](cap)
+        var kPos = new Array[Int](cap)
+        var kPred = new Array[Int](cap)
         it.flatMap { case (convId, _, rawText) =>
           val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
           val toks = TextNorm.fastTokens(text)
-          if (toks.length > mPos.length) {
-            mPos = new Array[Int](toks.length)
-            mEnt = new Array[Int](toks.length)
-            kPos = new Array[Int](toks.length)
-            kPred = new Array[Int](toks.length)
+          if (toks.length > cap) { // all four sized to cap: nM, nK <= toks.length
+            cap = toks.length
+            mPos = new Array[Int](cap)
+            mEnt = new Array[Int](cap)
+            kPos = new Array[Int](cap)
+            kPred = new Array[Int](cap)
           }
           var nM = 0
           var nK = 0

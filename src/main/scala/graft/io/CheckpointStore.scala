@@ -38,7 +38,12 @@ final class CheckpointStore(root: String) {
           case r if r.isNullAt(0) => None
           case r => Some(r.getTimestamp(0))
         }
-    } catch { case _: Exception => None } // table not created yet
+    } catch {
+      // only "table does not exist yet" maps to None; real read errors must
+      // surface — swallowing them would silently reset the watermark to
+      // epoch and turn the next sync into a full re-harvest
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   def writeMetrics(spark: SparkSession, runId: String,
                    rows: Seq[(String, String, Long)]): Unit = {

@@ -78,7 +78,10 @@ final class TableCommitter(rootDir: String) {
   def publish(runId: String, alias: String = "current"): String = synchronized {
     val stagedAt = staging.resolve(runId)
     require(Files.exists(stagedAt), s"nothing staged for $runId")
-    val n = currentGeneration(alias)
+    // next generation = max existing gen dir + 1 (NOT the alias pointer:
+    // after a blue/green rollback the pointer lags behind published dirs
+    // and pointer-derived numbering would collide with an existing gen)
+    val n = generations().lastOption
       .map(_.stripPrefix("gen-").toLong).getOrElse(-1L) + 1
     val gen = s"gen-$n"
     Files.createDirectories(root)

@@ -47,8 +47,11 @@ object EntityLinker {
       .select(col("conv_id"), col("turn_idx"), col("toks"),
         explode(col("toks")).as("tok"))
 
-    // mentions: tokens that are catalog aliases (broadcast equality join)
-    val aliases = broadcast(cat.select("alias", "entity_id", "rank").distinct())
+    // mentions: tokens that are catalog aliases (broadcast equality join);
+    // turn tokens are lowercased by tokensCol, so aliases are lowered too —
+    // linking is case-insensitive by contract
+    val aliases = broadcast(cat.select(lower(col("alias")).as("alias"),
+      col("entity_id"), col("rank")).distinct())
     val mentions = turnToks
       .join(aliases, col("tok") === col("alias"))
       .select(col("conv_id"), col("turn_idx"), col("toks"),

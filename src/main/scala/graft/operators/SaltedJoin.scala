@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  private val SupportedTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
   /** Equi-join `fact` with `dim` on `key`, spreading each fact key over
     * `buckets` partitions. Deterministic: the salt is a hash of the whole
     * fact row's monotonic id substitute (its other columns), not a random. */
   def join(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
            joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` copies of every unmatched dim
+    // row (the dim side is exploded) — reject instead of silently corrupting
+    require(SupportedTypes.contains(joinType.toLowerCase),
+      s"salted join supports fact-preserving types only, got $joinType")
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(fact.columns.map(col): _*), lit(buckets)))
     val explodedDim = dim.withColumn("__salt",

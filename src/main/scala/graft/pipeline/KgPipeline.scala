@@ -78,14 +78,34 @@ final class KgPipeline(cfg: PipelineConfig) {
   /** K2: structurally-bad rows can never succeed on retry — divert them to
     * the quarantine table with a reason instead of failing the job. Runs
     * once per pipeline run (not per recompute) so the extraction job itself
-    * stays a single input pass. */
-  private def quarantined(spark: SparkSession, turns: Dataset[Turn]): Dataset[Turn] = {
+    * stays a single input pass; the run's event-time watermark (max ts)
+    * rides the same scan via Dataset.observe, so no dedicated max(ts) pass
+    * is needed. Writes are runId-scoped + overwrite, so a crash-and-resume
+    * never double-appends quarantine rows (K3 idempotence).
+    * @return (valid rows, max event time observed across ALL rows) */
+  private def quarantined(spark: SparkSession, turns: Dataset[Turn],
+                          runId: String): (Dataset[Turn], Option[Timestamp]) = {
     import spark.implicits._
-    if (!cfg.quarantineBadRows) turns
+    if (!cfg.quarantineBadRows) (turns, maxEventTime(turns))
     else {
-      val (good, bad) = Quarantine.split(turns.toDF(), Quarantine.turnChecks)
-      bad.write.mode("append").parquet(s"${cfg.workDir}/quarantine")
-      good.as[Turn]
+      val obs = new org.apache.spark.sql.Observation()
+      val (good, bad) = Quarantine.split(
+        turns.toDF().observe(obs, max(col("ts")).as("max_ts")),
+        Quarantine.turnChecks)
+      bad.write.mode("overwrite")
+        .parquet(s"${cfg.workDir}/quarantine/run_id=$runId")
+      // the observation fired on the bad.write action and saw every row
+      // (the quarantine filter sits above the observe node)
+      val wm = obs.get("max_ts") match {
+        case null => None
+        case t: Timestamp => Some(t)
+        case i: java.time.Instant => Some(Timestamp.from(i))
+        case l: java.time.LocalDateTime =>
+          Some(new Timestamp(l.atZone(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli))
+        case other => sys.error(s"unexpected max_ts type: ${other.getClass}")
+      }
+      (good.as[Turn], wm)
     }
   }
 
@@ -183,15 +203,20 @@ final class KgPipeline(cfg: PipelineConfig) {
   def runFull(spark: SparkSession, turns: Dataset[Turn],
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
+    var wm: Option[Timestamp] = None
     val supports = stage(spark, runId, "supports") {
-      computeSupports(spark, quarantined(spark, turns), catalog, markers)
+      val (good, w) = quarantined(spark, turns, runId)
+      wm = w
+      computeSupports(spark, good, catalog, markers)
     }
+    // resumed run skipped the stage (and the observation): one fallback scan
+    if (wm.isEmpty) wm = maxEventTime(turns)
     checkpoints.writeLineage(spark, runId, "supports", supports)
 
     supportTable.stage(supports, runId)
     supportTable.publish(runId)
 
-    publishDerived(spark, runId, supports, maxEventTime(turns))
+    publishDerived(spark, runId, supports, wm)
   }
 
   /** Event-time watermark: the max source timestamp processed — the next
@@ -219,10 +244,17 @@ final class KgPipeline(cfg: PipelineConfig) {
       .select("conv_id").distinct()
 
     // J3: re-extract only changed conversations (semi-join restriction)
+    // any turn newer than the watermark belongs to a changed conversation by
+    // construction, so max(ts) over changedTurns == max over the full source
+    // whenever new data exists (and the fallback keeps the old watermark)
     val changedTurns = turns.join(changedConvs, Seq("conv_id"), "left_semi").as[Turn]
+    var newWm: Option[Timestamp] = None
     val newSupports = stage(spark, runId, "sync_supports") {
-      computeSupports(spark, quarantined(spark, changedTurns), catalog, markers)
+      val (good, w) = quarantined(spark, changedTurns, runId)
+      newWm = w
+      computeSupports(spark, good, catalog, markers)
     }
+    if (newWm.isEmpty) newWm = maxEventTime(changedTurns)
     checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
 
     // dynamic-partition-overwrite of the changed conversations
@@ -240,7 +272,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     supportTable.stage(kept, runId)
     supportTable.publish(runId)
 
-    publishDerived(spark, runId, supportTable.read(spark).get, maxEventTime(turns))
+    publishDerived(spark, runId, supportTable.read(spark).get, newWm)
   }
 
   /** Derive + publish the edge and node snapshots from the support table. */
@@ -256,8 +288,12 @@ final class KgPipeline(cfg: PipelineConfig) {
     edgeTable.stage(edges, runId)
     val edgesGen = edgeTable.publish(runId)
 
-    val nodes = edges.select(col("subj").as("entity_id"))
-      .union(edges.select(col("obj").as("entity_id")))
+    // downstream tables derive from the just-published parquet snapshot —
+    // re-using the logical `edges` plan would re-run the whole supports
+    // aggregation once per derived table
+    val publishedEdges = edgeTable.read(spark).get
+    val nodes = publishedEdges.select(col("subj").as("entity_id"))
+      .union(publishedEdges.select(col("obj").as("entity_id")))
       .distinct()
     nodeTable.stage(nodes, runId)
     val nodesGen = nodeTable.publish(runId)
@@ -265,7 +301,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     // optional document-shaped sink (the reference's per-resource@lang docs)
     if (cfg.publishDocs) {
       val docs = graft.materialize.DocAssembler.assemble(
-        edges.select("subj", "pred", "obj", "lang"), cfg)
+        publishedEdges.select("subj", "pred", "obj", "lang"), cfg)
       docTable.stage(docs, runId)
       docTable.publish(runId)
     }

@@ -38,6 +38,14 @@ class MultiTokenAliasSpec extends AnyFunSuite {
     assert(got.contains(("urn:ent:apache", "urn:p:uses", "urn:ent:flink")))
   }
 
+  test("regression: more markers than the initial scratch capacity") {
+    // 20 markers in a 22-token turn used to overflow the 16-slot marker
+    // scratch (resize was gated on a different array's capacity)
+    val text = "apache " + Seq.fill(20)("uses").mkString(" ") + " flink"
+    val got = triples(text)
+    assert(got.contains(("urn:ent:apache", "urn:p:uses", "urn:ent:flink")))
+  }
+
   test("unfinished multi-token prefix is not a mention") {
     // "apache" followed by a non-continuation still matches the 1-token alias;
     // a pure prefix with no terminal ("spark" alone) matches nothing

@@ -69,6 +69,20 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.readGeneration(spark, "gen-9").isEmpty)
   }
 
+  test("regression: publish after pointer rollback allocates a fresh generation") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage(Seq(Tuple1("v0")).toDF("v"), "r1"); t.publish("r1") // gen-0
+    t.stage(Seq(Tuple1("v1")).toDF("v"), "r2"); t.publish("r2") // gen-1
+    t.setPointer("current", "gen-0") // rollback
+    t.stage(Seq(Tuple1("v2")).toDF("v"), "r3")
+    val gen = t.publish("r3") // pointer said gen-0; must NOT collide with gen-1
+    assert(gen == "gen-2")
+    assert(t.read(spark).get.head().getString(0) == "v2")
+    assert(t.readGeneration(spark, "gen-1").get.head().getString(0) == "v1")
+  }
+
   test("blue/green alias pointers flip between generations (K6)") {
     val spark = SparkTestSession.get
     import spark.implicits._
