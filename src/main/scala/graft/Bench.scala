@@ -100,10 +100,20 @@ object Bench {
       "supplier", "part", "nation", "region").foreach { t =>
       Tables(spark1, sfDir, t).limit(1).count()
     }
+    // failed queries are recorded explicitly (time -1 + errors entry), never
+    // silently as a fast run
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark1, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+          name -> -1.0
+      }
     }
     // ---- part 2: generate the KG bench corpus once (identical input for
     // both parallelism levels)
@@ -126,27 +136,24 @@ object Bench {
     // memory bandwidth, GC capacity and shuffle disks). local[32] is also
     // run for peak single-box throughput; the 4->32 ratio is reported for
     // transparency about the single-socket bandwidth wall.
+    // best-sustained-time = min over a FIXED number of samples per level,
+    // taken unconditionally (a one-sided retry that only fires on a bad
+    // ratio could only ever improve the reported efficiency)
+    val samplesPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
     val (t1a, nTurns, nTriples) = scalingChild(1, turnsDir)
-    var t4 = scalingChild(4, turnsDir)._1
-    val (t32, _, _) = scalingChild(32, turnsDir)
-    var t1 = t1a
-
-    // a whole child JVM can land in a bad window (page-cache eviction,
-    // background load); when the ratio looks degraded, take the min over one
-    // more sample of each side — still "best sustained time" semantics
-    var retries = 0
-    while ((t1 / t4) / 4.0 < 0.85 && retries < 2) {
-      t4 = math.min(t4, scalingChild(4, turnsDir)._1)
-      t1 = math.min(t1, scalingChild(1, turnsDir)._1)
-      retries += 1
-    }
+    val t1 = (Seq(t1a) ++
+      (2 to samplesPerLevel).map(_ => scalingChild(1, turnsDir)._1)).min
+    val t4 = (1 to samplesPerLevel).map(_ => scalingChild(4, turnsDir)._1).min
+    val t32 = (1 to samplesPerLevel).map(_ => scalingChild(32, turnsDir)._1).min
 
     val eff14 = (t1 / t4) / 4.0
     val eff432 = (t4 / t32) / 8.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val kg = s"""{"turns":$nTurns,"triples":$nTriples,""" +
       s""""sec_local1":${fmt(t1)},"sec_local4":${fmt(t4)},"sec_local32":${fmt(t32)},""" +
       s""""triples_per_sec_local1":${fmt(nTriples / t1)},""" +
@@ -155,6 +162,6 @@ object Bench {
       s""""turns_per_sec_local32":${fmt(nTurns / t32)},""" +
       s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
       s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg}""")
   }
 }

@@ -63,6 +63,9 @@ object ConnectedComponents {
       // ---- small-star: connect all smaller neighbors (and the node) to the
       // minimum of the smaller neighborhood.
       val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      // the convergence signature rides the checkpoint materialization
+      // (Dataset.observe) — ONE driver action per round, not two
+      val obs = new org.apache.spark.sql.Observation(s"cc-sig-$it")
       val afterSmall = afterLarge.join(minsS, "u")
         .select(col("v").as("n"), col("m"))
         .union(minsS.select(col("u").as("n"), col("m")))
@@ -71,10 +74,15 @@ object ConnectedComponents {
           greatest(col("n"), col("m")).as("u"),
           least(col("n"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint(true) // truncate lineage each round
+        .observe(obs, count(lit(1)).as("c"),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+        .localCheckpoint(true) // truncate lineage each round; fires the observation
 
-      val sig = signature(afterSmall)
-      converged = sig == prevSig
+      val sig = (obs.get("c").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+      // (count, hash-sum) can collide: when it repeats, confirm the fixpoint
+      // with ONE exact set check (counts already match, so one-sided except
+      // suffices) — runs only at the candidate fixpoint, never per round
+      converged = sig == prevSig && afterSmall.except(edges).isEmpty
       prevSig = sig
       edges.unpersist()
       edges = afterSmall

@@ -91,17 +91,25 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // ---- MinHash + LSH banding: 8 md5-derived min-hashes, 4 bands of 2;
-    // candidates = band-signature equality join; verified Jaccard >= 0.3.
-    // Band-bucket join keeps candidate generation linear-ish in corpus size —
-    // the canonical web-scale near-dup pattern.
+    // ---- MinHash + LSH banding: 16 md5-derived min-hashes, 4 bands of 4
+    // (P[candidate] = 1-(1-j^4)^4 — sharp enough that sf0.1's small shared
+    // vocabulary does not flood the candidate set); candidates =
+    // band-signature equality join; verified Jaccard >= 0.3.
+    //
+    // Scale shape: candidate generation is a band-bucket equality join
+    // (never all-pairs); verification restricts shingles to candidate docs
+    // FIRST (semi-join), then intersects per-doc sorted shingle arrays with
+    // array_intersect — one row per candidate pair instead of a
+    // (pairs x shingles) explode. No persist: shingling is a narrow map over
+    // `documents`, recomputing it for the candidate subset is cheaper than
+    // caching the full shingle table across the sweep.
     "dd_minhash_lsh" -> Q(
       s"""WITH $shinglesSql,
-         |ks AS (SELECT unnest(range(8)) AS k),
+         |ks AS (SELECT unnest(range(16)) AS k),
          |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
          |       FROM sh CROSS JOIN ks GROUP BY doc_id, k),
-         |bands AS (SELECT doc_id, k // 2 AS band, md5(string_agg(mh, '|' ORDER BY k)) AS sig
-         |          FROM mh GROUP BY doc_id, k // 2),
+         |bands AS (SELECT doc_id, k // 4 AS band, md5(string_agg(mh, '|' ORDER BY k)) AS sig
+         |          FROM mh GROUP BY doc_id, k // 4),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -114,18 +122,18 @@ object DedupQueries {
          |           JOIN sz sb ON inter.b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d).persist()
-      // all 8 min-hashes in ONE aggregation pass (no x8 row blow-up; values
+      val sh = shingles(s, d)
+      // all 16 min-hashes in ONE aggregation pass (no x16 row blow-up; values
       // identical to the oracle's per-k group-by min over md5("k|shingle"))
-      val mhCols = (0 until 8).map(k =>
+      val mhCols = (0 until 16).map(k =>
         min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k"))
       val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      // bands of 2: sig = md5(mh_{2b} || "|" || mh_{2b+1}); all 4 bands
-      // exploded from ONE pass over the aggregate (a 4-way union would
+      // bands of 4: sig = md5(mh_{4b} || "|" || ... || mh_{4b+3}); all 4
+      // bands exploded from ONE pass over the aggregate (a 4-way union would
       // recompute the aggregation per branch)
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b).as("band"),
-          md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+          md5(concat_ws("|", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*)
             .cast("binary")).as("sig"))
       }
       val bands = mh
@@ -135,14 +143,21 @@ object DedupQueries {
         .join(bands.toDF("b", "band", "sig"), Seq("band", "sig"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.toDF("a", "s"), "a")
-        .join(sh.toDF("b", "s"), Seq("b", "s"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.toDF("a", "na"), "a")
-        .join(sz.toDF("b", "nb"), "b")
+      // verification: only candidate docs' shingles matter — semi-join the
+      // doc set down before any per-shingle work, then one sorted array per
+      // doc and an array_intersect per candidate pair
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val docSets = shingles(s, d)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n"))
+      cand
+        .join(docSets.select(col("doc_id").as("a"), col("arr").as("arr_a"),
+          col("n").as("na")), Seq("a"))
+        .join(docSets.select(col("doc_id").as("b"), col("arr").as("arr_b"),
+          col("n").as("nb")), Seq("b"))
+        .withColumn("i", size(array_intersect(col("arr_a"), col("arr_b"))))
         .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
         .filter(col("jac") >= 0.3)
         .select("a", "b", "jac")
@@ -160,7 +175,7 @@ object DedupQueries {
         |                IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
         |         FROM toks CROSS JOIN js WHERE length(tok) > 0 GROUP BY doc_id, j)
         |SELECT doc_id,
-        |       SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |       CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val toks = Tables.documents(s, d)
@@ -229,15 +244,30 @@ object DedupQueries {
     },
 
     // ---- IVF ANN (the other scale path): coarse k-means quantizer, probe
-    // the nearest buckets only. Training is iterative (no SQL oracle; the
-    // driver records rows-only) — exactness under full probing and recall
-    // under partial probing are asserted in IvfIndexSpec.
-    "ann_ivf" -> Q.noOracle { (s, d) =>
+    // the nearest buckets only. Registered with FULL probing (nProbe = k):
+    // probing every bucket is exact by construction, so a brute-force DuckDB
+    // top-k is a valid oracle — the training iterations only decide bucket
+    // routing, never scores. The partial-probe recall path (nProbe=6,
+    // recall@5 >= 0.9) is asserted separately in IvfIndexSpec.
+    "ann_ivf" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, u AS qu FROM n WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, n.vec_id AS nid, round(list_dot_product(q.qu, n.u), 6) AS cos
+        |  FROM q JOIN n ON q.qid <> n.vec_id),
+        |ranked AS (SELECT qid, nid, cos,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |           FROM scored)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val vectors = Tables.embeddings(s, d)
       val model = graft.similarity.IvfIndex.train(s, vectors, k = 16, iters = 2)
       val assigned = graft.similarity.IvfIndex.assign(vectors, model)
       graft.similarity.IvfIndex.topK(assigned,
-        vectors.filter(col("vec_id") < 20), model, k = 5, nProbe = 6)
+        vectors.filter(col("vec_id") < 20), model, k = 5, nProbe = 16)
         .orderBy("qid", "rank")
     },
 

@@ -264,11 +264,11 @@ object RelationalQueries {
     // absent properties materialize with defaults (zero-filled pivot)
     "a5_missing_default_fill" -> Q(
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
       Tables.events(s, d)
@@ -281,7 +281,7 @@ object RelationalQueries {
     // 177-194): per-(subject,lang) doc plus per-subject shared totals merged in
     "a6_language_split_merge" -> Q(
       """SELECT source, lang, count(*) AS n_docs,
-        |       SUM(count(*)) OVER (PARTITION BY source) AS shared_total
+        |       CAST(SUM(count(*)) OVER (PARTITION BY source) AS BIGINT) AS shared_total
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("source")
       Tables.documents(s, d)
@@ -381,7 +381,8 @@ object RelationalQueries {
     // ---- F10/mm: typed literal passthrough + JSON property extraction
     // (getStringForResult datatype dispatch, ESNormalizer.java:349-393)
     "f10_typed_extract" -> Q(
-      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
@@ -444,7 +445,7 @@ object RelationalQueries {
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (SELECT user_id, ts, event_id,
-        |             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
         |      FROM g)
         |SELECT user_id, session_id, count(*) AS n, min(ts) AS t0, max(ts) AS t1
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
