@@ -33,6 +33,10 @@ final case class PipelineConfig(
     // graft scale knobs
     saltBuckets: Int = 8,
     numPartitions: Int = 32,
+    // physical bucket count of the published support/edge/node tables
+    // (partitionBy(bucket)); a sync touching k of B buckets rewrites only k
+    // bucket directories. At 100 TB size B so one bucket ~ tens of GB.
+    syncBuckets: Int = 16,
     workDir: String = "/tmp/graft-work",
     // canonicalization strategy: driver union-find for broadcast-sized
     // catalogs (default); distributed large-star/small-star CC for

@@ -72,6 +72,79 @@ final class TableCommitter(rootDir: String) {
     p
   }
 
+  /** Write a (possibly partial) snapshot into staging, physically partitioned
+    * by the `bucket` column — the layout that makes incremental sync
+    * overwrite only changed buckets (publishBuckets) and gives readers
+    * partition pruning on bucket predicates. */
+  def stagePartitioned(df: DataFrame, runId: String): String = {
+    val p = stagingPath(runId)
+    df.write.mode("overwrite").partitionBy(TableCommitter.BucketCol).parquet(p)
+    p
+  }
+
+  private def bucketDirs(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"${TableCommitter.BucketCol}="))
+      .toSeq
+  }
+
+  /** Hard-link every file of `src` into `dst` (same inodes — zero copy;
+    * generations are immutable once published, so sharing is safe; this is
+    * the manifest-file-reuse of an Iceberg incremental snapshot made
+    * file-system-literal). */
+  private def linkDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).filter(Files.isRegularFile(_)).forEach { f =>
+      val rel = src.relativize(f)
+      val out = dst.resolve(rel)
+      Files.createDirectories(out.getParent)
+      Files.createLink(out, f)
+    }
+  }
+
+  /** Incremental bucket publish: gen-(n+1) = staged `bucket=` dirs (the
+    * rewritten buckets) + hard-linked carryover of every current-generation
+    * bucket NOT in `changedBuckets`. A sync touching k of B buckets therefore
+    * writes exactly k bucket directories of new bytes; the other B-k are
+    * shared by reference with the previous generation. `changedBuckets`
+    * (not staged-dir presence) decides carryover, so a bucket whose rows all
+    * vanished is correctly dropped rather than resurrected.
+    *
+    * This is the reference's per-doc-id upsert granularity
+    * (Harvester.java:1849-1856) at bucket granularity, with snapshot
+    * isolation: readers see gen-n until the pointer flips. */
+  def publishBuckets(runId: String, changedBuckets: Set[Int],
+                     alias: String = "current"): String = synchronized {
+    val stagedAt = staging.resolve(runId)
+    require(Files.exists(stagedAt), s"nothing staged for $runId")
+    val n = generations().lastOption
+      .map(_.stripPrefix("gen-").toLong).getOrElse(-1L) + 1
+    val gen = s"gen-$n"
+    val genDir = root.resolve(gen)
+    Files.createDirectories(genDir)
+    val changedNames = changedBuckets.map(b => s"${TableCommitter.BucketCol}=$b")
+    // carry over untouched buckets from the live generation by hard link
+    currentPath(alias).foreach { cur =>
+      bucketDirs(Paths.get(cur))
+        .filterNot(d => changedNames.contains(d.getFileName.toString))
+        .foreach(d => linkDir(d, genDir.resolve(d.getFileName.toString)))
+    }
+    // move the rewritten buckets in from staging
+    bucketDirs(stagedAt).foreach { d =>
+      Files.move(d, genDir.resolve(d.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val success = stagedAt.resolve("_SUCCESS")
+    if (Files.exists(success))
+      Files.move(success, genDir.resolve("_SUCCESS"),
+        StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(stagedAt)
+    setPointer(alias, gen)
+    gen
+  }
+
   /** Atomically publish a staged snapshot: move staging -> gen-(n+1), then
     * atomically replace the pointer. A reader either sees gen-n or gen-(n+1),
     * never a partial directory. */
@@ -139,4 +212,9 @@ final class TableCommitter(rootDir: String) {
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+}
+
+object TableCommitter {
+  /** Physical partition column of bucketed tables. */
+  val BucketCol = "bucket"
 }

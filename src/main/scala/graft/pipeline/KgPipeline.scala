@@ -198,6 +198,16 @@ final class KgPipeline(cfg: PipelineConfig) {
   final case class RunResult(runId: String, edgesGen: String, nodesGen: String,
                              triples: Long)
 
+  // ---- physical bucketing of the published tables: supports bucket on
+  // conv_id (the sync replacement unit), edges on the full edge key, nodes
+  // on entity_id — each table's bucket is derived from its own MERGE key, so
+  // an incremental change maps to a deterministic, small set of buckets.
+  private val B = cfg.syncBuckets
+  private def convBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(B))
+  private val edgeBucket =
+    pmod(hash(col("subj"), col("pred"), col("obj"), col("lang")), lit(B))
+  private val allBuckets: Set[Int] = (0 until B).toSet
+
   /** Full harvest (reference lifecycle §3.1): compute everything, publish
     * atomically, record watermark + metrics + lineage. */
   def runFull(spark: SparkSession, turns: Dataset[Turn],
@@ -213,10 +223,11 @@ final class KgPipeline(cfg: PipelineConfig) {
     if (wm.isEmpty) wm = maxEventTime(turns)
     checkpoints.writeLineage(spark, runId, "supports", supports)
 
-    supportTable.stage(supports, runId)
-    supportTable.publish(runId)
+    supportTable.stagePartitioned(
+      supports.withColumn("bucket", convBucket(col("conv_id"))), runId)
+    supportTable.publishBuckets(runId, allBuckets)
 
-    publishDerived(spark, runId, supports, wm)
+    publishDerivedFull(spark, runId, supports, wm)
   }
 
   /** Event-time watermark: the max source timestamp processed — the next
@@ -229,8 +240,12 @@ final class KgPipeline(cfg: PipelineConfig) {
   }
 
   /** Incremental sync (reference lifecycle §3.2): watermark-filtered changed
-    * set -> semi-join re-extract of changed conversations ->
-    * partition-overwrite MERGE -> optional vanished-key delete. */
+    * set -> semi-join re-extract of changed conversations -> bucket-level
+    * dynamic partition overwrite (only buckets containing touched
+    * conversations are rewritten; the rest carry into the new generation by
+    * hard link) -> delta-propagated edge/node updates. Per-sync work is
+    * proportional to the CHANGED data, never to the table size — the
+    * 100 TB nightly-sync requirement. */
   def runSync(spark: SparkSession, turns: Dataset[Turn],
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
@@ -257,48 +272,177 @@ final class KgPipeline(cfg: PipelineConfig) {
     if (newWm.isEmpty) newWm = maxEventTime(changedTurns)
     checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
 
-    // dynamic-partition-overwrite of the changed conversations
-    val cur = supportTable.read(spark)
-    val merged = cur match {
-      case Some(c) =>
-        c.join(changedConvs, Seq("conv_id"), "left_anti").unionByName(newSupports)
-      case None => newSupports
-    }
-    // J4: drop conversations that vanished from the source entirely
-    val kept = if (cfg.syncOldData) {
-      val liveConvs = turns.select("conv_id").distinct()
-      merged.join(liveConvs, Seq("conv_id"), "left_semi")
-    } else merged
-    supportTable.stage(kept, runId)
-    supportTable.publish(runId)
+    supportTable.read(spark) match {
+      case None =>
+        // first run arrived as a sync: equivalent to a full publish
+        supportTable.stagePartitioned(
+          newSupports.withColumn("bucket", convBucket(col("conv_id"))), runId)
+        supportTable.publishBuckets(runId, allBuckets)
+        publishDerivedFull(spark, runId,
+          supportTable.read(spark).get.drop("bucket"), newWm)
 
-    publishDerived(spark, runId, supportTable.read(spark).get, newWm)
+      case Some(cur) =>
+        // J4: conversations that vanished from the source entirely (their
+        // buckets must be rewritten too, or the delete would be lost)
+        val vanished =
+          if (cfg.syncOldData)
+            cur.select("conv_id").distinct()
+              .join(turns.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+          else changedConvs.limit(0)
+        val touched = changedConvs.unionByName(vanished).distinct()
+
+        // the set of physical buckets to rewrite — at most B driver-side ints
+        val changedBuckets = touched
+          .select(convBucket(col("conv_id")).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val curChanged = cur
+          .filter(col("bucket").isin(changedBuckets.toSeq: _*)) // partition-pruned
+        val keep = curChanged
+          .join(touched, Seq("conv_id"), "left_anti")
+          .drop("bucket")
+
+        // the edge/node delta needs the rows being REPLACED — bind it before
+        // the publish below flips the pointer (read() resolved the physical
+        // gen path eagerly, and generations are immutable, so this plan
+        // stays valid afterwards)
+        val keyCols = Seq("subj", "pred", "obj", "lang")
+        val oldOfTouched = curChanged.join(touched, Seq("conv_id"), "left_semi")
+        val delta = newSupports
+          .select(keyCols.map(col) :+ col("weight").as("dw"): _*)
+          .unionByName(oldOfTouched
+            .select(keyCols.map(col) :+ (-col("weight")).as("dw"): _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("dw")).as("dw"))
+          .filter(col("dw") =!= 0)
+
+        // dynamic-partition-overwrite: only the k changed buckets are
+        // written; the other B-k carry over by hard link
+        supportTable.stagePartitioned(
+          keep.unionByName(newSupports)
+            .withColumn("bucket", convBucket(col("conv_id"))), runId)
+        supportTable.publishBuckets(runId, changedBuckets)
+
+        publishDerivedIncremental(spark, runId, delta, newWm)
+    }
   }
 
-  /** Derive + publish the edge and node snapshots from the support table. */
-  private def publishDerived(spark: SparkSession, runId: String,
-                             supports: DataFrame,
-                             newWatermark: Option[Timestamp]): RunResult = {
+  /** Derive + publish full edge/node snapshots from the support table
+    * (full-harvest path: every bucket is written). */
+  private def publishDerivedFull(spark: SparkSession, runId: String,
+                                 supports: DataFrame,
+                                 newWatermark: Option[Timestamp]): RunResult = {
     // metrics ride the write itself (Dataset.observe) — no extra count job
     val obs = new org.apache.spark.sql.Observation()
     val edges = supports
       .groupBy("subj", "pred", "obj", "lang")
       .agg(sum(col("weight")).as("weight"))
       .observe(obs, count(lit(1)).as("n"), sum(col("weight")).as("total_weight"))
-    edgeTable.stage(edges, runId)
-    val edgesGen = edgeTable.publish(runId)
+      .withColumn("bucket", edgeBucket)
+    edgeTable.stagePartitioned(edges, runId)
+    val edgesGen = edgeTable.publishBuckets(runId, allBuckets)
 
     // downstream tables derive from the just-published parquet snapshot —
     // re-using the logical `edges` plan would re-run the whole supports
     // aggregation once per derived table
     val publishedEdges = edgeTable.read(spark).get
-    val nodes = publishedEdges.select(col("subj").as("entity_id"))
-      .union(publishedEdges.select(col("obj").as("entity_id")))
-      .distinct()
-    nodeTable.stage(nodes, runId)
-    val nodesGen = nodeTable.publish(runId)
+    // nodes carry an edge-occurrence refcount so incremental syncs can
+    // retire an entity exactly when its last edge disappears
+    val nodes = publishedEdges
+      .select(explode(array(col("subj"), col("obj"))).as("entity_id"))
+      .groupBy("entity_id").agg(count(lit(1)).as("refs"))
+      .withColumn("bucket", convBucket(col("entity_id")))
+    nodeTable.stagePartitioned(nodes, runId)
+    val nodesGen = nodeTable.publishBuckets(runId, allBuckets)
 
-    // optional document-shaped sink (the reference's per-resource@lang docs)
+    publishDocsAndFinish(spark, runId, publishedEdges, newWatermark,
+      edgesGen, nodesGen, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** Propagate a support-level weight delta into the edge and node tables,
+    * rewriting only the buckets that contain affected keys. Edge weights are
+    * additive counts, so `new = old + delta` is exact; a row retires when
+    * its weight reaches 0, an entity when its edge refcount does. */
+  private def publishDerivedIncremental(spark: SparkSession, runId: String,
+                                        deltaIn: DataFrame,
+                                        newWatermark: Option[Timestamp]): RunResult = {
+    val keyCols = Seq("subj", "pred", "obj", "lang")
+    // the delta is small (proportional to changed conversations) and feeds
+    // four consumers — checkpoint it once
+    val delta = stage(spark, runId, "edge_delta")(deltaIn)
+
+    val affectedEdgeBuckets = delta
+      .select(edgeBucket.as("b")).distinct().collect().map(_.getInt(0)).toSet
+
+    val (edgesGen, nodesGen) = edgeTable.read(spark) match {
+      case None =>
+        sys.error("incremental sync without a published edge table " +
+          "(support table existed) — full run required first")
+      case Some(curE) =>
+        val curAffected = curE
+          .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
+          .drop("bucket")
+        val updated = curAffected.join(delta, keyCols, "left")
+          .select(keyCols.map(col) :+
+            (col("weight") + coalesce(col("dw"), lit(0L))).as("weight"): _*)
+          .filter(col("weight") > 0)
+        val created = delta
+          .join(curAffected.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .filter(col("dw") > 0)
+          .select(keyCols.map(col) :+ col("dw").as("weight"): _*)
+        edgeTable.stagePartitioned(
+          updated.unionByName(created).withColumn("bucket", edgeBucket), runId)
+        val eg = edgeTable.publishBuckets(runId, affectedEdgeBuckets)
+
+        // node refcount delta: +1 per created edge row, -1 per deleted one,
+        // for both endpoints (consistent with the full-path refs definition)
+        val deleted = curAffected.join(delta, keyCols)
+          .filter(col("weight") + col("dw") <= 0)
+        val nodeDelta = created
+          .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+            lit(1L).as("dn"))
+          .unionByName(deleted
+            .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+              lit(-1L).as("dn")))
+          .groupBy("entity_id").agg(sum(col("dn")).as("dn"))
+          .filter(col("dn") =!= 0)
+        val affectedNodeBuckets = nodeDelta
+          .select(convBucket(col("entity_id")).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val curN = nodeTable.read(spark).get
+        val curNA = curN
+          .filter(col("bucket").isin(affectedNodeBuckets.toSeq: _*))
+          .drop("bucket")
+        val updatedN = curNA.join(nodeDelta, Seq("entity_id"), "left")
+          .select(col("entity_id"),
+            (col("refs") + coalesce(col("dn"), lit(0L))).as("refs"))
+          .filter(col("refs") > 0)
+        val createdN = nodeDelta.filter(col("dn") > 0)
+          .join(curNA.select("entity_id"), Seq("entity_id"), "left_anti")
+          .select(col("entity_id"), col("dn").as("refs"))
+        nodeTable.stagePartitioned(
+          updatedN.unionByName(createdN)
+            .withColumn("bucket", convBucket(col("entity_id"))), runId)
+        val ng = nodeTable.publishBuckets(runId, affectedNodeBuckets)
+        (eg, ng)
+    }
+
+    val publishedEdges = edgeTable.read(spark).get
+    // snapshot-level triple count: parquet footer metadata scan, no data read
+    val nTriples = publishedEdges.count()
+    publishDocsAndFinish(spark, runId, publishedEdges, newWatermark,
+      edgesGen, nodesGen, nTriples)
+  }
+
+  private def publishDocsAndFinish(spark: SparkSession, runId: String,
+                                   publishedEdges: DataFrame,
+                                   newWatermark: Option[Timestamp],
+                                   edgesGen: String, nodesGen: String,
+                                   nTriples: Long): RunResult = {
+    // optional document-shaped sink (the reference's per-resource@lang docs).
+    // Full recompute per publish: docs pivot per (subj, lang) across ALL of a
+    // subject's edges, so an incremental variant would need the same
+    // bucket-delta pattern keyed on subj — deferred until the doc sink is a
+    // primary output (publishDocs defaults off).
     if (cfg.publishDocs) {
       val docs = graft.materialize.DocAssembler.assemble(
         publishedEdges.select("subj", "pred", "obj", "lang"), cfg)
@@ -306,10 +450,8 @@ final class KgPipeline(cfg: PipelineConfig) {
       docTable.publish(runId)
     }
 
-    val nTriples = obs.get("n").asInstanceOf[Long]
     checkpoints.writeMetrics(spark, runId, Seq(
-      ("edges", "published_triples", nTriples),
-      ("edges", "total_weight", obs.get("total_weight").asInstanceOf[Long])))
+      ("edges", "published_triples", nTriples)))
     val wm = newWatermark
       .orElse(checkpoints.lastWatermark(spark, cfg.pipelineId))
       .getOrElse(new Timestamp(0L))

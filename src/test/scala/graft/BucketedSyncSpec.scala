@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.PipelineConfig
+import graft.pipeline.KgPipeline
+import graft.schema.Turn
+import graft.sources.TranscriptGen
+
+/** The 100x-scale invariant of incremental sync: a sync touching k of B
+  * buckets physically rewrites ONLY those k bucket directories — every other
+  * bucket of the new generation is a hard link to (the same inode as) the
+  * previous generation's file — while the published content stays exactly
+  * what a from-scratch full recompute would produce. */
+class BucketedSyncSpec extends AnyFunSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-bucket-").toString
+
+  private val fx = TranscriptGen.generate(nConv = 40, nEnt = 30, hotFactor = 5)
+
+  private def turnsDs(ts: Seq[Turn]) = {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    new scala.util.Random(7).shuffle(ts).toDS().repartition(5)
+  }
+
+  private def bucketDirs(gen: Path): Map[String, Set[Path]] =
+    Files.list(gen).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("bucket="))
+      .map(d => d.getFileName.toString ->
+        Files.walk(d).iterator().asScala.filter(Files.isRegularFile(_)).toSet)
+      .toMap
+
+  private def inode(p: Path): AnyRef =
+    Files.getAttribute(p, "unix:ino")
+
+  private def edgeSet(p: KgPipeline) = {
+    val spark = SparkTestSession.get
+    p.edgeTable.read(spark).get.select("subj", "pred", "obj", "lang", "weight")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+  }
+
+  private def supportSet(p: KgPipeline) = {
+    val spark = SparkTestSession.get
+    p.supportTable.read(spark).get
+      .select("conv_id", "subj", "pred", "obj", "lang", "weight")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+      .toSet
+  }
+
+  test("sync rewrites only buckets of touched conversations; the rest are hard links") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val B = 8
+    val p = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = B,
+      syncOldData = true))
+
+    // t0: the base corpus; t1: one conversation gets a new later-ts turn
+    // (changed), one conversation vanishes
+    val t0 = fx.turns
+    val maxTs = t0.map(_.ts.getTime).max
+    val changedConv = "conv-000005"
+    val vanishedConv = "conv-000003"
+    val template = t0.filter(_.conv_id == changedConv).maxBy(_.turn_idx)
+    val appended = template.copy(
+      turn_idx = template.turn_idx + 1,
+      ts = new Timestamp(maxTs + 3600 * 1000L))
+    val t1 = t0.filterNot(_.conv_id == vanishedConv) :+ appended
+
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    val gen0 = Paths.get(p.supportTable.currentPath().get)
+    val before = bucketDirs(gen0)
+    assert(before.nonEmpty)
+
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+    val gen1 = Paths.get(p.supportTable.currentPath().get)
+    assert(gen1 != gen0)
+    val after = bucketDirs(gen1)
+
+    // expected touched buckets — same murmur3 the pipeline uses
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import spark.implicits._
+    val touched = Seq(changedConv, vanishedConv).toDF("c")
+      .select(pmod(hash(col("c")), lit(B))).collect().map(_.getInt(0)).toSet
+    val touchedNames = touched.map(b => s"bucket=$b")
+
+    // untouched buckets: identical file sets, each file the SAME inode
+    before.keys.filterNot(touchedNames).foreach { name =>
+      assert(after.contains(name), s"untouched $name missing from new gen")
+      val oldFiles = before(name).map(f => f.getFileName.toString -> f).toMap
+      val newFiles = after(name).map(f => f.getFileName.toString -> f).toMap
+      assert(oldFiles.keySet == newFiles.keySet)
+      oldFiles.foreach { case (n, of) =>
+        assert(inode(of) == inode(newFiles(n)),
+          s"$name/$n was physically rewritten, expected a hard link")
+      }
+    }
+    // rewritten buckets: fresh inodes (no accidental carryover of replaced rows)
+    after.keys.filter(touchedNames).foreach { name =>
+      before.get(name).foreach { oldFiles =>
+        val oldInodes = oldFiles.map(inode)
+        after(name).foreach(f =>
+          assert(!oldInodes.contains(inode(f)), s"$name carried a stale file"))
+      }
+    }
+    // exactly the touched buckets (that still have rows) differ
+    val rewritten = after.filter { case (name, files) =>
+      before.get(name) match {
+        case None => true
+        case Some(oldFiles) =>
+          val oldI = oldFiles.map(inode)
+          files.exists(f => !oldI.contains(inode(f)))
+      }
+    }.keySet
+    assert(rewritten.subsetOf(touchedNames), s"rewrote extra buckets: $rewritten")
+
+    // published content == from-scratch full recompute (supports AND edges)
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = B))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "scratch")
+    assert(supportSet(p) == supportSet(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
+  }
+
+  test("node refcounts after incremental sync match a full recompute") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    val t1 = fx.turns.filterNot(_.conv_id == "conv-000002")
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s")
+
+    def nodes(q: KgPipeline) = q.nodeTable.read(spark).get
+      .select("entity_id", "refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes(p) == nodes(scratch))
+  }
+
+  test("empty sync (no changes) republishes every bucket by reference") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t0")
+    val gen0 = Paths.get(p.supportTable.currentPath().get)
+    p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t1")
+    val gen1 = Paths.get(p.supportTable.currentPath().get)
+    val before = bucketDirs(gen0)
+    val after = bucketDirs(gen1)
+    assert(before.keySet == after.keySet)
+    before.foreach { case (name, files) =>
+      val newFiles = after(name).map(f => f.getFileName.toString -> f).toMap
+      files.foreach(f => assert(inode(f) == inode(newFiles(f.getFileName.toString))))
+    }
+  }
+}
