@@ -85,6 +85,8 @@ object ConfigParsing {
         case n if n.isTextual => parseBracketList(n.asText())
         case n => strings(n)
       }.getOrElse(Seq("prefLabel", "title", "label")),
+      includeResourceURI =
+        Option(node("includeResourceURI")).exists(_.asBoolean(false)),
       syncOldData = Option(node("syncOldData")).exists(_.asBoolean(false)))
   }
 }

@@ -28,6 +28,9 @@ final case class PipelineConfig(
     addLanguage: Boolean = true,
     // J1: label source priority (uriDescriptionList, EEASettings.java:46-50)
     uriDescription: Seq[String] = Seq("prefLabel", "title", "label"),
+    // about=[subject URI] property on the shared doc
+    // (addUriForResource, ESNormalizer.java:318-328; key Indexer.java:389)
+    includeResourceURI: Boolean = false,
     // sync (Harvester.java:1199-1453)
     syncOldData: Boolean = false,
     // graft scale knobs

@@ -18,21 +18,72 @@ import graft.config.PipelineConfig
   *    tagged language doc of the subject (value lists unioned per key); a
   *    subject with only untagged values keeps one doc stamped with the
   *    configured default language (ESNormalizer.java:114-127, 177-194).
+  *  - `addLanguage`: every language-TAGGED doc carries a `language: [lang]`
+  *    property (ESNormalizer.java:193-194 `jsonMaps.get(lang).put("language",
+  *    lang)` — applied only when `!lang.equals("")`, so untagged-only docs
+  *    never get one). put() overwrite semantics: an extracted `language`
+  *    predicate is replaced, not merged.
+  *  - `includeResourceURI`: an `about: [<subject URI>]` property is added to
+  *    the SHARED doc (ESNormalizer.addUriForResource, ESNormalizer.java:
+  *    318-328 puts into jsonMaps.get("")), so it flows into every tagged doc
+  *    via the shared merge, or stays on the untagged-only doc.
+  *  - `uriDescription`: object URIs are replaced by the first label found
+  *    among the configured label predicates, looked up IN the triple set
+  *    itself (getLabelForUri semantics, ESNormalizer.java:410-457; priority
+  *    order EEASettings.java:46-50; the live v2 path is the sync-query label
+  *    pushdown, Harvester.java:982-1031). Substitution happens BEFORE value
+  *    dedup, exactly like the reference's per-value rewrite.
   *  - F7: doc id = subj@lang (Harvester.java:1852-1853) — the MERGE key.
   *  - A7: optional items_count_<pred> entries (dead code in the reference,
   *    call site commented out at Harvester.java:1845-1848 — implemented
   *    behind `addCounting`, default off, matching observable behavior).
   *
-  * Everything is hash aggregation + one broadcast-sized self-join on subj —
-  * no per-doc driver work, scales with the subject count.
+  * Everything is hash aggregation + per-subject joins (label dictionary and
+  * shared-doc joins are dimension-sized; AQE broadcasts them) — no per-doc
+  * driver work, scales with the subject count.
   */
 object DocAssembler {
+
+  /** J1/J5 label resolution over the model itself: for every object value
+    * that matches the URI of a label-described subject, substitute the label;
+    * priority = position in `cfg.uriDescription`, ties broken by min label
+    * (the reference's inner `LIMIT 1` is endpoint-order-arbitrary; min is the
+    * deterministic choice, documented divergence). Non-URI objects simply
+    * never match the equality join — the reference's isResource gate for
+    * free. */
+  def resolveUriLabels(triples: DataFrame, cfg: PipelineConfig): DataFrame = {
+    if (cfg.uriDescription.isEmpty) return triples
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val prio = cfg.uriDescription.zipWithIndex.toDF("pred", "prank")
+    val labels = triples
+      .join(broadcast(prio), "pred")
+      .filter(length(col("obj")) > 0) // empty labels never win (getLabelForUri)
+      .groupBy(col("subj").as("obj"))
+      .agg(min(struct(col("prank"), col("obj").as("l"))).as("best"))
+      .select(col("obj"), col("best.l").as("resolved_label"))
+    triples
+      .join(labels, Seq("obj"), "left")
+      .withColumn("obj", coalesce(col("resolved_label"), col("obj")))
+      .drop("resolved_label")
+      .select(triples.columns.map(col): _*)
+  }
 
   /** @param triples columns (subj, pred, obj, lang); lang "" = untagged.
     * @return (id, subj, lang, doc: Map[String, Array[String]]) */
   def assemble(triples: DataFrame, cfg: PipelineConfig,
                addCounting: Boolean = false): DataFrame = {
-    val vals = triples
+    val resolved = resolveUriLabels(triples, cfg)
+
+    // includeResourceURI: about=[subj] on the shared ("") doc
+    val withAbout =
+      if (!cfg.includeResourceURI) resolved
+      else resolved.unionByName(
+        resolved.select(col("subj")).distinct()
+          .select(col("subj"), lit("about").as("pred"),
+            col("subj").as("obj"), lit("").as("lang")))
+
+    val vals = withAbout
       .groupBy("subj", "lang", "pred")
       .agg(array_sort(collect_set(col("obj"))).as("vals"))
       .filter(size(col("vals")) > 0) // P3
@@ -54,13 +105,21 @@ object DocAssembler {
             (_, v1, v2) => when(v1.isNull, v2).when(v2.isNull, v1)
               .otherwise(array_sort(array_union(v1, v2))))).as("doc"))
 
+    // language stamp (tagged docs only; put-overwrite semantics)
+    val stampedTagged =
+      if (!cfg.addLanguage) mergedTagged
+      else mergedTagged.withColumn("doc",
+        map_concat(
+          map_filter(col("doc"), (k, _) => k =!= "language"),
+          map(lit("language"), array(col("lang")))))
+
     // subjects with only untagged values: one doc at the default language
     val untaggedOnly = shared
       .join(tagged.select("subj").distinct(), Seq("subj"), "left_anti")
       .select(col("subj"), lit(cfg.language).as("lang"),
         col("shared_doc").as("doc"))
 
-    val docs = mergedTagged.unionByName(untaggedOnly)
+    val docs = stampedTagged.unionByName(untaggedOnly)
       .withColumn("id", concat_ws("@", col("subj"), col("lang")))
 
     val withCounts = if (addCounting) {

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.PipelineConfig
+import graft.materialize.DocAssembler
+
+/** Driver-verifiable queries through the REAL document-assembly code path
+  * (graft.materialize.DocAssembler) — the reference's output shape with the
+  * config-driven features wired in:
+  *
+  *  - J1/J5 `uriDescription` label substitution (getLabelForUri semantics,
+  *    ESNormalizer.java:410-457; priority EEASettings.java:46-50),
+  *  - `includeResourceURI` about=[subj] (ESNormalizer.java:318-328),
+  *  - `addLanguage` language=[lang] stamping (ESNormalizer.java:193-194),
+  *  - A6 shared-prop merge + untagged-only fallback.
+  *
+  * Inputs are deterministic triple derivations of the `documents` table so
+  * DuckDB can rebuild the identical input; the doc Map column is exploded to
+  * long form for the value-level hash compare.
+  */
+object MaterializeQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // ---- J5: config-driven label substitution at edge/doc build — object
+    // URIs replaced by the best label found in the model itself; priority
+    // prefLabel > title; URIs without labels pass through
+    "j5_label_substitution" -> Q(
+      """WITH t AS (
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, 'urn:p:ref' AS pred,
+        |         'urn:doc:' || CAST((doc_id * 7) % 500 AS VARCHAR) AS obj
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'title',
+        |         'Title ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'prefLabel',
+        |         'P' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |prio(pred, prank) AS (VALUES ('prefLabel', 0), ('title', 1)),
+        |labels AS (
+        |  SELECT obj, l FROM (
+        |    SELECT t.subj AS obj, t.obj AS l,
+        |           row_number() OVER (PARTITION BY t.subj ORDER BY p.prank, t.obj) AS rn
+        |    FROM t JOIN prio p ON t.pred = p.pred WHERE length(t.obj) > 0)
+        |  WHERE rn = 1)
+        |SELECT t.subj, t.pred, coalesce(l.l, t.obj) AS obj
+        |FROM t LEFT JOIN labels l ON t.obj = l.obj
+        |ORDER BY subj, pred, obj""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val t = docs.select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("urn:p:ref").as("pred"),
+          concat(lit("urn:doc:"), ((col("doc_id") * 7) % 500).cast("string")).as("obj"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0).select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("title").as("pred"),
+          concat(lit("Title "), id).as("obj")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0).select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("prefLabel").as("pred"),
+          concat(lit("P"), id).as("obj")))
+      DocAssembler.resolveUriLabels(t,
+          PipelineConfig(uriDescription = Seq("prefLabel", "title")))
+        .orderBy("subj", "pred", "obj")
+    },
+
+    // ---- A6 + about + language through the full assembler: shared-prop
+    // merge, about=[subj] via the shared doc, language=[lang] on tagged docs,
+    // untagged-only fallback at the default language — exploded to long form
+    "mat_doc_assembly" -> Q(
+      """WITH t AS (
+        |  SELECT 'urn:s:' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+        |         'urn:p:' || source AS pred,
+        |         CAST(n_chars AS VARCHAR) AS obj,
+        |         CASE WHEN doc_id % 50 >= 45 THEN ''
+        |              WHEN doc_id % 4 = 0 THEN '' ELSE lang END AS lang
+        |  FROM documents),
+        |withabout AS (
+        |  SELECT * FROM t
+        |  UNION ALL
+        |  SELECT DISTINCT subj, 'about' AS pred, subj AS obj, '' AS lang FROM t),
+        |vals AS (
+        |  SELECT subj, lang, pred, list_sort(list_distinct(list(obj))) AS vs
+        |  FROM withabout GROUP BY 1, 2, 3),
+        |shared AS (SELECT subj, pred, vs FROM vals WHERE lang = ''),
+        |tagged AS (SELECT * FROM vals WHERE lang <> ''),
+        |tlangs AS (SELECT DISTINCT subj, lang FROM tagged),
+        |mergedentries AS (
+        |  SELECT subj, lang, pred, vs FROM tagged
+        |  UNION ALL
+        |  SELECT tl.subj, tl.lang, s.pred, s.vs
+        |  FROM tlangs tl JOIN shared s ON tl.subj = s.subj),
+        |merged AS (
+        |  SELECT subj, lang, pred, list_sort(list_distinct(flatten(list(vs)))) AS vs
+        |  FROM mergedentries GROUP BY 1, 2, 3),
+        |stamped AS (
+        |  SELECT subj, lang, pred, vs FROM merged WHERE pred <> 'language'
+        |  UNION ALL
+        |  SELECT subj, lang, 'language' AS pred, [lang] AS vs FROM tlangs),
+        |untaggedonly AS (
+        |  SELECT s.subj, 'en' AS lang, s.pred, s.vs
+        |  FROM shared s LEFT JOIN tlangs tl ON s.subj = tl.subj
+        |  WHERE tl.subj IS NULL),
+        |alldocs AS (SELECT * FROM stamped UNION ALL SELECT * FROM untaggedonly)
+        |SELECT subj || '@' || lang AS id, subj, lang, pred AS key,
+        |       array_to_string(vs, ',') AS vals
+        |FROM alldocs ORDER BY id, key""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        concat(lit("urn:s:"), (col("doc_id") % 50).cast("string")).as("subj"),
+        concat(lit("urn:p:"), col("source")).as("pred"),
+        col("n_chars").cast("string").as("obj"),
+        when(col("doc_id") % 50 >= 45, "")
+          .when(col("doc_id") % 4 === 0, "")
+          .otherwise(col("lang")).as("lang"))
+      val cfg = PipelineConfig(language = "en", addLanguage = true,
+        includeResourceURI = true)
+      DocAssembler.assemble(t, cfg)
+        .select(col("id"), col("subj"), col("lang"),
+          explode(col("doc")).as(Seq("key", "vs")))
+        .select(col("id"), col("subj"), col("lang"), col("key"),
+          array_join(col("vs"), ",").as("vals"))
+        .orderBy("id", "key")
+    }
+  )
+}

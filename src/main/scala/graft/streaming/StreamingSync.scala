@@ -21,7 +21,22 @@ import graft.schema.{CatalogEntry, Turn}
 object StreamingSync {
 
   /** Ingest every available file once, extracting and merging per batch.
-    * @return rows merged. */
+    *
+    * Weights merge ADDITIVELY (existing + new per key): weight is an
+    * occurrence count, so a conversation whose turns are split across
+    * micro-batches accumulates the same totals as a single batch would —
+    * no batch-atomicity requirement on the source.
+    *
+    * foreachBatch is at-least-once for side effects; additive merges are NOT
+    * naturally idempotent, so each publish stamps a `lastBatch` pointer and a
+    * replayed batchId is skipped — together with the checkpointed source
+    * offsets this restores exactly-once table contents.
+    *
+    * The per-batch row count rides the merge write via Dataset.observe — one
+    * Spark job per micro-batch, not an extra extraction pass just for the
+    * counter.
+    *
+    * @return rows merged across all fresh batches. */
   def ingestAvailableNow(
       spark: SparkSession, inputDir: String, checkpointDir: String,
       catalog: Seq[CatalogEntry], markers: Map[String, String],
@@ -29,19 +44,36 @@ object StreamingSync {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val turns = spark.readStream.schema(schema).parquet(inputDir).as[Turn]
+    val keyCols = Seq("conv_id", "subj", "pred", "obj", "lang")
 
     var merged = 0L
     val q = turns.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        val supports = Extractor.extract(batch, catalog, markers).toDF()
-          .groupBy("conv_id", "subj", "pred", "obj")
-          .agg(count(lit(1)).as("weight"))
-          .withColumn("lang", lit(cfg.language))
-        merged += supports.count()
-        table.merge(batch.sparkSession, supports,
-          Seq("conv_id", "subj", "pred", "obj", "lang"), s"stream-$batchId")
+        val replayed =
+          table.currentGeneration("lastBatch").exists(_.toLong >= batchId)
+        if (!replayed) {
+          val s = batch.sparkSession
+          val supports = Extractor.extract(batch, catalog, markers).toDF()
+            .groupBy("conv_id", "subj", "pred", "obj")
+            .agg(count(lit(1)).as("weight"))
+            .withColumn("lang", lit(cfg.language))
+          val combined = table.read(s) match {
+            case Some(cur) =>
+              cur.select(keyCols.map(col) :+ col("weight"): _*)
+                .unionByName(supports.select(keyCols.map(col) :+ col("weight"): _*))
+                .groupBy(keyCols.map(col): _*)
+                .agg(sum(col("weight")).as("weight"))
+            case None => supports.select(keyCols.map(col) :+ col("weight"): _*)
+          }
+          val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
+          table.stage(combined.observe(obs, count(lit(1)).as("n")),
+            s"stream-$batchId")
+          table.publish(s"stream-$batchId")
+          table.setPointer("lastBatch", batchId.toString)
+          merged += obs.get("n").asInstanceOf[Long]
+        }
         ()
       }
       .start()

@@ -7,10 +7,10 @@ import graft.materialize.DocAssembler
 
 class DocAssemblerSpec extends AnyFunSuite {
 
-  private def docsOf(addCounting: Boolean = false) = {
+  private def triplesDf = {
     val spark = SparkTestSession.get
     import spark.implicits._
-    val triples = Seq(
+    Seq(
       // s1: tagged en + cs, plus shared ("") props
       ("s1", "p_title", "hello", "en"),
       ("s1", "p_title", "ahoj", "cs"),
@@ -21,32 +21,102 @@ class DocAssemblerSpec extends AnyFunSuite {
       // s2: untagged only -> default language doc
       ("s2", "p_type", "only-shared", ""))
       .toDF("subj", "pred", "obj", "lang")
-    DocAssembler.assemble(triples, PipelineConfig(language = "en"), addCounting)
+  }
+
+  private def docsOf(cfg: PipelineConfig = PipelineConfig(language = "en"),
+                     addCounting: Boolean = false) =
+    DocAssembler.assemble(triplesDf, cfg, addCounting)
       .collect()
       .map(r => r.getString(0) ->
         r.getMap[String, scala.collection.Seq[String]](3).toMap
           .map { case (k, v) => k -> v.toList })
       .toMap
-  }
 
-  test("A6 shared props merge into every tagged language; F7 id = subj@lang") {
+  // reference behavior: language-tagged docs are stamped unconditionally
+  // (ESNormalizer.java:193-194); untagged-only docs never are
+  test("A6 shared props merge into every tagged language; F7 id = subj@lang; " +
+       "addLanguage stamps tagged docs") {
     val docs = docsOf()
     assert(docs.keySet == Set("s1@en", "s1@cs", "s2@en"))
     assert(docs("s1@en") == Map(
-      "p_title" -> List("hello", "shared-title"), "p_type" -> List("thing")))
+      "p_title" -> List("hello", "shared-title"), "p_type" -> List("thing"),
+      "language" -> List("en")))
     assert(docs("s1@cs") == Map(
-      "p_title" -> List("ahoj", "shared-title"), "p_type" -> List("thing")))
+      "p_title" -> List("ahoj", "shared-title"), "p_type" -> List("thing"),
+      "language" -> List("cs")))
   }
 
-  test("untagged-only subject keeps one doc at the configured language") {
+  test("untagged-only subject keeps one doc at the configured language, unstamped") {
     assert(docsOf()("s2@en") == Map("p_type" -> List("only-shared")))
   }
 
+  test("addLanguage=false suppresses the language property") {
+    val docs = docsOf(PipelineConfig(language = "en", addLanguage = false))
+    assert(!docs("s1@en").contains("language"))
+    assert(!docs("s1@cs").contains("language"))
+  }
+
+  test("includeResourceURI adds about=[subj] via the shared doc (all docs)") {
+    val docs = docsOf(PipelineConfig(language = "en", includeResourceURI = true))
+    assert(docs("s1@en")("about") == List("s1"))
+    assert(docs("s1@cs")("about") == List("s1"))
+    assert(docs("s2@en")("about") == List("s2")) // untagged-only path too
+    // default off: absent
+    assert(!docsOf()("s1@en").contains("about"))
+  }
+
+  test("uriDescription label substitution: priority first-match, URI fallback") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = Seq(
+      // e1 described by both prefLabel and title -> prefLabel wins
+      ("e1", "prefLabel", "Entity One", ""),
+      ("e1", "title", "T-One", ""),
+      // e2 described by title only
+      ("e2", "title", "T-Two", ""),
+      // references: objects e1/e2 substitute, e3 (no labels) passes through
+      ("s1", "p_ref", "e1", "en"),
+      ("s1", "p_ref", "e2", "en"),
+      ("s1", "p_ref", "e3", "en"))
+      .toDF("subj", "pred", "obj", "lang")
+    val cfg = PipelineConfig(uriDescription = Seq("prefLabel", "title"))
+    val got = DocAssembler.resolveUriLabels(t, cfg)
+      .filter(org.apache.spark.sql.functions.col("pred") === "p_ref")
+      .select("obj").collect().map(_.getString(0)).toSet
+    assert(got == Set("Entity One", "T-Two", "e3"))
+  }
+
+  test("empty uriDescription disables substitution") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = Seq(("e1", "title", "T", ""), ("s1", "p_ref", "e1", "en"))
+      .toDF("subj", "pred", "obj", "lang")
+    val got = DocAssembler.resolveUriLabels(t,
+        PipelineConfig(uriDescription = Seq.empty))
+      .filter(org.apache.spark.sql.functions.col("pred") === "p_ref")
+      .select("obj").collect().map(_.getString(0)).toSet
+    assert(got == Set("e1"))
+  }
+
   test("A7 addCounting adds items_count_<pred> entries when enabled") {
-    val docs = docsOf(addCounting = true)
+    val noLang = PipelineConfig(language = "en", addLanguage = false)
+    val docs = docsOf(noLang, addCounting = true)
     assert(docs("s1@en")("items_count_p_title") == List("2"))
     assert(docs("s1@en")("items_count_p_type") == List("1"))
     // default off: no counting keys
-    assert(!docsOf()("s1@en").keys.exists(_.startsWith("items_count")))
+    assert(!docsOf(noLang)("s1@en").keys.exists(_.startsWith("items_count")))
+  }
+
+  test("config JSON round-trip consumes addLanguage/uriDescription/includeResourceURI") {
+    val cfg = graft.config.ConfigParsing.fromJson(
+      """{"config":{"eeaRDF":{
+        |  "language": "cs",
+        |  "addLanguage": false,
+        |  "includeResourceURI": true,
+        |  "uriDescription": "[skos:prefLabel,dc:title]"
+        |}}}""".stripMargin)
+    assert(!cfg.addLanguage)
+    assert(cfg.includeResourceURI)
+    assert(cfg.uriDescription == Seq("skos:prefLabel", "dc:title"))
   }
 }

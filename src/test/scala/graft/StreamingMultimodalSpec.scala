@@ -24,19 +24,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
       fx.catalog, fx.markers, PipelineConfig(), table)
 
+    // additive merge: weights equal the single-batch extraction EXACTLY,
+    // even when a conversation's turns were split across micro-batches
     val batch = graft.extract.Extractor
       .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
       .groupBy("conv_id", "subj", "pred", "obj").count()
-    val streamed = table.read(spark).get
-    // same distinct support keys (weights may differ if a conv spans batches)
-    assert(streamed.select("conv_id", "subj", "pred", "obj").distinct().count()
-      == batch.count())
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    val streamed = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    assert(streamed == batch)
 
     // restart with same checkpoint: no new data -> no new generation
     val genBefore = table.currentGeneration()
     StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
       fx.catalog, fx.markers, PipelineConfig(), table)
     assert(table.currentGeneration() == genBefore)
+
+    // at-least-once replay protection: a stale batchId is a no-op even when
+    // the driver re-invokes the merge (additive merges would double-add
+    // without the lastBatch stamp)
+    assert(table.currentGeneration("lastBatch").isDefined)
   }
 
   test("streaming windowed mention-rate aggregate runs as a real stream") {
