@@ -50,6 +50,12 @@ object ConfigParsing {
     time
   }
 
+  /** F9: index-pattern -> regex (ConfigManager.convertPatternToRegex,
+    * ConfigManager.java:257-259 — dots escaped, `*` -> `.*`, anchored at the
+    * start only, exactly like the reference). */
+  def patternToRegex(pattern: String): String =
+    "^" + pattern.replace(".", "\\.").replace("*", ".*")
+
   private def strings(n: JsonNode): Seq[String] =
     if (n == null) Seq.empty
     else if (n.isArray) n.elements().asScala.map(_.asText()).toSeq

@@ -24,6 +24,45 @@ object MaterializeQueries {
 
   val all: Map[String, Q] = Map(
 
+    // ---- S5: N-Triples ingestion through the REAL line parser
+    // (graft.sources.NTriplesSource): NT lines are synthesized
+    // deterministically from `documents` (lang-tagged literal, typed literal,
+    // IRI object per row), parsed distributed, and the recovered
+    // (subj, pred, obj, objLang, objType) rows are oracle-checked against the
+    // direct derivation — round-trip parity for the reader
+    "s5_ntriples_roundtrip" -> Q(
+      """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+        |       'urn:p:' || source AS pred,
+        |       CAST(n_chars AS VARCHAR) AS obj,
+        |       lang AS "objLang", '' AS "objType"
+        |FROM documents
+        |UNION ALL
+        |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:len',
+        |       CAST(n_chars AS VARCHAR), '',
+        |       'http://www.w3.org/2001/XMLSchema#integer'
+        |FROM documents
+        |UNION ALL
+        |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:ref',
+        |       'urn:doc:' || CAST((doc_id * 3) % 500 AS VARCHAR), '', ''
+        |FROM documents
+        |ORDER BY subj, pred, obj, "objLang", "objType"""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val l1 = docs.select(format_string(
+        "<urn:doc:%s> <urn:p:%s> \"%s\"@%s .",
+        col("doc_id"), col("source"), col("n_chars"), col("lang")).as("line"))
+      val l2 = docs.select(format_string(
+        "<urn:doc:%s> <urn:p:len> \"%s\"^^<http://www.w3.org/2001/XMLSchema#integer> .",
+        col("doc_id"), col("n_chars")).as("line"))
+      val l3 = docs.select(format_string(
+        "<urn:doc:%s> <urn:p:ref> <urn:doc:%s> .",
+        col("doc_id"), (col("doc_id") * 3) % 500).as("line"))
+      graft.sources.NTriplesSource
+        .parse(l1.unionAll(l2).unionAll(l3).as[String])
+        .toDF()
+        .orderBy("subj", "pred", "obj", "objLang", "objType")
+    },
+
     // ---- J5: config-driven label substitution at edge/doc build — object
     // URIs replaced by the best label found in the model itself; priority
     // prefLabel > title; URIs without labels pass through

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.schema.Triple
+
+/** S5: RDF dump ingestion (the reference reads RDF serializations into its
+  * Model via RDFDataMgr, Harvester.java:1702-1730). The Spark-native choice
+  * is N-Triples: one triple per line makes the format trivially splittable —
+  * a 100 TB dump scans as ordinary partitioned text with no cross-record
+  * state, unlike RDF/XML which needs a document-level parser.
+  *
+  * Grammar (W3C N-Triples): `<subj-iri|_:blank> <pred-iri> <iri|"literal">`
+  * with optional `@lang` or `^^<datatype>` on literals, terminated by `.`;
+  * `#` comments and blank lines skipped. Literal escapes `\\ \" \n \r \t
+  * \uXXXX \UXXXXXXXX` are decoded. Malformed lines are dropped (the
+  * reference skips the whole dump on a RiotException, Harvester.java:1723 —
+  * per-line skipping is the finer-grained analogue; pair with
+  * `parseLineEither` + a quarantine sink when lineage of rejects matters).
+  *
+  * Language tags land in `objLang` and datatypes in `objType` — the columns
+  * that drive per-value language routing in doc assembly
+  * (ESNormalizer.java:190-194) and typed-literal dispatch
+  * (ESNormalizer.java:349-393).
+  */
+object NTriplesSource {
+
+  def read(spark: SparkSession, path: String): Dataset[Triple] =
+    parse(spark.read.textFile(path))
+
+  def parse(lines: Dataset[String]): Dataset[Triple] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(parseLine(_))
+  }
+
+  /** Parse one N-Triples line; None for blank/comment/malformed lines. */
+  def parseLine(raw: String): Option[Triple] = {
+    val p = new Parser(raw)
+    p.ws()
+    if (p.atEnd || p.peek == '#') return None
+    for {
+      subj <- p.iriOrBlank()
+      _ = p.ws()
+      pred <- p.iri()
+      _ = p.ws()
+      obj <- p.objectTerm()
+      _ = p.ws()
+      _ <- if (p.consume('.')) Some(()) else None
+      _ = p.ws()
+      _ <- if (p.atEnd || p.peek == '#') Some(()) else None
+    } yield Triple(subj, pred, obj._1, obj._2, obj._3)
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def peek: Char = s.charAt(i)
+    def ws(): Unit =
+      while (!atEnd && (peek == ' ' || peek == '\t' || peek == '\r')) i += 1
+    def consume(c: Char): Boolean =
+      if (!atEnd && peek == c) { i += 1; true } else false
+
+    def iri(): Option[String] = {
+      if (!consume('<')) return None
+      val start = i
+      while (!atEnd && peek != '>') i += 1
+      if (atEnd) None else { val r = s.substring(start, i); i += 1; Some(r) }
+    }
+
+    def blank(): Option[String] = {
+      if (!(i + 1 < s.length && peek == '_' && s.charAt(i + 1) == ':')) return None
+      val start = i
+      i += 2
+      while (!atEnd && peek != ' ' && peek != '\t') i += 1
+      Some(s.substring(start, i))
+    }
+
+    def iriOrBlank(): Option[String] =
+      if (!atEnd && peek == '<') iri() else blank()
+
+    /** @return (lexical-or-iri, lang, datatype) */
+    def objectTerm(): Option[(String, String, String)] =
+      if (atEnd) None
+      else if (peek == '<') iri().map(u => (u, "", ""))
+      else if (peek == '_') blank().map(b => (b, "", ""))
+      else if (peek == '"') literal()
+      else None
+
+    private def literal(): Option[(String, String, String)] = {
+      i += 1 // opening quote
+      val sb = new java.lang.StringBuilder()
+      while (!atEnd && peek != '"') {
+        val c = peek
+        if (c == '\\') {
+          if (i + 1 >= s.length) return None
+          val e = s.charAt(i + 1)
+          e match {
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'u' =>
+              if (i + 5 >= s.length) return None
+              val hex = s.substring(i + 2, i + 6)
+              try { sb.append(Integer.parseInt(hex, 16).toChar); i += 6 }
+              catch { case _: NumberFormatException => return None }
+            case 'U' =>
+              if (i + 9 >= s.length) return None
+              val hex = s.substring(i + 2, i + 10)
+              try { sb.appendCodePoint(Integer.parseInt(hex, 16)); i += 10 }
+              catch { case _: NumberFormatException => return None }
+            case _ => return None
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (atEnd) return None
+      i += 1 // closing quote
+      // suffix: @lang or ^^<datatype>
+      if (!atEnd && peek == '@') {
+        i += 1
+        val start = i
+        while (!atEnd && (peek.isLetterOrDigit || peek == '-')) i += 1
+        if (i == start) None else Some((sb.toString, s.substring(start, i), ""))
+      } else if (i + 1 < s.length && peek == '^' && s.charAt(i + 1) == '^') {
+        i += 2
+        iri().map(dt => (sb.toString, "", dt))
+      } else Some((sb.toString, "", ""))
+    }
+  }
+}

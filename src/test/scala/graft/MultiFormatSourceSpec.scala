@@ -4,9 +4,76 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{MultiFormatSource, TranscriptGen}
+import graft.schema.Triple
+import graft.sources.{MultiFormatSource, NTriplesSource, TranscriptGen}
 
 class MultiFormatSourceSpec extends AnyFunSuite {
+
+  test("S5: N-Triples golden fixture round-trips with lang tags and datatypes") {
+    val spark = SparkTestSession.get
+    val dir = Files.createTempDirectory("nt-")
+    val nt =
+      """# a comment line
+        |<urn:s:1> <urn:p:name> "Alice" .
+        |<urn:s:1> <urn:p:name> "Alice"@cs .
+        |<urn:s:1> <urn:p:age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<urn:s:1> <urn:p:knows> <urn:s:2> .
+        |_:b0 <urn:p:label> "blank subject" .
+        |<urn:s:2> <urn:p:note> "esc \" quote \\ back \n line š" .
+        |
+        |this line is malformed and must be dropped
+        |<urn:s:3> <urn:p:x> "trailing comment" . # trailing
+        |""".stripMargin
+    Files.writeString(dir.resolve("g.nt"), nt)
+    val got = NTriplesSource.read(spark, dir.toString).collect().toSet
+    assert(got == Set(
+      Triple("urn:s:1", "urn:p:name", "Alice", "", ""),
+      Triple("urn:s:1", "urn:p:name", "Alice", "cs", ""),
+      Triple("urn:s:1", "urn:p:age", "42", "", "http://www.w3.org/2001/XMLSchema#integer"),
+      Triple("urn:s:1", "urn:p:knows", "urn:s:2", "", ""),
+      Triple("_:b0", "urn:p:label", "blank subject", "", ""),
+      Triple("urn:s:2", "urn:p:note", "esc \" quote \\ back \n line š", "", ""),
+      Triple("urn:s:3", "urn:p:x", "trailing comment", "", "")))
+  }
+
+  test("objLang flows from N-Triples into per-language doc routing (A6 e2e)") {
+    val spark = SparkTestSession.get
+    val dir = Files.createTempDirectory("nt-a6-")
+    Files.writeString(dir.resolve("m.nt"),
+      """<urn:s:1> <urn:p:title> "hello"@en .
+        |<urn:s:1> <urn:p:title> "ahoj"@cs .
+        |<urn:s:1> <urn:p:type> "thing" .
+        |""".stripMargin)
+    val triples = NTriplesSource.read(spark, dir.toString).toDF()
+      .select(org.apache.spark.sql.functions.col("subj"),
+        org.apache.spark.sql.functions.col("pred"),
+        org.apache.spark.sql.functions.col("obj"),
+        org.apache.spark.sql.functions.col("objLang").as("lang"))
+    val docs = graft.materialize.DocAssembler
+      .assemble(triples, graft.config.PipelineConfig(language = "en"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, scala.collection.Seq[String]](3).toMap
+          .map { case (k, v) => k -> v.toList })
+      .toMap
+    // literal tags split the subject into per-language docs; the untagged
+    // value is shared into both (ESNormalizer.java:114-127, 177-194)
+    assert(docs.keySet == Set("urn:s:1@en", "urn:s:1@cs"))
+    assert(docs("urn:s:1@en") == Map("urn:p:title" -> List("hello"),
+      "urn:p:type" -> List("thing"), "language" -> List("en")))
+    assert(docs("urn:s:1@cs") == Map("urn:p:title" -> List("ahoj"),
+      "urn:p:type" -> List("thing"), "language" -> List("cs")))
+  }
+
+  test("F9: index-pattern to regex matches the reference's conversion") {
+    import graft.config.ConfigParsing.patternToRegex
+    assert(patternToRegex("river-*.v2") == "^river-.*\\.v2")
+    assert("river-abc.v2".matches(patternToRegex("river-*.v2")))
+    assert(!"xriver-abc_v2".matches(patternToRegex("river-*.v2")))
+    // unanchored at the end, like the reference (String.matches anchors both
+    // sides in Java, so behavior still equals the reference call site)
+    assert(patternToRegex("a*b") == "^a.*b")
+  }
 
   test("parquet/json/csv of the same turns read back identically; union dedups") {
     val spark = SparkTestSession.get
