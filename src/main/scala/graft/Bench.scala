@@ -100,10 +100,20 @@ object Bench {
       "supplier", "part", "nation", "region").foreach { t =>
       Tables(spark1, sfDir, t).limit(1).count()
     }
+    // optional focus knobs for local iteration (driver runs use defaults):
+    // SPARK_GRAFT_ONLY=q1,q2 times just those queries; SPARK_GRAFT_SKIP_KG=1
+    // skips the scaling section
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skipKg = sys.env.get("SPARK_GRAFT_SKIP_KG").contains("1")
+    val skipScaling = skipKg ||
+      sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
     // failed queries are recorded explicitly (time -1 + errors entry), never
     // silently as a fast run
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark1, sfDir).count()
@@ -121,7 +131,7 @@ object Bench {
     // overheads at every measured parallelism level
     val nConv = sys.env.getOrElse("SPARK_GRAFT_KG_CONVS", "1000000").toInt
     val turnsDir = s"/tmp/graft-bench-turns-$nConv"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(turnsDir))) {
+    if (!skipScaling && !java.nio.file.Files.exists(java.nio.file.Paths.get(turnsDir))) {
       TranscriptGen.generateDistributed(spark1, nConv, partitions = 64)
         .write.mode("overwrite").parquet(turnsDir)
     }
@@ -140,14 +150,78 @@ object Bench {
     // taken unconditionally (a one-sided retry that only fires on a bad
     // ratio could only ever improve the reported efficiency)
     val samplesPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
-    val (t1a, nTurns, nTriples) = scalingChild(1, turnsDir)
-    val t1 = (Seq(t1a) ++
-      (2 to samplesPerLevel).map(_ => scalingChild(1, turnsDir)._1)).min
-    val t4 = (1 to samplesPerLevel).map(_ => scalingChild(4, turnsDir)._1).min
-    val t32 = (1 to samplesPerLevel).map(_ => scalingChild(32, turnsDir)._1).min
+    val (t1, t4, t32, nTurns, nTriples) =
+      if (skipScaling) (1.0, 1.0, 1.0, 0L, 0L)
+      else {
+        val (t1a, turns, triples) = scalingChild(1, turnsDir)
+        val m1 = (Seq(t1a) ++
+          (2 to samplesPerLevel).map(_ => scalingChild(1, turnsDir)._1)).min
+        val m4 = (1 to samplesPerLevel).map(_ => scalingChild(4, turnsDir)._1).min
+        val m32 = (1 to samplesPerLevel).map(_ => scalingChild(32, turnsDir)._1).min
+        (m1, m4, m32, turns, triples)
+      }
 
     val eff14 = (t1 / t4) / 4.0
     val eff432 = (t4 / t32) / 8.0
+
+    // ---- part 4: incremental-sync proportionality — a sync touching a
+    // handful of conversations must cost a fraction of the full run and
+    // physically rewrite only the buckets containing them (the 100 TB
+    // nightly-sync criterion). Bytes accounted by inode diff between the
+    // support table's generations: hard-linked carryover files are free.
+    val syncJson = if (skipKg) "{}" else {
+      import org.apache.spark.sql.functions._
+      val spark2 = session(cpus)
+      import spark2.implicits._
+      val nConvSync = sys.env.getOrElse("SPARK_GRAFT_SYNC_CONVS", "200000").toInt
+      val full = TranscriptGen
+        .generateDistributed(spark2, nConvSync, partitions = 64).toDF()
+      val convNum = substring(col("conv_id"), 6, 6).cast("int")
+      val heldBack = (convNum % (nConvSync / 5) === 3) && (col("turn_idx") > 3)
+      val base = s"/tmp/graft-sync-bench-$nConvSync"
+      val t0Dir = s"$base/t0"; val t1Dir = s"$base/t1"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(t0Dir))) {
+        full.filter(!heldBack).write.mode("overwrite").parquet(t0Dir)
+        // appended turns arrive with later event time than everything in t0
+        spark2.read.parquet(t0Dir)
+          .unionByName(full.filter(heldBack)
+            .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS")))
+          .write.mode("overwrite").parquet(t1Dir)
+      }
+      val wd = s"/tmp/graft-sync-work-${System.nanoTime()}"
+      val p = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 64))
+      val cat = TranscriptGen.catalog(50)
+      val tF0 = System.nanoTime()
+      p.runFull(spark2, spark2.read.parquet(t0Dir).as[Turn], cat,
+        TranscriptGen.markerPreds, "bench-full")
+      val fullSec = (System.nanoTime() - tF0) / 1e9
+      val gen0 = java.nio.file.Paths.get(p.supportTable.currentPath().get)
+      val tS0 = System.nanoTime()
+      p.runSync(spark2, spark2.read.parquet(t1Dir).as[Turn], cat,
+        TranscriptGen.markerPreds, "bench-sync")
+      val syncSec = (System.nanoTime() - tS0) / 1e9
+      val gen1 = java.nio.file.Paths.get(p.supportTable.currentPath().get)
+      def files(g: java.nio.file.Path) = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(g).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      }
+      def inode(f: java.nio.file.Path) =
+        java.nio.file.Files.getAttribute(f, "unix:ino").asInstanceOf[Long]
+      val oldInodes = files(gen0).map(inode).toSet
+      val newFiles = files(gen1)
+      val fresh = newFiles.filterNot(f => oldInodes.contains(inode(f)))
+      val freshBytes = fresh.map(java.nio.file.Files.size(_)).sum
+      val totalBytes = newFiles.map(java.nio.file.Files.size(_)).sum
+      val rewrittenBuckets = fresh.map(_.getParent.getFileName.toString).distinct.size
+      val totalBuckets = newFiles.map(_.getParent.getFileName.toString).distinct.size
+      spark2.stop()
+      s"""{"convs":$nConvSync,"changed_convs":5,"full_sec":${fmt(fullSec)},""" +
+        s""""sync_sec":${fmt(syncSec)},"speedup":${fmt(fullSec / syncSec)},""" +
+        s""""rewritten_buckets":$rewrittenBuckets,"total_buckets":$totalBuckets,""" +
+        s""""fresh_bytes":$freshBytes,"total_bytes":$totalBytes}"""
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -162,6 +236,6 @@ object Bench {
       s""""turns_per_sec_local32":${fmt(nTurns / t32)},""" +
       s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
       s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson}""")
   }
 }

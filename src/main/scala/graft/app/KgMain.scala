@@ -14,6 +14,12 @@ import graft.sources.TranscriptGen
   *
   * Usage:
   *   KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]
+  *   KgMain ingest-nt <ntDumpDir> <workDir>
+  *
+  * `ingest-nt` is the reference's dump-harvest lifecycle (harvestFromDumps ->
+  * addModelToES -> publish, Harvester.java:1702-1730, 1803-1905): RDF triples
+  * from N-Triples dumps are assembled into per-(resource, language) docs —
+  * per-literal lang tags routing via objLang — and published atomically.
   *
   * With no catalog dir, the built-in demo catalog is used (so the app is
   * drivable end-to-end on a bare fixture).
@@ -21,9 +27,10 @@ import graft.sources.TranscriptGen
 object KgMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]")
+      "usage: KgMain full|sync|ingest-nt <inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
-    require(mode == "full" || mode == "sync", s"unknown mode: $mode")
+    require(mode == "full" || mode == "sync" || mode == "ingest-nt",
+      s"unknown mode: $mode")
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
@@ -38,15 +45,30 @@ object KgMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val cfg = PipelineConfig(workDir = workDir)
+    val pipeline = new KgPipeline(cfg)
+    val runId = s"$mode-${System.currentTimeMillis()}"
+
+    if (mode == "ingest-nt") {
+      import org.apache.spark.sql.functions.col
+      val triples = graft.sources.NTriplesSource.read(spark, turnsDir)
+      val docs = graft.materialize.DocAssembler.assemble(
+        triples.toDF().select(col("subj"), col("pred"), col("obj"),
+          col("objLang").as("lang")), cfg)
+      pipeline.docTable.stage(docs, runId)
+      val gen = pipeline.docTable.publish(runId)
+      val n = pipeline.docTable.read(spark).get.count()
+      println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n}""")
+      spark.stop()
+      return
+    }
+
     val turns = spark.read.parquet(turnsDir).as[Turn]
     val catalog: Seq[CatalogEntry] =
       if (args.length >= 4)
         spark.read.parquet(args(3)).as[CatalogEntry].collect().toSeq
       else TranscriptGen.catalog(50)
 
-    val cfg = PipelineConfig(workDir = workDir)
-    val pipeline = new KgPipeline(cfg)
-    val runId = s"$mode-${System.currentTimeMillis()}"
     val result =
       if (mode == "full")
         pipeline.runFull(spark, turns, catalog, TranscriptGen.markerPreds, runId)

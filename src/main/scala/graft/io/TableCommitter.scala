@@ -75,10 +75,21 @@ final class TableCommitter(rootDir: String) {
   /** Write a (possibly partial) snapshot into staging, physically partitioned
     * by the `bucket` column — the layout that makes incremental sync
     * overwrite only changed buckets (publishBuckets) and gives readers
-    * partition pruning on bucket predicates. */
+    * partition pruning on bucket predicates.
+    *
+    * Rows are shuffled onto their bucket before the write: without it every
+    * upstream task holds rows of every bucket and a B-bucket table explodes
+    * into tasks x B tiny files (2000+ at test scale — file-listing and
+    * hard-link costs then swamp the incremental win; at cluster scale the
+    * same layout produces millions of sub-row-group files). One exchange
+    * keyed by bucket gives one writer per bucket dir; AQE coalesces small
+    * buckets, maxRecordsPerFile splits giant ones. */
   def stagePartitioned(df: DataFrame, runId: String): String = {
     val p = stagingPath(runId)
-    df.write.mode("overwrite").partitionBy(TableCommitter.BucketCol).parquet(p)
+    df.repartition(col(TableCommitter.BucketCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 20000000)
+      .partitionBy(TableCommitter.BucketCol).parquet(p)
     p
   }
 
@@ -131,8 +142,14 @@ final class TableCommitter(rootDir: String) {
         .filterNot(d => changedNames.contains(d.getFileName.toString))
         .foreach(d => linkDir(d, genDir.resolve(d.getFileName.toString)))
     }
-    // move the rewritten buckets in from staging
-    bucketDirs(stagedAt).foreach { d =>
+    // move the rewritten buckets in from staging (caller contract: staged
+    // data may only touch declared-changed buckets, or the hard-linked
+    // carryover above would collide with it)
+    val staged = bucketDirs(stagedAt)
+    val undeclared = staged.map(_.getFileName.toString).filterNot(changedNames)
+    require(undeclared.isEmpty,
+      s"staged buckets not declared changed: ${undeclared.mkString(",")}")
+    staged.foreach { d =>
       Files.move(d, genDir.resolve(d.getFileName.toString),
         StandardCopyOption.ATOMIC_MOVE)
     }

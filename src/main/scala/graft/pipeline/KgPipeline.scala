@@ -202,6 +202,14 @@ final class KgPipeline(cfg: PipelineConfig) {
   // conv_id (the sync replacement unit), edges on the full edge key, nodes
   // on entity_id — each table's bucket is derived from its own MERGE key, so
   // an incremental change maps to a deterministic, small set of buckets.
+  //
+  // Bucket-key choice at 10^12 turns: hash(conv_id) spreads UNIFORM change
+  // evenly, so k ~ min(B, #changed conversations) — right when syncs touch
+  // few conversations. When the change pattern is temporal (recent convs
+  // change, old ones never), derive the bucket from a stable conv-level
+  // time attribute instead (e.g. creation epoch-week) so changed convs
+  // cluster into few buckets; the overwrite/carryover mechanism below is
+  // key-agnostic — only this expression changes.
   private val B = cfg.syncBuckets
   private def convBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(B))
   private val edgeBucket =
@@ -253,10 +261,15 @@ final class KgPipeline(cfg: PipelineConfig) {
     val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
       .getOrElse(new Timestamp(0L))
 
-    // A8: distinct changed-conversation set since watermark
+    // A8: distinct changed-conversation set since watermark. Small by sync
+    // contract (and consumed by three plans: the semi-join restriction, the
+    // replacement anti-join, and the bucket-set computation) — materialize
+    // once so the full source is scanned once for change detection, not once
+    // per consumer.
     val changedConvs = turns.toDF()
       .filter(col("ts") > lit(wm))
       .select("conv_id").distinct()
+      .localCheckpoint(true)
 
     // J3: re-extract only changed conversations (semi-join restriction)
     // any turn newer than the watermark belongs to a changed conversation by

@@ -46,6 +46,40 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd_minhash_lsh: banded candidate join and verification are hash joins, " +
+       "never a cartesian product") {
+    val p = plan("dd_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // verification must be fed by the candidate-doc semi-join, not the full
+    // shingle table
+    assert(p.contains("LeftSemi"), "candidate semi-join missing from the plan")
+  }
+
+  test("sync support read prunes to the changed buckets only") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune-").toString
+    val t = new graft.io.TableCommitter(dir)
+    val df = (0 until 64).map(i => (i, s"v$i", i % 8)).toDF("k", "v", "bucket")
+    t.stagePartitioned(df, "r1")
+    t.publishBuckets("r1", (0 until 8).toSet)
+    val pruned = t.read(spark).get
+      .filter(org.apache.spark.sql.functions.col("bucket").isin(2, 5))
+    // partition pruning: the executed scan's selected partitions cover only
+    // the 2 matching bucket dirs of 8 (inputFiles is pre-pruning, so inspect
+    // the physical scan node)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the plan"))
+    val files = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("bucket=2") || f.contains("bucket=5")),
+      s"scan reads non-matching buckets: ${files.mkString(",")}")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("extraction stage is narrow: no Exchange below the mapPartitions kernel") {
     val spark = SparkTestSession.get
     import spark.implicits._
