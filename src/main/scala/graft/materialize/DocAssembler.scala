@@ -51,12 +51,19 @@ object DocAssembler {
     * deterministic choice, documented divergence). Non-URI objects simply
     * never match the equality join — the reference's isResource gate for
     * free. */
-  def resolveUriLabels(triples: DataFrame, cfg: PipelineConfig): DataFrame = {
+  def resolveUriLabels(triples: DataFrame, cfg: PipelineConfig): DataFrame =
+    resolveUriLabels(triples, cfg, triples)
+
+  /** Variant with an explicit label source: when assembling only a SLICE of
+    * the model (incremental doc rebuild), labels must still be looked up in
+    * the WHOLE model — an object's label lives under another subject. */
+  def resolveUriLabels(triples: DataFrame, cfg: PipelineConfig,
+                       labelSource: DataFrame): DataFrame = {
     if (cfg.uriDescription.isEmpty) return triples
     val spark = triples.sparkSession
     import spark.implicits._
     val prio = cfg.uriDescription.zipWithIndex.toDF("pred", "prank")
-    val labels = triples
+    val labels = labelSource
       .join(broadcast(prio), "pred")
       .filter(length(col("obj")) > 0) // empty labels never win (getLabelForUri)
       .groupBy(col("subj").as("obj"))
@@ -70,10 +77,14 @@ object DocAssembler {
   }
 
   /** @param triples columns (subj, pred, obj, lang); lang "" = untagged.
+    * @param labelSource label-lookup scope for uriDescription substitution
+    *        (defaults to `triples`; pass the full model when `triples` is an
+    *        incremental slice).
     * @return (id, subj, lang, doc: Map[String, Array[String]]) */
   def assemble(triples: DataFrame, cfg: PipelineConfig,
-               addCounting: Boolean = false): DataFrame = {
-    val resolved = resolveUriLabels(triples, cfg)
+               addCounting: Boolean = false,
+               labelSource: Option[DataFrame] = None): DataFrame = {
+    val resolved = resolveUriLabels(triples, cfg, labelSource.getOrElse(triples))
 
     // includeResourceURI: about=[subj] on the shared ("") doc
     val withAbout =

@@ -212,8 +212,12 @@ final class KgPipeline(cfg: PipelineConfig) {
   // key-agnostic — only this expression changes.
   private val B = cfg.syncBuckets
   private def convBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(B))
-  private val edgeBucket =
-    pmod(hash(col("subj"), col("pred"), col("obj"), col("lang")), lit(B))
+  // edges (and docs) bucket on hash(subj), not the full edge key: the merge
+  // mechanism works with any stable key-derived bucket, and subject bucketing
+  // additionally makes per-subject slices partition-prunable — the access
+  // pattern of incremental doc rebuild ("give me all edges of these
+  // subjects").
+  private val edgeBucket = pmod(hash(col("subj")), lit(B))
   private val allBuckets: Set[Int] = (0 until B).toSet
 
   /** Full harvest (reference lifecycle §3.1): compute everything, publish
@@ -367,8 +371,16 @@ final class KgPipeline(cfg: PipelineConfig) {
     nodeTable.stagePartitioned(nodes, runId)
     val nodesGen = nodeTable.publishBuckets(runId, allBuckets)
 
-    publishDocsAndFinish(spark, runId, publishedEdges, newWatermark,
-      edgesGen, nodesGen, obs.get("n").asInstanceOf[Long])
+    // optional document sink: full path writes every doc bucket
+    if (cfg.publishDocs) {
+      val docs = graft.materialize.DocAssembler.assemble(
+        publishedEdges.select("subj", "pred", "obj", "lang"), cfg)
+      docTable.stagePartitioned(docs.withColumn("bucket", edgeBucket), runId)
+      docTable.publishBuckets(runId, allBuckets)
+    }
+
+    finishRun(spark, runId, newWatermark, edgesGen, nodesGen,
+      obs.get("n").asInstanceOf[Long])
   }
 
   /** Propagate a support-level weight delta into the edge and node tables,
@@ -442,27 +454,44 @@ final class KgPipeline(cfg: PipelineConfig) {
     val publishedEdges = edgeTable.read(spark).get
     // snapshot-level triple count: parquet footer metadata scan, no data read
     val nTriples = publishedEdges.count()
-    publishDocsAndFinish(spark, runId, publishedEdges, newWatermark,
-      edgesGen, nodesGen, nTriples)
-  }
 
-  private def publishDocsAndFinish(spark: SparkSession, runId: String,
-                                   publishedEdges: DataFrame,
-                                   newWatermark: Option[Timestamp],
-                                   edgesGen: String, nodesGen: String,
-                                   nTriples: Long): RunResult = {
-    // optional document-shaped sink (the reference's per-resource@lang docs).
-    // Full recompute per publish: docs pivot per (subj, lang) across ALL of a
-    // subject's edges, so an incremental variant would need the same
-    // bucket-delta pattern keyed on subj — deferred until the doc sink is a
-    // primary output (publishDocs defaults off).
+    // optional document sink, incrementally: docs pivot per (subj, lang)
+    // over all of a subject's edges, and edges are subject-bucketed — so the
+    // delta's subjects map to exactly the affected edge/doc buckets. Rebuild
+    // docs for affected subjects from their (pruned) edge slice, keep every
+    // other doc in those buckets, carry untouched buckets by hard link.
+    // uriDescription labels resolve against the FULL published edge set; a
+    // label change refreshes only docs of changed subjects — the reference's
+    // sync has the same staleness (unchanged resources are not re-indexed,
+    // Harvester.java:1199-1453). Full-refresh of referencing docs would be
+    // an obj-side semi-join over the edge table (opt-in extension point).
     if (cfg.publishDocs) {
-      val docs = graft.materialize.DocAssembler.assemble(
-        publishedEdges.select("subj", "pred", "obj", "lang"), cfg)
-      docTable.stage(docs, runId)
-      docTable.publish(runId)
+      val affectedSubjects = delta.select("subj").distinct()
+      val slice = publishedEdges
+        .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
+        .join(affectedSubjects, Seq("subj"), "left_semi")
+        .select("subj", "pred", "obj", "lang")
+      val rebuilt = graft.materialize.DocAssembler.assemble(
+        slice, cfg, labelSource = Some(publishedEdges))
+      val kept = docTable.read(spark) match {
+        case Some(curD) => curD
+          .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*))
+          .drop("bucket")
+          .join(affectedSubjects, Seq("subj"), "left_anti")
+        case None => rebuilt.limit(0)
+      }
+      docTable.stagePartitioned(
+        rebuilt.unionByName(kept).withColumn("bucket", edgeBucket), runId)
+      docTable.publishBuckets(runId, affectedEdgeBuckets)
     }
 
+    finishRun(spark, runId, newWatermark, edgesGen, nodesGen, nTriples)
+  }
+
+  private def finishRun(spark: SparkSession, runId: String,
+                        newWatermark: Option[Timestamp],
+                        edgesGen: String, nodesGen: String,
+                        nTriples: Long): RunResult = {
     checkpoints.writeMetrics(spark, runId, Seq(
       ("edges", "published_triples", nTriples)))
     val wm = newWatermark

@@ -34,6 +34,45 @@ object NTriplesSource {
     lines.flatMap(parseLine(_))
   }
 
+  /** Render one triple as an N-Triples line — the export direction (the
+    * reference's sink is ES bulk JSON; a splittable text serialization is
+    * the Spark-native interchange equivalent). `parseLine(render(t)) == t`
+    * for every triple whose fields are free of raw control characters
+    * (property-tested in MultiFormatSourceSpec). */
+  def render(t: Triple): String = {
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '"' => sb.append("\\\"")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < ' ' => sb.append(f"\\u${c.toInt}%04X")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+    val subj = if (t.subj.startsWith("_:")) t.subj else s"<${t.subj}>"
+    val obj =
+      if (t.objType.nonEmpty) s""""${esc(t.obj)}"^^<${t.objType}>"""
+      else if (t.objLang.nonEmpty) s""""${esc(t.obj)}"@${t.objLang}"""
+      else if (t.obj.startsWith("_:")) t.obj
+      else if (isIriLike(t.obj)) s"<${t.obj}>"
+      else s""""${esc(t.obj)}""""
+    s"$subj <${t.pred}> $obj ."
+  }
+
+  /** Heuristic used only by the renderer to decide IRI-vs-literal form for
+    * untyped objects: a scheme prefix and no characters illegal in an IRI
+    * ref. Parsing is unambiguous either way (the form is explicit). */
+  private def isIriLike(s: String): Boolean =
+    s.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s<>\"{}|^`]*")
+
   /** Parse one N-Triples line; None for blank/comment/malformed lines. */
   def parseLine(raw: String): Option[Triple] = {
     val p = new Parser(raw)

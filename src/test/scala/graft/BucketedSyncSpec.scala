@@ -149,6 +149,29 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(nodes(p) == nodes(scratch))
   }
 
+  test("incremental doc publish equals a from-scratch doc build") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true, publishDocs = true))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    val t1 = fx.turns.filterNot(_.conv_id == "conv-000002")
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      syncBuckets = 8, publishDocs = true))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s")
+
+    def docs(q: KgPipeline) = q.docTable.read(spark).get
+      .selectExpr("id", "map_entries(doc) AS es")
+      .selectExpr("id", "explode(es) AS e")
+      .selectExpr("id", "e.key AS k", "array_join(e.value, ',') AS v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(docs(p) == docs(scratch))
+    // doc generations advanced incrementally (full + sync), both bucketed
+    assert(p.docTable.generations().size == 2)
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))

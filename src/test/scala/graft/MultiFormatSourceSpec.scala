@@ -65,6 +65,28 @@ class MultiFormatSourceSpec extends AnyFunSuite {
       "urn:p:type" -> List("thing"), "language" -> List("cs")))
   }
 
+  test("render/parse round-trip holds over 5000 randomized triples") {
+    val rnd = new scala.util.Random(424242)
+    val specials = "\"\\\n\r\tš€ <>@^." // escapes, unicode, NT syntax chars
+    def lit(max: Int): String =
+      (0 until rnd.nextInt(max)).map { _ =>
+        if (rnd.nextInt(4) == 0) specials(rnd.nextInt(specials.length))
+        else ('a' + rnd.nextInt(26)).toChar
+      }.mkString
+    def iri(): String = s"urn:x:${(0 until 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString}"
+    (0 until 5000).foreach { i =>
+      val subj = if (rnd.nextInt(5) == 0) s"_:b${rnd.nextInt(100)}" else iri()
+      val t = rnd.nextInt(3) match {
+        case 0 => Triple(subj, iri(), lit(20), "", "") // plain literal / IRI
+        case 1 => Triple(subj, iri(), lit(20), s"${('a' + rnd.nextInt(26)).toChar}${('a' + rnd.nextInt(26)).toChar}", "")
+        case 2 => Triple(subj, iri(), lit(20), "", iri())
+      }
+      val line = NTriplesSource.render(t)
+      val back = NTriplesSource.parseLine(line)
+      assert(back.contains(t), s"case $i: $t -> $line -> $back")
+    }
+  }
+
   test("F9: index-pattern to regex matches the reference's conversion") {
     import graft.config.ConfigParsing.patternToRegex
     assert(patternToRegex("river-*.v2") == "^river-.*\\.v2")
