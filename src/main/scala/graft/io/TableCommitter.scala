@@ -128,6 +128,12 @@ final class TableCommitter(rootDir: String) {
     * isolation: readers see gen-n until the pointer flips. */
   def publishBuckets(runId: String, changedBuckets: Set[Int],
                      alias: String = "current"): String = synchronized {
+    // resume idempotence: a runId publishes at most once (see
+    // publishedGeneration); stale re-staged data is discarded
+    publishedGeneration(runId) match {
+      case Some(gen) => rollback(runId); return gen
+      case None =>
+    }
     val stagedAt = staging.resolve(runId)
     require(Files.exists(stagedAt), s"nothing staged for $runId")
     val n = generations().lastOption
@@ -159,13 +165,37 @@ final class TableCommitter(rootDir: String) {
         StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(stagedAt)
     setPointer(alias, gen)
+    recordRun(runId, gen)
     gen
+  }
+
+  /** Generation already published for this runId, if any — publishes are
+    * runId-idempotent so a crash-and-resume never applies the same logical
+    * update twice (the incremental edge/node merges are deltas: replaying
+    * one would double-count). Recorded as `_meta/runs/<runId>` after the
+    * pointer flip. */
+  def publishedGeneration(runId: String): Option[String] = {
+    val p = meta.resolve("runs").resolve(runId)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def recordRun(runId: String, gen: String): Unit = {
+    Files.createDirectories(meta.resolve("runs"))
+    Files.write(meta.resolve("runs").resolve(runId),
+      gen.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Atomically publish a staged snapshot: move staging -> gen-(n+1), then
     * atomically replace the pointer. A reader either sees gen-n or gen-(n+1),
-    * never a partial directory. */
+    * never a partial directory. Re-publishing an already-published runId is
+    * a no-op returning the original generation (resume idempotence). */
   def publish(runId: String, alias: String = "current"): String = synchronized {
+    publishedGeneration(runId) match {
+      case Some(gen) => rollback(runId); return gen
+      case None =>
+    }
     val stagedAt = staging.resolve(runId)
     require(Files.exists(stagedAt), s"nothing staged for $runId")
     // next generation = max existing gen dir + 1 (NOT the alias pointer:
@@ -177,6 +207,7 @@ final class TableCommitter(rootDir: String) {
     Files.createDirectories(root)
     Files.move(stagedAt, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
     setPointer(alias, gen)
+    recordRun(runId, gen)
     gen
   }
 

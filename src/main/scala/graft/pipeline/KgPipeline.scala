@@ -42,6 +42,14 @@ final class KgPipeline(cfg: PipelineConfig) {
   /** Test hook: simulate a crash immediately after the named stage commits. */
   @volatile var failAfterStage: Option[String] = None
 
+  /** Test hook: simulate a crash immediately after the named table publish
+    * (pointer already flipped — the hardest resume point). */
+  @volatile var failAfterPublish: Option[String] = None
+
+  private def publishHook(name: String): Unit =
+    if (failAfterPublish.contains(name))
+      throw new RuntimeException(s"injected failure after publish $name")
+
   /** Write-once stage checkpoint: compute -> write tmp -> atomic rename.
     * Presence of the final dir == stage complete; a killed run can never
     * leave a half-readable checkpoint (K3 invariant). */
@@ -332,14 +340,22 @@ final class KgPipeline(cfg: PipelineConfig) {
           .agg(sum(col("dw")).as("dw"))
           .filter(col("dw") =!= 0)
 
+        // checkpoint the delta BEFORE the support publish: it reads the
+        // pre-publish snapshot, and a resume AFTER the publish must replay
+        // the original delta — recomputing it from the mutated table would
+        // yield an empty (or doubled) delta and silently lose the edge/node
+        // update
+        val deltaCk = stage(spark, runId, "edge_delta")(delta)
+
         // dynamic-partition-overwrite: only the k changed buckets are
         // written; the other B-k carry over by hard link
         supportTable.stagePartitioned(
           keep.unionByName(newSupports)
             .withColumn("bucket", convBucket(col("conv_id"))), runId)
         supportTable.publishBuckets(runId, changedBuckets)
+        publishHook("support")
 
-        publishDerivedIncremental(spark, runId, delta, newWm)
+        publishDerivedIncremental(spark, runId, deltaCk, newWm)
     }
   }
 
@@ -388,12 +404,9 @@ final class KgPipeline(cfg: PipelineConfig) {
     * additive counts, so `new = old + delta` is exact; a row retires when
     * its weight reaches 0, an entity when its edge refcount does. */
   private def publishDerivedIncremental(spark: SparkSession, runId: String,
-                                        deltaIn: DataFrame,
+                                        delta: DataFrame,
                                         newWatermark: Option[Timestamp]): RunResult = {
     val keyCols = Seq("subj", "pred", "obj", "lang")
-    // the delta is small (proportional to changed conversations) and feeds
-    // four consumers — checkpoint it once
-    val delta = stage(spark, runId, "edge_delta")(deltaIn)
 
     val affectedEdgeBuckets = delta
       .select(edgeBucket.as("b")).distinct().collect().map(_.getInt(0)).toSet
@@ -414,22 +427,31 @@ final class KgPipeline(cfg: PipelineConfig) {
           .join(curAffected.select(keyCols.map(col): _*), keyCols, "left_anti")
           .filter(col("dw") > 0)
           .select(keyCols.map(col) :+ col("dw").as("weight"): _*)
+
+        // node refcount delta: +1 per created edge row, -1 per deleted one,
+        // for both endpoints (consistent with the full-path refs definition).
+        // Derived from the PRE-publish edge state, so it is checkpointed
+        // BEFORE the edge publish — a resume after that publish would
+        // otherwise recompute it against the already-updated edges and lose
+        // the node update.
+        val deleted = curAffected.join(delta, keyCols)
+          .filter(col("weight") + col("dw") <= 0)
+        val nodeDelta = stage(spark, runId, "node_delta") {
+          created
+            .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+              lit(1L).as("dn"))
+            .unionByName(deleted
+              .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+                lit(-1L).as("dn")))
+            .groupBy("entity_id").agg(sum(col("dn")).as("dn"))
+            .filter(col("dn") =!= 0)
+        }
+
         edgeTable.stagePartitioned(
           updated.unionByName(created).withColumn("bucket", edgeBucket), runId)
         val eg = edgeTable.publishBuckets(runId, affectedEdgeBuckets)
+        publishHook("edges")
 
-        // node refcount delta: +1 per created edge row, -1 per deleted one,
-        // for both endpoints (consistent with the full-path refs definition)
-        val deleted = curAffected.join(delta, keyCols)
-          .filter(col("weight") + col("dw") <= 0)
-        val nodeDelta = created
-          .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
-            lit(1L).as("dn"))
-          .unionByName(deleted
-            .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
-              lit(-1L).as("dn")))
-          .groupBy("entity_id").agg(sum(col("dn")).as("dn"))
-          .filter(col("dn") =!= 0)
         val affectedNodeBuckets = nodeDelta
           .select(convBucket(col("entity_id")).as("b")).distinct()
           .collect().map(_.getInt(0)).toSet

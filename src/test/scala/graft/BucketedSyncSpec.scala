@@ -172,6 +172,48 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(p.docTable.generations().size == 2)
   }
 
+  test("sync resumes exactly after crashes at BOTH mid-publish points " +
+       "(support published / edges published) — the delta replays, never " +
+       "recomputes from mutated state") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true, publishDocs = true))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    val t1 = fx.turns.filterNot(_.conv_id == "conv-000002")
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+
+    // crash 1: support table already published, edges not yet (node_delta
+    // stage commits between the two publishes)
+    p.failAfterStage = Some("node_delta")
+    intercept[RuntimeException] {
+      p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+    }
+    p.failAfterStage = None
+
+    // crash 2 (on the resume attempt): edge table published, nodes/docs not
+    p.failAfterPublish = Some("edges")
+    intercept[RuntimeException] {
+      p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+    }
+    p.failAfterPublish = None
+
+    // final resume completes the run
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      syncBuckets = 8, publishDocs = true))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s")
+    assert(supportSet(p) == supportSet(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
+    def nodes(q: KgPipeline) = q.nodeTable.read(spark).get
+      .select("entity_id", "refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes(p) == nodes(scratch))
+    def docIds(q: KgPipeline) = q.docTable.read(spark).get
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(docIds(p) == docIds(scratch))
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
