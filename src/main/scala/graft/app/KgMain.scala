@@ -47,16 +47,27 @@ object KgMain {
 
     val cfg = PipelineConfig(workDir = workDir)
     val pipeline = new KgPipeline(cfg)
-    val runId = s"$mode-${System.currentTimeMillis()}"
+    // sync runIds are watermark-derived so a crashed sync RETRIED FROM A NEW
+    // PROCESS resumes the original run (stage checkpoints + idempotent
+    // publishes are runId-scoped); full/ingest runs are self-contained and
+    // take a fresh id
+    val runId =
+      if (mode == "sync") pipeline.syncRunId(spark)
+      else s"$mode-${System.currentTimeMillis()}"
 
     if (mode == "ingest-nt") {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
       val triples = graft.sources.NTriplesSource.read(spark, turnsDir)
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),
           col("objLang").as("lang")), cfg)
-      pipeline.docTable.stage(docs, runId)
-      val gen = pipeline.docTable.publish(runId)
+      // same bucketed layout as the pipeline's doc publishes, so a later
+      // full+sync over this workDir can update it incrementally
+      pipeline.docTable.stagePartitioned(
+        docs.withColumn("bucket", pmod(hash(col("subj")), lit(cfg.syncBuckets))),
+        runId)
+      val gen = pipeline.docTable.publishBuckets(runId,
+        (0 until cfg.syncBuckets).toSet)
       val n = pipeline.docTable.read(spark).get.count()
       println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n}""")
       spark.stop()

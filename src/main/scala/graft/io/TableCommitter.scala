@@ -57,10 +57,12 @@ final class TableCommitter(rootDir: String) {
     if (!Files.exists(root)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(root).iterator().asScala
+      val s = Files.list(root)
+      try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.startsWith("gen-"))
         .toSeq.sortBy(_.stripPrefix("gen-").toLong)
+      finally s.close()
     }
 
   def stagingPath(runId: String): String = staging.resolve(runId).toString
@@ -96,9 +98,13 @@ final class TableCommitter(rootDir: String) {
   private def bucketDirs(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(s"${TableCommitter.BucketCol}="))
-      .toSeq
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(s"${TableCommitter.BucketCol}="))
+        .toSeq
+      finally s.close()
+    }
   }
 
   /** Hard-link every file of `src` into `dst` (same inodes — zero copy;
@@ -107,12 +113,13 @@ final class TableCommitter(rootDir: String) {
     * file-system-literal). */
   private def linkDir(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.walk(src).filter(Files.isRegularFile(_)).forEach { f =>
+    val s = Files.walk(src)
+    try s.filter(Files.isRegularFile(_)).forEach { f =>
       val rel = src.relativize(f)
       val out = dst.resolve(rel)
       Files.createDirectories(out.getParent)
       Files.createLink(out, f)
-    }
+    } finally s.close()
   }
 
   /** Incremental bucket publish: gen-(n+1) = staged `bucket=` dirs (the
@@ -131,7 +138,7 @@ final class TableCommitter(rootDir: String) {
     // resume idempotence: a runId publishes at most once (see
     // publishedGeneration); stale re-staged data is discarded
     publishedGeneration(runId) match {
-      case Some(gen) => rollback(runId); return gen
+      case Some(gen) => return republish(runId, gen, alias)
       case None =>
     }
     val stagedAt = staging.resolve(runId)
@@ -164,16 +171,18 @@ final class TableCommitter(rootDir: String) {
       Files.move(success, genDir.resolve("_SUCCESS"),
         StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(stagedAt)
-    setPointer(alias, gen)
     recordRun(runId, gen)
+    setPointer(alias, gen)
     gen
   }
 
   /** Generation already published for this runId, if any — publishes are
     * runId-idempotent so a crash-and-resume never applies the same logical
     * update twice (the incremental edge/node merges are deltas: replaying
-    * one would double-count). Recorded as `_meta/runs/<runId>` after the
-    * pointer flip. */
+    * one would double-count). Recorded as `_meta/runs/<runId>` BEFORE the
+    * pointer flip: a crash between the record and the flip is healed by the
+    * early-return path, which re-points the alias forward; the reverse order
+    * would leave a window where a resume re-applies the delta. */
   def publishedGeneration(runId: String): Option[String] = {
     val p = meta.resolve("runs").resolve(runId)
     if (Files.exists(p))
@@ -187,13 +196,24 @@ final class TableCommitter(rootDir: String) {
       gen.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Idempotent re-publish: discard stale staging, and heal a pointer that a
+    * crash left behind the recorded generation (never regress a pointer that
+    * a later run advanced). */
+  private def republish(runId: String, gen: String, alias: String): String = {
+    rollback(runId)
+    val cur = currentGeneration(alias)
+      .map(_.stripPrefix("gen-").toLong).getOrElse(-1L)
+    if (gen.stripPrefix("gen-").toLong > cur) setPointer(alias, gen)
+    gen
+  }
+
   /** Atomically publish a staged snapshot: move staging -> gen-(n+1), then
     * atomically replace the pointer. A reader either sees gen-n or gen-(n+1),
     * never a partial directory. Re-publishing an already-published runId is
     * a no-op returning the original generation (resume idempotence). */
   def publish(runId: String, alias: String = "current"): String = synchronized {
     publishedGeneration(runId) match {
-      case Some(gen) => rollback(runId); return gen
+      case Some(gen) => return republish(runId, gen, alias)
       case None =>
     }
     val stagedAt = staging.resolve(runId)
@@ -206,8 +226,8 @@ final class TableCommitter(rootDir: String) {
     val gen = s"gen-$n"
     Files.createDirectories(root)
     Files.move(stagedAt, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
-    setPointer(alias, gen)
     recordRun(runId, gen)
+    setPointer(alias, gen)
     gen
   }
 
@@ -257,9 +277,11 @@ final class TableCommitter(rootDir: String) {
     if (Files.exists(p)) deleteRecursively(p)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally s.close()
+  }
 }
 
 object TableCommitter {

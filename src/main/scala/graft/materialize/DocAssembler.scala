@@ -76,6 +76,23 @@ object DocAssembler {
       .select(triples.columns.map(col): _*)
   }
 
+  /** F8 + F10 composed: JSON rendering of a literal value with the
+    * reference's typed passthrough — numeric/boolean datatypes emit native
+    * JSON tokens, everything else a quoted, escaped string
+    * (getStringForResult, ESNormalizer.java:349-393: Boolean/Number literal
+    * values are added unconverted and serialize as JSON numbers/booleans;
+    * mapToString quoting, Harvester.java:1937-1951). */
+  def typedJsonValue(obj: org.apache.spark.sql.Column,
+                     objType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val numeric = Seq("byte", "short", "int", "integer", "long", "float",
+      "double", "decimal").map(xsd + _)
+    when(objType.isInCollection(numeric) || objType === s"${xsd}boolean", obj)
+      .otherwise(concat(lit("\""),
+        regexp_replace(regexp_replace(obj, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        lit("\"")))
+  }
+
   /** @param triples columns (subj, pred, obj, lang); lang "" = untagged.
     * @param labelSource label-lookup scope for uriDescription substitution
     *        (defaults to `triples`; pass the full model when `triples` is an

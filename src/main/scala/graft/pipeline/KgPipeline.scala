@@ -259,6 +259,16 @@ final class KgPipeline(cfg: PipelineConfig) {
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
   }
 
+  /** Deterministic sync run id: ONE logical sync per watermark epoch. The
+    * incremental path's resume correctness hangs on runId identity (stage
+    * checkpoints + idempotent publishes are runId-scoped); a crashed sync
+    * retried under a fresh id would recompute the delta from the
+    * already-mutated tables and silently lose the edge/node update. Use this
+    * (as KgMain does) unless the caller manages its own stable ids. */
+  def syncRunId(spark: SparkSession): String =
+    s"sync-wm-${checkpoints.lastWatermark(spark, cfg.pipelineId)
+      .map(_.getTime).getOrElse(0L)}"
+
   /** Incremental sync (reference lifecycle §3.2): watermark-filtered changed
     * set -> semi-join re-extract of changed conversations -> bucket-level
     * dynamic partition overwrite (only buckets containing touched
@@ -396,7 +406,8 @@ final class KgPipeline(cfg: PipelineConfig) {
     }
 
     finishRun(spark, runId, newWatermark, edgesGen, nodesGen,
-      obs.get("n").asInstanceOf[Long])
+      obs.get("n").asInstanceOf[Long],
+      Seq(("edges", "total_weight", obs.get("total_weight").asInstanceOf[Long])))
   }
 
   /** Propagate a support-level weight delta into the edge and node tables,
@@ -488,23 +499,31 @@ final class KgPipeline(cfg: PipelineConfig) {
     // Harvester.java:1199-1453). Full-refresh of referencing docs would be
     // an obj-side semi-join over the edge table (opt-in extension point).
     if (cfg.publishDocs) {
-      val affectedSubjects = delta.select("subj").distinct()
-      val slice = publishedEdges
-        .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
-        .join(affectedSubjects, Seq("subj"), "left_semi")
-        .select("subj", "pred", "obj", "lang")
-      val rebuilt = graft.materialize.DocAssembler.assemble(
-        slice, cfg, labelSource = Some(publishedEdges))
-      val kept = docTable.read(spark) match {
-        case Some(curD) => curD
-          .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*))
-          .drop("bucket")
-          .join(affectedSubjects, Seq("subj"), "left_anti")
-        case None => rebuilt.limit(0)
+      docTable.read(spark) match {
+        case Some(curD) =>
+          val affectedSubjects = delta.select("subj").distinct()
+          val slice = publishedEdges
+            .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
+            .join(affectedSubjects, Seq("subj"), "left_semi")
+            .select("subj", "pred", "obj", "lang")
+          val rebuilt = graft.materialize.DocAssembler.assemble(
+            slice, cfg, labelSource = Some(publishedEdges))
+          val kept = curD
+            .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*))
+            .drop("bucket")
+            .join(affectedSubjects, Seq("subj"), "left_anti")
+          docTable.stagePartitioned(
+            rebuilt.unionByName(kept).withColumn("bucket", edgeBucket), runId)
+          docTable.publishBuckets(runId, affectedEdgeBuckets)
+        case None =>
+          // publishDocs enabled after a docs-less run: an incremental slice
+          // would present only the changed subjects' docs as the whole
+          // table — bootstrap with a full build instead
+          val docs = graft.materialize.DocAssembler.assemble(
+            publishedEdges.select("subj", "pred", "obj", "lang"), cfg)
+          docTable.stagePartitioned(docs.withColumn("bucket", edgeBucket), runId)
+          docTable.publishBuckets(runId, allBuckets)
       }
-      docTable.stagePartitioned(
-        rebuilt.unionByName(kept).withColumn("bucket", edgeBucket), runId)
-      docTable.publishBuckets(runId, affectedEdgeBuckets)
     }
 
     finishRun(spark, runId, newWatermark, edgesGen, nodesGen, nTriples)
@@ -513,9 +532,11 @@ final class KgPipeline(cfg: PipelineConfig) {
   private def finishRun(spark: SparkSession, runId: String,
                         newWatermark: Option[Timestamp],
                         edgesGen: String, nodesGen: String,
-                        nTriples: Long): RunResult = {
-    checkpoints.writeMetrics(spark, runId, Seq(
-      ("edges", "published_triples", nTriples)))
+                        nTriples: Long,
+                        extraMetrics: Seq[(String, String, Long)] = Seq.empty)
+      : RunResult = {
+    checkpoints.writeMetrics(spark, runId,
+      ("edges", "published_triples", nTriples) +: extraMetrics)
     val wm = newWatermark
       .orElse(checkpoints.lastWatermark(spark, cfg.pipelineId))
       .getOrElse(new Timestamp(0L))

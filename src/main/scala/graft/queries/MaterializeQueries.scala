@@ -108,6 +108,54 @@ object MaterializeQueries {
         .orderBy("subj", "pred", "obj")
     },
 
+    // ---- F8+F10: typed JSON doc-value rendering through the real function
+    // (DocAssembler.typedJsonValue): numeric/boolean datatypes pass through
+    // as native JSON tokens, strings quote-escape — the reference's
+    // getStringForResult dispatch composed with its mapToString rendering,
+    // over NT-parsed triples so objType drives the dispatch end-to-end
+    "mat_typed_json_render" -> Q(
+      """WITH t AS (
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, 'urn:p:len' AS pred,
+        |         CAST(n_chars AS VARCHAR) AS obj,
+        |         'http://www.w3.org/2001/XMLSchema#integer' AS otype
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:even',
+        |         CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END,
+        |         'http://www.w3.org/2001/XMLSchema#boolean'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:src',
+        |         'src "' || source || '" \' || source, ''
+        |  FROM documents)
+        |SELECT subj, pred,
+        |       CASE WHEN otype <> '' THEN obj
+        |            ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
+        |       END AS rendered
+        |FROM t ORDER BY subj, pred, rendered""".stripMargin) { (s, d) =>
+      import graft.materialize.DocAssembler.typedJsonValue
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val t = docs.select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("urn:p:len").as("pred"),
+          col("n_chars").cast("string").as("obj"),
+          lit("http://www.w3.org/2001/XMLSchema#integer").as("otype"))
+        .unionByName(docs.select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("urn:p:even").as("pred"),
+          when(col("doc_id") % 2 === 0, "true").otherwise("false").as("obj"),
+          lit("http://www.w3.org/2001/XMLSchema#boolean").as("otype")))
+        .unionByName(docs.select(
+          concat(lit("urn:doc:"), id).as("subj"),
+          lit("urn:p:src").as("pred"),
+          concat(lit("src \""), col("source"), lit("\" \\"), col("source")).as("obj"),
+          lit("").as("otype")))
+      t.select(col("subj"), col("pred"),
+          typedJsonValue(col("obj"), col("otype")).as("rendered"))
+        .orderBy("subj", "pred", "rendered")
+    },
+
     // ---- A6 + about + language through the full assembler: shared-prop
     // merge, about=[subj] via the shared doc, language=[lang] on tagged docs,
     // untagged-only fallback at the default language — exploded to long form

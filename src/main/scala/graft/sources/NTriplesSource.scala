@@ -91,6 +91,24 @@ object NTriplesSource {
     } yield Triple(subj, pred, obj._1, obj._2, obj._3)
   }
 
+  /** Value of `n` hex digits at `from`, or -1 when any char is not [0-9a-fA-F]
+    * (never overflows: max 8 digits <= 0xFFFFFFFF handled in Long). */
+  private def hexValue(s: String, from: Int, n: Int): Int = {
+    var v = 0L
+    var j = 0
+    while (j < n) {
+      val c = s.charAt(from + j)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1
+      v = v * 16 + d
+      j += 1
+    }
+    if (v > Int.MaxValue) -1 else v.toInt
+  }
+
   private final class Parser(s: String) {
     private var i = 0
     def atEnd: Boolean = i >= s.length
@@ -140,16 +158,20 @@ object NTriplesSource {
             case 'r' => sb.append('\r'); i += 2
             case '"' => sb.append('"'); i += 2
             case '\\' => sb.append('\\'); i += 2
+            // strict hex only: Integer.parseInt would accept signs ("\u-123")
+            // and \U can exceed the Unicode range — both must reject the
+            // line, not crash the ingest (appendCodePoint throws
+            // IllegalArgumentException past 0x10FFFF)
             case 'u' =>
               if (i + 5 >= s.length) return None
-              val hex = s.substring(i + 2, i + 6)
-              try { sb.append(Integer.parseInt(hex, 16).toChar); i += 6 }
-              catch { case _: NumberFormatException => return None }
+              val v = hexValue(s, i + 2, 4)
+              if (v < 0) return None
+              sb.append(v.toChar); i += 6
             case 'U' =>
               if (i + 9 >= s.length) return None
-              val hex = s.substring(i + 2, i + 10)
-              try { sb.appendCodePoint(Integer.parseInt(hex, 16)); i += 10 }
-              catch { case _: NumberFormatException => return None }
+              val v = hexValue(s, i + 2, 8)
+              if (v < 0 || v > 0x10FFFF) return None
+              sb.appendCodePoint(v); i += 10
             case _ => return None
           }
         } else { sb.append(c); i += 1 }

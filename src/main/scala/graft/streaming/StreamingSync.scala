@@ -46,6 +46,21 @@ object StreamingSync {
     val turns = spark.readStream.schema(schema).parquet(inputDir).as[Turn]
     val keyCols = Seq("conv_id", "subj", "pred", "obj", "lang")
 
+    // batchIds are only meaningful relative to ONE checkpoint lineage: stamp
+    // the checkpoint dir with an identity and refuse to run a fresh
+    // checkpoint (batchIds restarting at 0) over a table built by another —
+    // skipping would silently drop genuinely new data as "replayed", and
+    // reprocessing would double-count the additive merge.
+    val ckptId = checkpointIdentity(checkpointDir)
+    val storedCkpt = table.currentGeneration("lastBatchCkpt")
+    if (storedCkpt.exists(_ != ckptId) &&
+        table.currentGeneration("lastBatch").isDefined)
+      throw new IllegalStateException(
+        s"checkpoint $checkpointDir is not the lineage that built this table " +
+          "(stored id " + storedCkpt.get + "): restore the original " +
+          "checkpoint or start a new table — replaying from batch 0 over an " +
+          "additively-merged table would double-count")
+
     var merged = 0L
     val q = turns.writeStream
       .trigger(Trigger.AvailableNow())
@@ -55,23 +70,27 @@ object StreamingSync {
           table.currentGeneration("lastBatch").exists(_.toLong >= batchId)
         if (!replayed) {
           val s = batch.sparkSession
+          // the observation rides the merge write and counts THIS batch's
+          // extracted support rows (pre-merge), not the combined table size
+          val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
           val supports = Extractor.extract(batch, catalog, markers).toDF()
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
             .withColumn("lang", lit(cfg.language))
+            .observe(obs, count(lit(1)).as("n"))
+            .select(keyCols.map(col) :+ col("weight"): _*)
           val combined = table.read(s) match {
             case Some(cur) =>
               cur.select(keyCols.map(col) :+ col("weight"): _*)
-                .unionByName(supports.select(keyCols.map(col) :+ col("weight"): _*))
+                .unionByName(supports)
                 .groupBy(keyCols.map(col): _*)
                 .agg(sum(col("weight")).as("weight"))
-            case None => supports.select(keyCols.map(col) :+ col("weight"): _*)
+            case None => supports
           }
-          val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
-          table.stage(combined.observe(obs, count(lit(1)).as("n")),
-            s"stream-$batchId")
+          table.stage(combined, s"stream-$batchId")
           table.publish(s"stream-$batchId")
           table.setPointer("lastBatch", batchId.toString)
+          table.setPointer("lastBatchCkpt", ckptId)
           merged += obs.get("n").asInstanceOf[Long]
         }
         ()
@@ -79,6 +98,20 @@ object StreamingSync {
       .start()
     q.awaitTermination()
     merged
+  }
+
+  /** Stable identity of a checkpoint directory (created on first use). */
+  private def checkpointIdentity(checkpointDir: String): String = {
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft-ckpt-id")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.writeString(f, id)
+      id
+    }
   }
 
   /** Watermarked tumbling-window aggregate over the turn stream: mentions

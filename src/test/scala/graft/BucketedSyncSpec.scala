@@ -214,6 +214,28 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(docIds(p) == docIds(scratch))
   }
 
+  test("publishDocs enabled after a docs-less full run bootstraps the FULL doc table") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val noDocs = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 8,
+      publishDocs = false))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    noDocs.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+
+    // same workDir, docs now on — the sync's doc publish must not present a
+    // changed-subjects slice as the whole table
+    val withDocs = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 8,
+      publishDocs = true))
+    withDocs.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t1")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      syncBuckets = 8, publishDocs = true))
+    scratch.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "s")
+    def docIds(q: KgPipeline) = q.docTable.read(spark).get
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(docIds(withDocs) == docIds(scratch))
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))

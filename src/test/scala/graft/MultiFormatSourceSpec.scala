@@ -23,7 +23,13 @@ class MultiFormatSourceSpec extends AnyFunSuite {
         |
         |this line is malformed and must be dropped
         |<urn:s:3> <urn:p:x> "trailing comment" . # trailing
-        |""".stripMargin
+        |""".stripMargin +
+      // hostile escapes (normal-string concat: Scala's scanner would choke
+      // on a literal \u sequence even inside triple quotes): out-of-range
+      // \U codepoint, signed hex, truncated hex — all dropped, never thrown
+      "<urn:s:9> <urn:p:x> \"bad codepoint \\U00110000\" .\n" +
+      "<urn:s:9> <urn:p:x> \"signed hex \\" + "u-1230\" .\n" +
+      "<urn:s:9> <urn:p:x> \"short hex \\" + "u12\" .\n"
     Files.writeString(dir.resolve("g.nt"), nt)
     val got = NTriplesSource.read(spark, dir.toString).collect().toSet
     assert(got == Set(

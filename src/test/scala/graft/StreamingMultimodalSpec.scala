@@ -49,6 +49,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(table.currentGeneration("lastBatch").isDefined)
   }
 
+  test("a recreated checkpoint over a non-empty table is refused, not silently skipped") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 4, nEnt = 5, hotFactor = 1)
+    val inDir = Files.createTempDirectory("stream-ck-in-").toString
+    fx.turns.toDS().write.mode("overwrite").parquet(inDir)
+    val table = new TableCommitter(Files.createTempDirectory("stream-ck-tbl-").toString)
+    val ckpt1 = Files.createTempDirectory("stream-ck1-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt1,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+    assert(table.read(spark).isDefined)
+
+    // a FRESH checkpoint restarts batchIds at 0; running it over the same
+    // table must fail loudly (skip = data loss, reprocess = double count)
+    val ckpt2 = Files.createTempDirectory("stream-ck2-").toString
+    val ex = intercept[IllegalStateException] {
+      StreamingSync.ingestAvailableNow(spark, inDir, ckpt2,
+        fx.catalog, fx.markers, PipelineConfig(), table)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+  }
+
   test("streaming windowed mention-rate aggregate runs as a real stream") {
     val spark = SparkTestSession.get
     import spark.implicits._
