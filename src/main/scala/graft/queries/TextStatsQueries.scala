@@ -92,6 +92,58 @@ object TextStatsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- end-to-end curation: the composition a training-data pipeline
+    // actually runs — language gate + quality gates + exact-dedup keeper +
+    // order-insensitive near-dup keeper, producing the kept training set.
+    // Every signal reuses the operators above, so this locks their
+    // composition (filters before the expensive dedup aggregations would be
+    // pushed by Catalyst; the group-by keepers are map-side-combinable).
+    "ta_curation_pipeline" -> Q(
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
+        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |         length(replace(text, ' ', '')) AS n_alpha,
+        |         md5(text) AS h,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), x -> length(x) > 0))), ' ')) AS fp
+        |  FROM documents),
+        |gated AS (
+        |  SELECT * FROM s
+        |  WHERE n_words >= 5
+        |    AND CAST(n_stop AS DOUBLE) / n_words > 0.05
+        |    AND CAST(n_alpha AS DOUBLE) / n_words <= 12),
+        |keepers AS (
+        |  SELECT doc_id, n_words,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rh,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rf
+        |  FROM gated)
+        |SELECT doc_id, n_words FROM keepers
+        |WHERE rh = 1 AND rf = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextNorm.tokensCol(col("text"))
+      val stats = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        size(filter(toks, t => t.isin("the", "a"))).as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).as("n_alpha"),
+        md5(col("text").cast("binary")).as("h"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")
+          .cast("binary")).as("fp"))
+      val gated = stats.filter(
+        col("n_words") >= 5 &&
+          col("n_stop").cast("double") / col("n_words") > 0.05 &&
+          col("n_alpha").cast("double") / col("n_words") <= 12)
+      gated
+        .withColumn("rh", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        .withColumn("rf", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rh") === 1 && col("rf") === 1)
+        .select("doc_id", "n_words")
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing: opaque binary payload column + typed
     // metadata (byte length, magic prefix); the decode/feature kernel is the
     // deterministic stub in graft.multimodal (no image/audio libs in-box)
