@@ -56,18 +56,17 @@ object KgMain {
       else s"$mode-${System.currentTimeMillis()}"
 
     if (mode == "ingest-nt") {
-      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      import org.apache.spark.sql.functions.col
       val triples = graft.sources.NTriplesSource.read(spark, turnsDir)
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),
           col("objLang").as("lang")), cfg)
-      // same bucketed layout as the pipeline's doc publishes, so a later
-      // full+sync over this workDir can update it incrementally
+      // the pipeline's own bucket expression (never a re-derived copy):
+      // a later full+sync over this workDir updates the table incrementally
+      // only if every writer agrees bit-for-bit on key-to-bucket mapping
       pipeline.docTable.stagePartitioned(
-        docs.withColumn("bucket", pmod(hash(col("subj")), lit(cfg.syncBuckets))),
-        runId)
-      val gen = pipeline.docTable.publishBuckets(runId,
-        (0 until cfg.syncBuckets).toSet)
+        docs.withColumn("bucket", pipeline.subjectBucket(col("subj"))), runId)
+      val gen = pipeline.docTable.publishBuckets(runId, pipeline.allBucketIds)
       val n = pipeline.docTable.read(spark).get.count()
       println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n}""")
       spark.stop()

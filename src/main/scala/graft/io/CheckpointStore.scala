@@ -45,6 +45,19 @@ final class CheckpointStore(root: String) {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  /** Number of successful runs recorded for the pipeline — the sync EPOCH.
+    * Watermarks alone cannot number syncs (an empty sync leaves the
+    * watermark unchanged), and run ids must be unique per logical sync yet
+    * stable across crash-retries of the same one. */
+  def successfulRuns(spark: SparkSession, pipelineId: String): Long =
+    try {
+      spark.read.parquet(wmPath)
+        .filter(col("pipeline_id") === pipelineId && col("status") === "success")
+        .count()
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => 0L
+    }
+
   def writeMetrics(spark: SparkSession, runId: String,
                    rows: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._

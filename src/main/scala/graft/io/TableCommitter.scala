@@ -137,7 +137,7 @@ final class TableCommitter(rootDir: String) {
                      alias: String = "current"): String = synchronized {
     // resume idempotence: a runId publishes at most once (see
     // publishedGeneration); stale re-staged data is discarded
-    publishedGeneration(runId) match {
+    publishedGeneration(runId, alias) match {
       case Some(gen) => return republish(runId, gen, alias)
       case None =>
     }
@@ -171,7 +171,7 @@ final class TableCommitter(rootDir: String) {
       Files.move(success, genDir.resolve("_SUCCESS"),
         StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(stagedAt)
-    recordRun(runId, gen)
+    recordRun(runId, gen, alias)
     setPointer(alias, gen)
     gen
   }
@@ -183,22 +183,29 @@ final class TableCommitter(rootDir: String) {
     * pointer flip: a crash between the record and the flip is healed by the
     * early-return path, which re-points the alias forward; the reverse order
     * would leave a window where a resume re-applies the delta. */
-  def publishedGeneration(runId: String): Option[String] = {
-    val p = meta.resolve("runs").resolve(runId)
+  def publishedGeneration(runId: String,
+                          alias: String = "current"): Option[String] = {
+    val p = meta.resolve("runs").resolve(s"$alias~$runId")
     if (Files.exists(p))
       Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
     else None
   }
 
-  private def recordRun(runId: String, gen: String): Unit = {
+  // run records are ALIAS-scoped: publishing the same runId under another
+  // alias is an independent logical publish, and a record must never move a
+  // pointer the runId was not published under
+  private def recordRun(runId: String, gen: String, alias: String): Unit = {
     Files.createDirectories(meta.resolve("runs"))
-    Files.write(meta.resolve("runs").resolve(runId),
+    Files.write(meta.resolve("runs").resolve(s"$alias~$runId"),
       gen.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Idempotent re-publish: discard stale staging, and heal a pointer that a
     * crash left behind the recorded generation (never regress a pointer that
-    * a later run advanced). */
+    * a later run advanced). Caveat, documented: a DELIBERATE pointer
+    * rollback followed by a replay of the pre-rollback runId is re-healed
+    * forward — retire old runIds (or publish the rollback as its own
+    * generation) when operating that way. */
   private def republish(runId: String, gen: String, alias: String): String = {
     rollback(runId)
     val cur = currentGeneration(alias)
@@ -212,7 +219,7 @@ final class TableCommitter(rootDir: String) {
     * never a partial directory. Re-publishing an already-published runId is
     * a no-op returning the original generation (resume idempotence). */
   def publish(runId: String, alias: String = "current"): String = synchronized {
-    publishedGeneration(runId) match {
+    publishedGeneration(runId, alias) match {
       case Some(gen) => return republish(runId, gen, alias)
       case None =>
     }
@@ -226,7 +233,7 @@ final class TableCommitter(rootDir: String) {
     val gen = s"gen-$n"
     Files.createDirectories(root)
     Files.move(stagedAt, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
-    recordRun(runId, gen)
+    recordRun(runId, gen, alias)
     setPointer(alias, gen)
     gen
   }

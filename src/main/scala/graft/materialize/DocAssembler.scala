@@ -87,10 +87,23 @@ object DocAssembler {
     val xsd = "http://www.w3.org/2001/XMLSchema#"
     val numeric = Seq("byte", "short", "int", "integer", "long", "float",
       "double", "decimal").map(xsd + _)
-    when(objType.isInCollection(numeric) || objType === s"${xsd}boolean", obj)
-      .otherwise(concat(lit("\""),
-        regexp_replace(regexp_replace(obj, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-        lit("\"")))
+    // native passthrough only for lexical forms that ARE valid JSON tokens;
+    // anything else (e.g. "NaN"^^xsd:double, "abc"^^xsd:integer) falls back
+    // to the quoted-string rendering — emitting it bare would produce
+    // invalid JSON
+    val numericLexical = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+    // RFC 8259 string: escape backslash/quote/\n\r\t, strip remaining
+    // control chars (documented: the reference's raw put() would emit them
+    // and rely on the ES client's serializer)
+    val e1 = regexp_replace(obj, "\\\\", "\\\\\\\\")
+    val e2 = regexp_replace(e1, "\"", "\\\\\"")
+    val e3 = regexp_replace(e2, "\n", "\\\\n")
+    val e4 = regexp_replace(e3, "\r", "\\\\r")
+    val e5 = regexp_replace(e4, "\t", "\\\\t")
+    val e6 = regexp_replace(e5, "[\\x00-\\x1f]", "")
+    when(objType.isInCollection(numeric) && obj.rlike(numericLexical), obj)
+      .when(objType === s"${xsd}boolean" && obj.isin("true", "false"), obj)
+      .otherwise(concat(lit("\""), e6, lit("\"")))
   }
 
   /** @param triples columns (subj, pred, obj, lang); lang "" = untagged.

@@ -52,8 +52,11 @@ final class KgPipeline(cfg: PipelineConfig) {
 
   /** Write-once stage checkpoint: compute -> write tmp -> atomic rename.
     * Presence of the final dir == stage complete; a killed run can never
-    * leave a half-readable checkpoint (K3 invariant). */
-  private def stage(spark: SparkSession, runKey: String, name: String)
+    * leave a half-readable checkpoint (K3 invariant). `afterWrite` runs on
+    * the tmp dir between the parquet write and the rename, so sidecar files
+    * (e.g. the observed watermark) commit atomically WITH the checkpoint. */
+  private def stage(spark: SparkSession, runKey: String, name: String,
+                    afterWrite: java.nio.file.Path => Unit = _ => ())
                    (compute: => DataFrame): DataFrame = {
     val dir = Paths.get(s"$stagesRoot/$runKey/$name")
     if (!Files.exists(dir)) {
@@ -63,12 +66,35 @@ final class KgPipeline(cfg: PipelineConfig) {
           .forEach(f => Files.delete(f))
       }
       compute.write.parquet(tmp.toString)
+      afterWrite(tmp)
       Files.createDirectories(dir.getParent)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       if (failAfterStage.contains(name))
         throw new RuntimeException(s"injected failure after stage $name")
     }
     spark.read.parquet(dir.toString)
+  }
+
+  /** Watermark sidecar name: leading underscore keeps parquet readers from
+    * treating it as data (like _SUCCESS). */
+  private val WmSidecar = "_graft_watermark"
+
+  private def writeWmSidecar(tmp: java.nio.file.Path,
+                             wm: Option[Timestamp]): Unit =
+    Files.writeString(tmp.resolve(WmSidecar),
+      wm.map(_.getTime.toString).getOrElse("none"))
+
+  /** The watermark the ORIGINAL attempt of this stage observed; a resumed
+    * run must replay it — recomputing from the post-crash source would
+    * advance past data the stale checkpoint never extracted. Outer None =
+    * no sidecar (checkpoint predates it). */
+  private def readWmSidecar(runKey: String, name: String): Option[Option[Timestamp]] = {
+    val f = Paths.get(s"$stagesRoot/$runKey/$name").resolve(WmSidecar)
+    if (!Files.exists(f)) None
+    else Files.readString(f).trim match {
+      case "none" => Some(None)
+      case ms => Some(Some(new Timestamp(ms.toLong)))
+    }
   }
 
   /** Stable ordering + salted repartition (input contract: turn order must be
@@ -228,19 +254,51 @@ final class KgPipeline(cfg: PipelineConfig) {
   private val edgeBucket = pmod(hash(col("subj")), lit(B))
   private val allBuckets: Set[Int] = (0 until B).toSet
 
+  /** Bucket-count pin: the key-to-bucket mapping is baked into every
+    * published generation, so running a sync with a different syncBuckets
+    * than the tables were built with would replace rows in the wrong buckets
+    * and silently carry stale copies forward. Pinned at first full run;
+    * verified on every run. */
+  private val bucketPin = Paths.get(s"${cfg.workDir}/_meta_pipeline/bucket_count")
+  private def pinOrVerifyBucketCount(): Unit = {
+    if (Files.exists(bucketPin)) {
+      val pinned = Files.readString(bucketPin).trim.toInt
+      require(pinned == B,
+        s"syncBuckets=$B but the published tables were built with $pinned " +
+          "buckets — changing the bucket count requires a fresh workDir " +
+          "(or a full rebuild into one)")
+    } else {
+      Files.createDirectories(bucketPin.getParent)
+      Files.writeString(bucketPin, B.toString)
+    }
+  }
+
+  /** The subject-bucket expression of this pipeline's edge/doc tables —
+    * external writers (KgMain ingest-nt) MUST use this, not a re-derived
+    * copy: bucket-merge correctness requires every writer to agree
+    * bit-for-bit on the key-to-bucket mapping. */
+  def subjectBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(c), lit(B))
+
+  /** Every bucket id of this pipeline's tables (full-publish bucket set). */
+  def allBucketIds: Set[Int] = allBuckets
+
   /** Full harvest (reference lifecycle §3.1): compute everything, publish
     * atomically, record watermark + metrics + lineage. */
   def runFull(spark: SparkSession, turns: Dataset[Turn],
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
-    var wm: Option[Timestamp] = None
-    val supports = stage(spark, runId, "supports") {
+    pinOrVerifyBucketCount()
+    var obsWm: Option[Timestamp] = None
+    val supports = stage(spark, runId, "supports",
+      afterWrite = writeWmSidecar(_, obsWm)) {
       val (good, w) = quarantined(spark, turns, runId)
-      wm = w
+      obsWm = w
       computeSupports(spark, good, catalog, markers)
     }
-    // resumed run skipped the stage (and the observation): one fallback scan
-    if (wm.isEmpty) wm = maxEventTime(turns)
+    // resumed run replays the checkpoint's own watermark; the live-source
+    // fallback is only for checkpoints that predate the sidecar
+    val wm = readWmSidecar(runId, "supports").getOrElse(maxEventTime(turns))
     checkpoints.writeLineage(spark, runId, "supports", supports)
 
     supportTable.stagePartitioned(
@@ -259,15 +317,22 @@ final class KgPipeline(cfg: PipelineConfig) {
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
   }
 
-  /** Deterministic sync run id: ONE logical sync per watermark epoch. The
-    * incremental path's resume correctness hangs on runId identity (stage
-    * checkpoints + idempotent publishes are runId-scoped); a crashed sync
-    * retried under a fresh id would recompute the delta from the
-    * already-mutated tables and silently lose the edge/node update. Use this
-    * (as KgMain does) unless the caller manages its own stable ids. */
-  def syncRunId(spark: SparkSession): String =
-    s"sync-wm-${checkpoints.lastWatermark(spark, cfg.pipelineId)
-      .map(_.getTime).getOrElse(0L)}"
+  /** Deterministic sync run id: ONE logical sync per (successful-run count,
+    * watermark) epoch. The incremental path's resume correctness hangs on
+    * runId identity (stage checkpoints + idempotent publishes are
+    * runId-scoped); a crashed sync retried under a fresh id would recompute
+    * the delta from the already-mutated tables and silently lose the
+    * edge/node update. The run COUNT is part of the id because the watermark
+    * alone does not advance on an empty sync — a watermark-only id would
+    * make the next data-bearing sync reuse the empty sync's checkpoints and
+    * swallow its data. Use this (as KgMain does) unless the caller manages
+    * its own stable ids. */
+  def syncRunId(spark: SparkSession): String = {
+    val n = checkpoints.successfulRuns(spark, cfg.pipelineId)
+    val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
+      .map(_.getTime).getOrElse(0L)
+    s"sync-n$n-wm-$wm"
+  }
 
   /** Incremental sync (reference lifecycle §3.2): watermark-filtered changed
     * set -> semi-join re-extract of changed conversations -> bucket-level
@@ -280,6 +345,7 @@ final class KgPipeline(cfg: PipelineConfig) {
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
     import spark.implicits._
+    pinOrVerifyBucketCount()
     val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
       .getOrElse(new Timestamp(0L))
 
@@ -298,13 +364,18 @@ final class KgPipeline(cfg: PipelineConfig) {
     // construction, so max(ts) over changedTurns == max over the full source
     // whenever new data exists (and the fallback keeps the old watermark)
     val changedTurns = turns.join(changedConvs, Seq("conv_id"), "left_semi").as[Turn]
-    var newWm: Option[Timestamp] = None
-    val newSupports = stage(spark, runId, "sync_supports") {
+    var obsWm: Option[Timestamp] = None
+    val newSupports = stage(spark, runId, "sync_supports",
+      afterWrite = writeWmSidecar(_, obsWm)) {
       val (good, w) = quarantined(spark, changedTurns, runId)
-      newWm = w
+      obsWm = w
       computeSupports(spark, good, catalog, markers)
     }
-    if (newWm.isEmpty) newWm = maxEventTime(changedTurns)
+    // resumed run replays the checkpoint's own watermark — recomputing from
+    // the CURRENT source would advance past turns that arrived between the
+    // crash and the retry without ever extracting them
+    val newWm = readWmSidecar(runId, "sync_supports")
+      .getOrElse(maxEventTime(changedTurns))
     checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
 
     supportTable.read(spark) match {

@@ -53,13 +53,16 @@ object StreamingSync {
     // reprocessing would double-count the additive merge.
     val ckptId = checkpointIdentity(checkpointDir)
     val storedCkpt = table.currentGeneration("lastBatchCkpt")
-    if (storedCkpt.exists(_ != ckptId) &&
-        table.currentGeneration("lastBatch").isDefined)
+    // strict: an ingested table (lastBatch stamped) whose lineage id is
+    // absent or different means the batchId numbering cannot be trusted —
+    // an absent id also covers a crash before the very first lineage stamp
+    if (table.currentGeneration("lastBatch").isDefined &&
+        !storedCkpt.contains(ckptId))
       throw new IllegalStateException(
         s"checkpoint $checkpointDir is not the lineage that built this table " +
-          "(stored id " + storedCkpt.get + "): restore the original " +
-          "checkpoint or start a new table — replaying from batch 0 over an " +
-          "additively-merged table would double-count")
+          s"(stored id ${storedCkpt.getOrElse("<none>")}): restore the " +
+          "original checkpoint or start a new table — replaying from batch 0 " +
+          "over an additively-merged table would double-count")
 
     var merged = 0L
     val q = turns.writeStream
@@ -87,10 +90,16 @@ object StreamingSync {
                 .agg(sum(col("weight")).as("weight"))
             case None => supports
           }
-          table.stage(combined, s"stream-$batchId")
-          table.publish(s"stream-$batchId")
-          table.setPointer("lastBatch", batchId.toString)
+          // runId scoped by lineage id: publish idempotence records must
+          // never collide across checkpoint lineages (a fresh lineage's
+          // batch 0 is a different logical batch than an old lineage's)
+          table.stage(combined, s"stream-$ckptId-$batchId")
+          table.publish(s"stream-$ckptId-$batchId")
+          // lineage id BEFORE the batch stamp: a crash between the two must
+          // never leave lastBatch set with no (or a stale) lineage id — the
+          // strict guard above would then brick or bypass the table
           table.setPointer("lastBatchCkpt", ckptId)
+          table.setPointer("lastBatch", batchId.toString)
           merged += obs.get("n").asInstanceOf[Long]
         }
         ()

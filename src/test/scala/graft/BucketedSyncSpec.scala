@@ -236,6 +236,87 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(docIds(withDocs) == docIds(scratch))
   }
 
+  test("randomized 3-epoch sync chain converges to the from-scratch tables " +
+       "(delta-of-delta consistency)") {
+    val spark = SparkTestSession.get
+    val rnd = new scala.util.Random(20260816)
+    val all = fx.turns
+    val convs = all.map(_.conv_id).distinct.sorted
+    val maxIdx = all.map(_.turn_idx).max
+
+    // epoch 0: early turns; epoch 1: extend half the convs to cut1, drop one;
+    // epoch 2: extend the SAME grown convs past cut1 (event time strictly
+    // above epoch 1's watermark — watermark sync cannot see late data, by
+    // design and in reference parity), drop another conv
+    val cut0 = 4
+    val cut1 = 8
+    val grow1 = convs.filter(_ => rnd.nextBoolean()).toSet
+    val drop1 = convs(rnd.nextInt(convs.size))
+    val drop2 = convs.filterNot(_ == drop1)(rnd.nextInt(convs.size - 1))
+
+    val e0 = all.filter(_.turn_idx <= cut0)
+    val e1 = all.filter(t => t.turn_idx <= (if (grow1(t.conv_id)) cut1 else cut0))
+      .filterNot(_.conv_id == drop1)
+    val e2 = all.filter(t =>
+        if (grow1(t.conv_id)) true else t.turn_idx <= cut0)
+      .filterNot(t => t.conv_id == drop1 || t.conv_id == drop2)
+
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true, publishDocs = true))
+    p.runFull(spark, turnsDs(e0), fx.catalog, fx.markers, "e0")
+    p.runSync(spark, turnsDs(e1), fx.catalog, fx.markers, "e1")
+    p.runSync(spark, turnsDs(e2), fx.catalog, fx.markers, "e2")
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      syncBuckets = 8, publishDocs = true))
+    scratch.runFull(spark, turnsDs(e2), fx.catalog, fx.markers, "s")
+
+    assert(supportSet(p) == supportSet(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
+    def nodes(q: KgPipeline) = q.nodeTable.read(spark).get
+      .select("entity_id", "refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes(p) == nodes(scratch))
+    def docIds(q: KgPipeline) = q.docTable.read(spark).get
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(docIds(p) == docIds(scratch))
+    assert(maxIdx >= cut1, "fixture must have turns beyond the second cut")
+  }
+
+  test("auto sync runIds: an empty sync never swallows the next data-bearing sync") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+
+    // empty sync (no new data) under the auto id — publishes, records its
+    // runId, leaves the watermark unchanged
+    val id1 = p.syncRunId(spark)
+    p.runSync(spark, turnsDs(t0), fx.catalog, fx.markers, id1)
+
+    // the next data-bearing sync MUST get a fresh id (a watermark-only id
+    // would reuse the empty sync's checkpoints and drop this data)
+    val id2 = p.syncRunId(spark)
+    assert(id2 != id1, "sync epoch id did not advance after an empty sync")
+    p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, id2)
+
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    scratch.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "s")
+    assert(edgeSet(p) == edgeSet(scratch))
+  }
+
+  test("changing syncBuckets over an existing workDir is refused") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val p8 = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 8))
+    p8.runFull(spark, turnsDs(fx.turns.take(200)), fx.catalog, fx.markers, "t0")
+    val p16 = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 16))
+    val ex = intercept[IllegalArgumentException] {
+      p16.runSync(spark, turnsDs(fx.turns.take(200)), fx.catalog, fx.markers, "t1")
+    }
+    assert(ex.getMessage.contains("bucket"))
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))

@@ -107,6 +107,38 @@ class DocAssemblerSpec extends AnyFunSuite {
     assert(!docsOf(noLang)("s1@en").keys.exists(_.startsWith("items_count")))
   }
 
+  test("typedJsonValue always emits valid JSON: control chars escape, bad " +
+       "numeric lexicals quote") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val rows = Seq(
+      ("42", s"${xsd}integer"),        // -> 42
+      ("-1.5e3", s"${xsd}double"),     // -> -1.5e3
+      ("true", s"${xsd}boolean"),      // -> true
+      ("NaN", s"${xsd}double"),        // invalid JSON token -> quoted
+      ("abc", s"${xsd}integer"),       // invalid lexical -> quoted
+      ("yes", s"${xsd}boolean"),       // invalid lexical -> quoted
+      ("line1\nline2\ttab", ""), // control chars escape/strip
+      ("quote \" back \\", ""))
+      .toDF("obj", "otype")
+    import org.apache.spark.sql.functions.col
+    val got = rows.select(col("obj"),
+        DocAssembler.typedJsonValue(col("obj"), col("otype")).as("j"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("42") == "42")
+    assert(got("-1.5e3") == "-1.5e3")
+    assert(got("true") == "true")
+    assert(got("NaN") == "\"NaN\"")
+    assert(got("abc") == "\"abc\"")
+    assert(got("yes") == "\"yes\"")
+    assert(got("line1\nline2\ttab") == "\"line1\\nline2\\ttab\"")
+    assert(got("quote \" back \\") == "\"quote \\\" back \\\\\"")
+    // every rendered value must be a parseable JSON token (RFC 8259)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    got.values.foreach(v => mapper.readTree(v))
+  }
+
   test("config JSON round-trip consumes addLanguage/uriDescription/includeResourceURI") {
     val cfg = graft.config.ConfigParsing.fromJson(
       """{"config":{"eeaRDF":{
