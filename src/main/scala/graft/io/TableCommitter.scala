@@ -284,6 +284,35 @@ final class TableCommitter(rootDir: String) {
     if (Files.exists(p)) deleteRecursively(p)
   }
 
+  /** Snapshot retention (the Iceberg expire_snapshots analogue; reference:
+    * stale `@temp-` cleanup, Harvester.deleteTempIndexIfExists,
+    * Harvester.java:793-810): delete all but the newest `keepLast`
+    * generations, never touching one an alias pointer references. Bucket
+    * carryover uses hard links, so deleting an old generation only drops
+    * its directory entries — files shared with newer generations survive on
+    * their remaining links; physical space is reclaimed exactly for bytes
+    * no retained generation references.
+    * @return the generations deleted. */
+  def expireGenerations(keepLast: Int): Seq[String] = synchronized {
+    require(keepLast >= 1, "must retain at least one generation")
+    import scala.jdk.CollectionConverters._
+    val referenced: Set[String] =
+      if (!Files.exists(meta)) Set.empty
+      else {
+        val s = Files.list(meta)
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+          .toSet
+        finally s.close()
+      }
+    val gens = generations()
+    val expire = gens.dropRight(keepLast).filterNot(referenced)
+    expire.foreach(g => deleteRecursively(root.resolve(g)))
+    expire
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
     try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -83,6 +83,31 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.readGeneration(spark, "gen-1").get.head().getString(0) == "v1")
   }
 
+  test("expireGenerations keeps the newest K + alias-referenced; hard-linked " +
+       "carryover files survive on their remaining links") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    // bucketed history: gen-0 full, gen-1..3 each rewrite only bucket 1, so
+    // bucket 0's file is hard-link-shared across all generations
+    t.stagePartitioned(Seq((1, "a", 0), (2, "b", 1)).toDF("k", "v", "bucket"), "r0")
+    t.publishBuckets("r0", Set(0, 1))
+    (1 to 3).foreach { i =>
+      t.stagePartitioned(Seq((2, s"b$i", 1)).toDF("k", "v", "bucket"), s"r$i")
+      t.publishBuckets(s"r$i", Set(1))
+    }
+    t.setPointer("pinned", "gen-1") // an alias protects an old generation
+    val expired = t.expireGenerations(keepLast = 2)
+    assert(expired == Seq("gen-0")) // gen-1 pinned, gen-2/3 retained
+    assert(t.generations() == Seq("gen-1", "gen-2", "gen-3"))
+    // live reads unaffected; shared bucket-0 file still readable everywhere
+    assert(t.read(spark).get.filter($"bucket" === 0).count() == 1)
+    assert(t.read(spark, "pinned").get.count() == 2)
+    assert(t.read(spark).get.filter($"k" === 2).head().getString(1) == "b3")
+    // retaining fewer than 1 is rejected
+    intercept[IllegalArgumentException](t.expireGenerations(0))
+  }
+
   test("blue/green alias pointers flip between generations (K6)") {
     val spark = SparkTestSession.get
     import spark.implicits._
