@@ -57,6 +57,8 @@ object KgMain {
 
     if (mode == "ingest-nt") {
       import org.apache.spark.sql.functions.col
+      // every writer into the workDir's bucketed tables verifies the pin
+      pipeline.pinOrVerifyBucketCount()
       val triples = graft.sources.NTriplesSource.read(spark, turnsDir)
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),

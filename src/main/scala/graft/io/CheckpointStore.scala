@@ -45,17 +45,19 @@ final class CheckpointStore(root: String) {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
-  /** Number of successful runs recorded for the pipeline — the sync EPOCH.
-    * Watermarks alone cannot number syncs (an empty sync leaves the
-    * watermark unchanged), and run ids must be unique per logical sync yet
-    * stable across crash-retries of the same one. */
-  def successfulRuns(spark: SparkSession, pipelineId: String): Long =
+  /** Sync EPOCH in one scan: (number of successful runs, highest successful
+    * watermark). Watermarks alone cannot number syncs (an empty sync leaves
+    * the watermark unchanged), and run ids must be unique per logical sync
+    * yet stable across crash-retries of the same one. */
+  def syncEpoch(spark: SparkSession, pipelineId: String): (Long, Option[Timestamp]) =
     try {
-      spark.read.parquet(wmPath)
+      val r = spark.read.parquet(wmPath)
         .filter(col("pipeline_id") === pipelineId && col("status") === "success")
-        .count()
+        .agg(count(lit(1)), max(col("watermark")))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => 0L
+      case _: org.apache.spark.sql.AnalysisException => (0L, None)
     }
 
   def writeMetrics(spark: SparkSession, runId: String,

@@ -310,6 +310,20 @@ final class TableCommitter(rootDir: String) {
     val gens = generations()
     val expire = gens.dropRight(keepLast).filterNot(referenced)
     expire.foreach(g => deleteRecursively(root.resolve(g)))
+    // retire run records pointing at expired generations: a replayed runId
+    // must re-publish (or fail staging requirements) rather than "succeed"
+    // returning a generation that no longer exists
+    val runsDir = meta.resolve("runs")
+    if (Files.exists(runsDir)) {
+      val expired = expire.toSet
+      val s = Files.list(runsDir)
+      try s.iterator().asScala
+        .filter(f => expired.contains(
+          new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim))
+        .toSeq // materialize before deleting (stream over a mutating dir)
+        .foreach(Files.delete(_))
+      finally s.close()
+    }
     expire
   }
 

@@ -91,7 +91,10 @@ object DocAssembler {
     // anything else (e.g. "NaN"^^xsd:double, "abc"^^xsd:integer) falls back
     // to the quoted-string rendering — emitting it bare would produce
     // invalid JSON
-    val numericLexical = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+    // RFC 8259 number grammar exactly — note xsd permits leading zeros
+    // ("0123" is a valid xsd:integer lexical) but JSON does not, so those
+    // fall back to the quoted branch too
+    val numericLexical = "^-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
     // RFC 8259 string: escape backslash/quote/\n\r\t, strip remaining
     // control chars (documented: the reference's raw put() would emit them
     // and rely on the ES client's serializer)

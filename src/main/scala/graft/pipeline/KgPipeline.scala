@@ -251,7 +251,8 @@ final class KgPipeline(cfg: PipelineConfig) {
   // additionally makes per-subject slices partition-prunable — the access
   // pattern of incremental doc rebuild ("give me all edges of these
   // subjects").
-  private val edgeBucket = pmod(hash(col("subj")), lit(B))
+  // single source of truth: edgeBucket IS subjectBucket applied to subj
+  private lazy val edgeBucket = subjectBucket(col("subj"))
   private val allBuckets: Set[Int] = (0 until B).toSet
 
   /** Bucket-count pin: the key-to-bucket mapping is baked into every
@@ -260,7 +261,11 @@ final class KgPipeline(cfg: PipelineConfig) {
     * and silently carry stale copies forward. Pinned at first full run;
     * verified on every run. */
   private val bucketPin = Paths.get(s"${cfg.workDir}/_meta_pipeline/bucket_count")
-  private def pinOrVerifyBucketCount(): Unit = {
+
+  /** Pin or verify this workDir's bucket count. Public because EVERY writer
+    * into the workDir's tables must pass it — KgMain's ingest-nt included,
+    * not just runFull/runSync. */
+  def pinOrVerifyBucketCount(): Unit = {
     if (Files.exists(bucketPin)) {
       val pinned = Files.readString(bucketPin).trim.toInt
       require(pinned == B,
@@ -268,8 +273,12 @@ final class KgPipeline(cfg: PipelineConfig) {
           "buckets — changing the bucket count requires a fresh workDir " +
           "(or a full rebuild into one)")
     } else {
+      // atomic like every other commit point: a kill mid-write must not
+      // leave a truncated pin that bricks the workDir
       Files.createDirectories(bucketPin.getParent)
-      Files.writeString(bucketPin, B.toString)
+      val tmp = bucketPin.resolveSibling(".bucket_count.tmp")
+      Files.writeString(tmp, B.toString)
+      Files.move(tmp, bucketPin, StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -328,10 +337,8 @@ final class KgPipeline(cfg: PipelineConfig) {
     * swallow its data. Use this (as KgMain does) unless the caller manages
     * its own stable ids. */
   def syncRunId(spark: SparkSession): String = {
-    val n = checkpoints.successfulRuns(spark, cfg.pipelineId)
-    val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
-      .map(_.getTime).getOrElse(0L)
-    s"sync-n$n-wm-$wm"
+    val (n, wm) = checkpoints.syncEpoch(spark, cfg.pipelineId)
+    s"sync-n$n-wm-${wm.map(_.getTime).getOrElse(0L)}"
   }
 
   /** Incremental sync (reference lifecycle §3.2): watermark-filtered changed

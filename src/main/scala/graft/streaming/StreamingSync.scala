@@ -53,11 +53,15 @@ object StreamingSync {
     // reprocessing would double-count the additive merge.
     val ckptId = checkpointIdentity(checkpointDir)
     val storedCkpt = table.currentGeneration("lastBatchCkpt")
-    // strict: an ingested table (lastBatch stamped) whose lineage id is
-    // absent or different means the batchId numbering cannot be trusted —
-    // an absent id also covers a crash before the very first lineage stamp
-    if (table.currentGeneration("lastBatch").isDefined &&
-        !storedCkpt.contains(ckptId))
+    // strict: a NON-EMPTY table may only be ingested into by the lineage
+    // that built it. Same-lineage is proven by the stamp OR by this
+    // lineage's own batch-0 publish record (covers a crash after the first
+    // publish but before any stamp); anything else — including a recreated
+    // checkpoint whose batch 0 would re-merge data the table already
+    // holds — is refused rather than silently double-counted or skipped.
+    val sameLineage = storedCkpt.contains(ckptId) ||
+      table.publishedGeneration(s"stream-$ckptId-0").isDefined
+    if (table.currentGeneration().isDefined && !sameLineage)
       throw new IllegalStateException(
         s"checkpoint $checkpointDir is not the lineage that built this table " +
           s"(stored id ${storedCkpt.getOrElse("<none>")}): restore the " +

@@ -118,6 +118,7 @@ class DocAssemblerSpec extends AnyFunSuite {
       ("true", s"${xsd}boolean"),      // -> true
       ("NaN", s"${xsd}double"),        // invalid JSON token -> quoted
       ("abc", s"${xsd}integer"),       // invalid lexical -> quoted
+      ("0123", s"${xsd}integer"),      // valid xsd, INVALID JSON (leading 0)
       ("yes", s"${xsd}boolean"),       // invalid lexical -> quoted
       ("line1\nline2\ttab", ""), // control chars escape/strip
       ("quote \" back \\", ""))
@@ -131,6 +132,7 @@ class DocAssemblerSpec extends AnyFunSuite {
     assert(got("true") == "true")
     assert(got("NaN") == "\"NaN\"")
     assert(got("abc") == "\"abc\"")
+    assert(got("0123") == "\"0123\"") // RFC 8259 forbids leading zeros
     assert(got("yes") == "\"yes\"")
     assert(got("line1\nline2\ttab") == "\"line1\\nline2\\ttab\"")
     assert(got("quote \" back \\") == "\"quote \\\" back \\\\\"")

@@ -104,6 +104,10 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.read(spark).get.filter($"bucket" === 0).count() == 1)
     assert(t.read(spark, "pinned").get.count() == 2)
     assert(t.read(spark).get.filter($"k" === 2).head().getString(1) == "b3")
+    // the expired generation's run record is retired with it: a replayed
+    // runId must not "succeed" returning a generation that no longer exists
+    assert(t.publishedGeneration("r0").isEmpty)
+    assert(t.publishedGeneration("r3").contains("gen-3"))
     // retaining fewer than 1 is rejected
     intercept[IllegalArgumentException](t.expireGenerations(0))
   }
