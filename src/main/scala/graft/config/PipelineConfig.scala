@@ -26,6 +26,14 @@ final case class PipelineConfig(
     // A6: language handling (rst:190-198)
     language: String = "en",
     addLanguage: Boolean = true,
+    // stamp each conversation's DETECTED language on its supports instead of
+    // the single configured one — the graft analogue of per-literal RDF lang
+    // tags for text-only sources (detection: argmax function-word hit ratio
+    // over langProfiles, fallback `language`)
+    detectLanguage: Boolean = false,
+    langProfiles: Map[String, Set[String]] = Map(
+      "en" -> Set("the", "a", "of", "and", "is"),
+      "cs" -> Set("je", "na", "se", "to", "ktery")),
     // J1: label source priority (uriDescriptionList, EEASettings.java:46-50)
     uriDescription: Seq[String] = Seq("prefLabel", "title", "label"),
     // about=[subject URI] property on the shared doc

@@ -149,7 +149,8 @@ final class KgPipeline(cfg: PipelineConfig) {
     import spark.implicits._
     val identityCfg = cfg.proplist.isEmpty && cfg.normProp.isEmpty &&
       cfg.normObj.isEmpty && cfg.whiteMap.isEmpty && cfg.blackMap.isEmpty
-    if (cfg.encodedShuffle && identityCfg && !cfg.useDistributedCanon)
+    if (cfg.encodedShuffle && identityCfg && !cfg.useDistributedCanon &&
+        !cfg.detectLanguage)
       return computeSupportsEncoded(spark, turns, catalog, markers)
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
@@ -171,10 +172,41 @@ final class KgPipeline(cfg: PipelineConfig) {
     val raw = Extractor.extract(turns, catalog, markers, canon = canon).toDF()
     val normalized = Extractor.normalize(raw, cfg)
 
-    normalized
-      .withColumn("lang", lit(cfg.language))
-      .groupBy("conv_id", "subj", "pred", "obj", "lang")
+    val grouped = normalized
+      .groupBy("conv_id", "subj", "pred", "obj")
       .agg(count(lit(1)).as("weight"))
+    val stamped =
+      if (!cfg.detectLanguage) grouped.withColumn("lang", lit(cfg.language))
+      else grouped
+        .join(convLanguages(turns), Seq("conv_id"), "left")
+        .withColumn("lang", coalesce(col("lang"), lit(cfg.language)))
+    stamped.select("conv_id", "subj", "pred", "obj", "lang", "weight")
+  }
+
+  /** Conversation-level language detection: argmax function-word hit ratio
+    * over `cfg.langProfiles` (ties break toward the lexicographically later
+    * language — deterministic), falling back to the configured default when
+    * no profile hits. Conversation granularity (not per-turn) because the
+    * doc split is per (subject, lang) and a conversation is the subject
+    * unit; a per-literal tag source (RDF ingestion) bypasses this entirely
+    * via Triple.objLang. */
+  private def convLanguages(turns: Dataset[Turn]): DataFrame = {
+    val toks = graft.text.TextNorm.tokensCol(col("text"))
+    val profiles = cfg.langProfiles.toSeq.sortBy(_._1)
+    val hitCols = profiles.map { case (l, ws) =>
+      sum(size(filter(toks, t => t.isInCollection(ws)))).as(s"hits_$l")
+    }
+    val agg = turns.toDF().groupBy("conv_id")
+      .agg(hitCols.head, (hitCols.tail :+ sum(size(toks)).as("n_toks")): _*)
+    val best = array_max(array(profiles.map { case (l, _) =>
+      struct(
+        (col(s"hits_$l").cast("double") / greatest(col("n_toks"), lit(1)))
+          .as("score"),
+        lit(l).as("lang"))
+    }: _*))
+    agg.select(col("conv_id"),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit(cfg.language)).as("lang"))
   }
 
   /** Identity-config fast path: dictionary-coded extraction + integer-key

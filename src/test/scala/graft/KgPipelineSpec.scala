@@ -157,6 +157,35 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(scratch))
   }
 
+  test("detectLanguage stamps each conversation's detected language on its supports") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val cat = Seq(
+      graft.schema.CatalogEntry("urn:e:1", "spark", "spark engine", 1),
+      graft.schema.CatalogEntry("urn:e:2", "table", "table store", 1))
+    val turns = Seq(
+      graft.schema.Turn("cEN", 0, "user",
+        "the spark is a table of the data and the rest", null, ts),
+      graft.schema.Turn("cCS", 0, "user",
+        "je to spark na table se to hodi je to tak", null, ts),
+      graft.schema.Turn("cNONE", 0, "user",
+        "spark table xyzzy words without function hits", null, ts)).toDS()
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      detectLanguage = true, language = "xx"))
+    val langs = p.computeSupports(spark, turns, cat, Map.empty)
+      .select("conv_id", "lang").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(langs("cEN") == "en")
+    assert(langs("cCS") == "cs")
+    assert(langs("cNONE") == "xx") // no profile hits -> configured fallback
+    // default off: single configured language, encoded fast path untouched
+    val q = new KgPipeline(PipelineConfig(workDir = freshDir(), language = "xx"))
+    val defaults = q.computeSupports(spark, turns, cat, Map.empty)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(defaults == Set("xx"))
+  }
+
   test("normalize applies proplist/normProp/normObj/white/black semantics") {
     val spark = SparkTestSession.get
     import spark.implicits._
