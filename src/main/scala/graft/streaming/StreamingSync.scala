@@ -40,10 +40,14 @@ object StreamingSync {
   def ingestAvailableNow(
       spark: SparkSession, inputDir: String, checkpointDir: String,
       catalog: Seq[CatalogEntry], markers: Map[String, String],
-      cfg: PipelineConfig, table: TableCommitter): Long = {
+      cfg: PipelineConfig, table: TableCommitter,
+      maxFilesPerBatch: Option[Int] = None): Long = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
-    val turns = spark.readStream.schema(schema).parquet(inputDir).as[Turn]
+    val reader = spark.readStream.schema(schema)
+    val turns = maxFilesPerBatch
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir).as[Turn]
     val keyCols = Seq("conv_id", "subj", "pred", "obj", "lang")
 
     // batchIds are only meaningful relative to ONE checkpoint lineage: stamp

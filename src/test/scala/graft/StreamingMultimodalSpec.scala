@@ -21,8 +21,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val table = new TableCommitter(Files.createTempDirectory("stream-tbl-").toString)
     val ckpt = Files.createTempDirectory("stream-ckpt-").toString
 
+    // one file per micro-batch FORCES conversations to split across batches
+    // (AvailableNow would otherwise take all files in a single batch and
+    // never exercise the cross-batch additive path)
     StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
-      fx.catalog, fx.markers, PipelineConfig(), table)
+      fx.catalog, fx.markers, PipelineConfig(), table, maxFilesPerBatch = Some(1))
+    assert(table.currentGeneration("lastBatch").exists(_.toLong >= 1),
+      "expected multiple micro-batches")
 
     // additive merge: weights equal the single-batch extraction EXACTLY,
     // even when a conversation's turns were split across micro-batches
