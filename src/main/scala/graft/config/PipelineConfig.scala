@@ -30,10 +30,13 @@ final case class PipelineConfig(
     // the single configured one — the graft analogue of per-literal RDF lang
     // tags for text-only sources (detection: argmax function-word hit ratio
     // over langProfiles, fallback `language`)
+    // profiles must be DISJOINT across languages where words collide in
+    // practice (e.g. "to"/"a" are both top English and Czech function words
+    // — including either in one profile misclassifies the other language)
     detectLanguage: Boolean = false,
     langProfiles: Map[String, Set[String]] = Map(
-      "en" -> Set("the", "a", "of", "and", "is"),
-      "cs" -> Set("je", "na", "se", "to", "ktery")),
+      "en" -> Set("the", "of", "and", "is", "with"),
+      "cs" -> Set("je", "na", "se", "aby", "nebo")),
     // J1: label source priority (uriDescriptionList, EEASettings.java:46-50)
     uriDescription: Seq[String] = Seq("prefLabel", "title", "label"),
     // about=[subject URI] property on the shared doc

@@ -175,6 +175,11 @@ final class KgPipeline(cfg: PipelineConfig) {
     val grouped = normalized
       .groupBy("conv_id", "subj", "pred", "obj")
       .agg(count(lit(1)).as("weight"))
+    // detectLanguage cost note: one extra narrow aggregation scan of `turns`
+    // plus a post-aggregation join of the (already conv-grouped, far smaller
+    // than raw turns) supports against the per-conversation langs. Default
+    // off; the zero-extra-scan path is fusing the hit counts into the
+    // extraction kernel — do that before enabling it at the 100 TB point.
     val stamped =
       if (!cfg.detectLanguage) grouped.withColumn("lang", lit(cfg.language))
       else grouped
@@ -192,15 +197,19 @@ final class KgPipeline(cfg: PipelineConfig) {
     * via Triple.objLang. */
   private def convLanguages(turns: Dataset[Turn]): DataFrame = {
     val toks = graft.text.TextNorm.tokensCol(col("text"))
-    val profiles = cfg.langProfiles.toSeq.sortBy(_._1)
-    val hitCols = profiles.map { case (l, ws) =>
-      sum(size(filter(toks, t => t.isInCollection(ws)))).as(s"hits_$l")
+    // index-keyed column names: a language key like "zh.Hans" must never
+    // leak into a column reference (dots parse as nested fields)
+    val profiles = cfg.langProfiles.toSeq.sortBy(_._1).zipWithIndex
+    require(profiles.nonEmpty,
+      "detectLanguage=true requires a non-empty langProfiles")
+    val hitCols = profiles.map { case ((_, ws), i) =>
+      sum(size(filter(toks, t => t.isInCollection(ws)))).as(s"hits_$i")
     }
     val agg = turns.toDF().groupBy("conv_id")
       .agg(hitCols.head, (hitCols.tail :+ sum(size(toks)).as("n_toks")): _*)
-    val best = array_max(array(profiles.map { case (l, _) =>
+    val best = array_max(array(profiles.map { case ((l, _), i) =>
       struct(
-        (col(s"hits_$l").cast("double") / greatest(col("n_toks"), lit(1)))
+        (col(s"hits_$i").cast("double") / greatest(col("n_toks"), lit(1)))
           .as("score"),
         lit(l).as("lang"))
     }: _*))

@@ -43,6 +43,13 @@ object StreamingSync {
       cfg: PipelineConfig, table: TableCommitter,
       maxFilesPerBatch: Option[Int] = None): Long = {
     import spark.implicits._
+    // the streaming path stamps cfg.language directly; silently diverging
+    // from a detectLanguage batch table would split the same logical support
+    // across two lang keys in the additive merge — refuse loudly instead
+    require(!cfg.detectLanguage,
+      "detectLanguage is not supported by the streaming ingest path " +
+        "(per-conversation detection needs cross-batch state); use the batch " +
+        "sync or stamp a fixed language")
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val reader = spark.readStream.schema(schema)
     val turns = maxFilesPerBatch

@@ -184,6 +184,12 @@ class KgPipelineSpec extends AnyFunSuite {
     val defaults = q.computeSupports(spark, turns, cat, Map.empty)
       .select("lang").distinct().collect().map(_.getString(0)).toSet
     assert(defaults == Set("xx"))
+    // misconfigurations fail loudly, never silently misroute
+    intercept[IllegalArgumentException] {
+      new KgPipeline(PipelineConfig(workDir = freshDir(),
+        detectLanguage = true, langProfiles = Map.empty))
+        .computeSupports(spark, turns, cat, Map.empty).count()
+    }
   }
 
   test("normalize applies proplist/normProp/normObj/white/black semantics") {
