@@ -63,13 +63,20 @@ object KgMain {
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),
           col("objLang").as("lang")), cfg)
+        .persist()
+      // an all-malformed (or empty) dump yields zero docs: publishing an
+      // empty generation would leave an unreadable table (no parquet files
+      // to infer a schema from) — fail before the pointer moves
+      val n = docs.count()
+      require(n > 0,
+        s"no valid triples parsed from $turnsDir — nothing published")
       // the pipeline's own bucket expression (never a re-derived copy):
       // a later full+sync over this workDir updates the table incrementally
       // only if every writer agrees bit-for-bit on key-to-bucket mapping
       pipeline.docTable.stagePartitioned(
         docs.withColumn("bucket", pipeline.subjectBucket(col("subj"))), runId)
       val gen = pipeline.docTable.publishBuckets(runId, pipeline.allBucketIds)
-      val n = pipeline.docTable.read(spark).get.count()
+      docs.unpersist()
       println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n}""")
       spark.stop()
       return

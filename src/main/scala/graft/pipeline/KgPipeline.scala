@@ -286,7 +286,9 @@ final class KgPipeline(cfg: PipelineConfig) {
   // cluster into few buckets; the overwrite/carryover mechanism below is
   // key-agnostic — only this expression changes.
   private val B = cfg.syncBuckets
-  private def convBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(B))
+  // supports/nodes bucket on their own keys through the SAME verified
+  // mapping (never a re-derived formula — see subjectBucket's contract)
+  private def convBucket(c: org.apache.spark.sql.Column) = subjectBucket(c)
   // edges (and docs) bucket on hash(subj), not the full edge key: the merge
   // mechanism works with any stable key-derived bucket, and subject bucketing
   // additionally makes per-subject slices partition-prunable — the access
@@ -361,7 +363,13 @@ final class KgPipeline(cfg: PipelineConfig) {
   /** Event-time watermark: the max source timestamp processed — the next
     * sync run re-extracts only conversations with turns after it (the
     * reference uses harvest start time, Harvester.java:712; event time is
-    * the Spark-idiomatic equivalent and is deterministic under replay). */
+    * the Spark-idiomatic equivalent and is deterministic under replay).
+    *
+    * LATE-DATA CONTRACT: a turn whose ts is at or below the current
+    * watermark when it ARRIVES is invisible to watermark syncs — same class
+    * of gap as the reference's time-filtered sync (its start-time watermark
+    * just trades it for reprocessing). Out-of-order sources need
+    * `syncOldData` (full-set reconciliation) or a periodic full run. */
   private def maxEventTime(turns: Dataset[Turn]): Option[Timestamp] = {
     val r = turns.toDF().agg(max(col("ts"))).head()
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
@@ -397,15 +405,20 @@ final class KgPipeline(cfg: PipelineConfig) {
     val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
       .getOrElse(new Timestamp(0L))
 
-    // A8: distinct changed-conversation set since watermark. Small by sync
-    // contract (and consumed by three plans: the semi-join restriction, the
-    // replacement anti-join, and the bucket-set computation) — materialize
-    // once so the full source is scanned once for change detection, not once
-    // per consumer.
-    val changedConvs = turns.toDF()
-      .filter(col("ts") > lit(wm))
-      .select("conv_id").distinct()
-      .localCheckpoint(true)
+    // A8: distinct changed-conversation set since watermark. Stage-
+    // CHECKPOINTED, not just materialized: the replayed sync_supports
+    // checkpoint covers exactly the ORIGINAL changed set, so a resume must
+    // replay the same set — recomputing it from the live source would
+    // anti-join away rows of conversations that changed between the crash
+    // and the retry while the replayed supports carry no replacement for
+    // them (their turns stay above the replayed watermark and are picked up
+    // whole by the NEXT sync). Also scans the full source once, not once per
+    // consumer (semi-join restriction, replacement anti-join, bucket set).
+    val changedConvs = stage(spark, runId, "changed_convs") {
+      turns.toDF()
+        .filter(col("ts") > lit(wm))
+        .select("conv_id").distinct()
+    }
 
     // J3: re-extract only changed conversations (semi-join restriction)
     // any turn newer than the watermark belongs to a changed conversation by
@@ -543,8 +556,13 @@ final class KgPipeline(cfg: PipelineConfig) {
 
     val (edgesGen, nodesGen) = edgeTable.read(spark) match {
       case None =>
-        sys.error("incremental sync without a published edge table " +
-          "(support table existed) — full run required first")
+        // the previous run crashed between the support publish and the edge
+        // publish (e.g. a first-ever run that arrived as a sync): no edge
+        // snapshot exists to merge a delta into — derive everything fully
+        // from the published supports, which already contain the replayed
+        // update
+        return publishDerivedFull(spark, runId,
+          supportTable.read(spark).get.drop("bucket"), newWatermark)
       case Some(curE) =>
         val curAffected = curE
           .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
@@ -625,8 +643,21 @@ final class KgPipeline(cfg: PipelineConfig) {
             .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
             .join(affectedSubjects, Seq("subj"), "left_semi")
             .select("subj", "pred", "obj", "lang")
+          // label lookup restricted to the slice's own object URIs BEFORE
+          // aggregation: resolving against the whole edge table would make
+          // per-sync doc cost O(table), not O(delta) — label subjects are
+          // bucket-prunable (labels of URI u live under subject u, so only
+          // the slice-obj buckets are read)
+          val sliceObjs = slice.select(col("obj").as("subj")).distinct()
+          val objBuckets = sliceObjs
+            .select(subjectBucket(col("subj")).as("b")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val labelSrc = publishedEdges
+            .filter(col("bucket").isin(objBuckets.toSeq: _*)) // pruned
+            .join(sliceObjs, Seq("subj"), "left_semi")
+            .select("subj", "pred", "obj", "lang")
           val rebuilt = graft.materialize.DocAssembler.assemble(
-            slice, cfg, labelSource = Some(publishedEdges))
+            slice, cfg, labelSource = Some(labelSrc))
           val kept = curD
             .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*))
             .drop("bucket")

@@ -129,8 +129,15 @@ object NTriplesSource {
       if (!(i + 1 < s.length && peek == '_' && s.charAt(i + 1) == ':')) return None
       val start = i
       i += 2
-      while (!atEnd && peek != ' ' && peek != '\t') i += 1
-      Some(s.substring(start, i))
+      // label chars can include '.', but never '<'/'"' (term starters) or
+      // whitespace
+      while (!atEnd && peek != ' ' && peek != '\t' && peek != '<' && peek != '"')
+        i += 1
+      // the grammar forbids a label ENDING in '.': trailing dots belong to
+      // the statement terminator (whitespace before '.' is optional, so
+      // `_:b0.` is a valid line ending)
+      while (i > start + 2 && s.charAt(i - 1) == '.') i -= 1
+      if (i == start + 2) None else Some(s.substring(start, i))
     }
 
     def iriOrBlank(): Option[String] =

@@ -124,7 +124,9 @@ object StreamingSync {
     merged
   }
 
-  /** Stable identity of a checkpoint directory (created on first use). */
+  /** Stable identity of a checkpoint directory (created on first use;
+    * written atomically — a kill mid-write must never leave a truncated id
+    * that silently becomes the lineage identity). */
   private def checkpointIdentity(checkpointDir: String): String = {
     val dir = java.nio.file.Paths.get(checkpointDir)
     java.nio.file.Files.createDirectories(dir)
@@ -133,7 +135,10 @@ object StreamingSync {
       java.nio.file.Files.readString(f).trim
     else {
       val id = java.util.UUID.randomUUID().toString
-      java.nio.file.Files.writeString(f, id)
+      val tmp = dir.resolve(".graft-ckpt-id.tmp")
+      java.nio.file.Files.writeString(tmp, id)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       id
     }
   }

@@ -317,6 +317,45 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("bucket"))
   }
 
+  test("a conversation changing between a sync crash and its retry is " +
+       "deferred to the NEXT sync — never dropped, never half-applied") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    val t0 = fx.turns
+    val maxTs = t0.map(_.ts.getTime).max
+    def extend(conv: String, days: Int) = {
+      val tpl = t0.filter(_.conv_id == conv).maxBy(_.turn_idx)
+      tpl.copy(turn_idx = tpl.turn_idx + 1,
+        ts = new Timestamp(maxTs + days * 86400000L))
+    }
+    val t1 = t0 :+ extend("conv-000007", 1)
+    val t2 = t1 :+ extend("conv-000011", 2) // arrives AFTER the crash below
+
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    val id1 = p.syncRunId(spark)
+    // crash right after the sync_supports checkpoint pinned t1's changed set
+    p.failAfterStage = Some("sync_supports")
+    intercept[RuntimeException] {
+      p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, id1)
+    }
+    p.failAfterStage = None
+
+    // retry the SAME logical sync against the grown source: the pinned
+    // changed-conv set and watermark replay, so conv-000011 is deferred
+    p.runSync(spark, turnsDs(t2), fx.catalog, fx.markers, id1)
+    val afterRetry = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    afterRetry.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s1")
+    assert(edgeSet(p) == edgeSet(afterRetry),
+      "retried sync must publish exactly the original sync's view")
+
+    // the NEXT sync picks up the deferred conversation
+    p.runSync(spark, turnsDs(t2), fx.catalog, fx.markers, p.syncRunId(spark))
+    val full2 = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    full2.runFull(spark, turnsDs(t2), fx.catalog, fx.markers, "s2")
+    assert(edgeSet(p) == edgeSet(full2))
+    assert(supportSet(p) == supportSet(full2))
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
