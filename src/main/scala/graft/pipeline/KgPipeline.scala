@@ -450,11 +450,19 @@ final class KgPipeline(cfg: PipelineConfig) {
 
       case Some(cur) =>
         // J4: conversations that vanished from the source entirely (their
-        // buckets must be rewritten too, or the delete would be lost)
+        // buckets must be rewritten too, or the delete would be lost).
+        // Stage-checkpointed like changedConvs: the replayed edge_delta was
+        // computed against the ORIGINAL vanished set, so a resume must
+        // replace/delete exactly the same conversations — recomputing from
+        // the post-crash source (or the already-published support table)
+        // would diverge the support replacement from the edge/node delta.
         val vanished =
           if (cfg.syncOldData)
-            cur.select("conv_id").distinct()
-              .join(turns.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+            stage(spark, runId, "vanished_convs") {
+              cur.select("conv_id").distinct()
+                .join(turns.select("conv_id").distinct(),
+                  Seq("conv_id"), "left_anti")
+            }
           else changedConvs.limit(0)
         val touched = changedConvs.unionByName(vanished).distinct()
 
@@ -515,6 +523,7 @@ final class KgPipeline(cfg: PipelineConfig) {
       .withColumn("bucket", edgeBucket)
     edgeTable.stagePartitioned(edges, runId)
     val edgesGen = edgeTable.publishBuckets(runId, allBuckets)
+    publishHook("edges")
 
     // downstream tables derive from the just-published parquet snapshot —
     // re-using the logical `edges` plan would re-run the whole supports
@@ -600,24 +609,37 @@ final class KgPipeline(cfg: PipelineConfig) {
         val eg = edgeTable.publishBuckets(runId, affectedEdgeBuckets)
         publishHook("edges")
 
-        val affectedNodeBuckets = nodeDelta
-          .select(convBucket(col("entity_id")).as("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val curN = nodeTable.read(spark).get
-        val curNA = curN
-          .filter(col("bucket").isin(affectedNodeBuckets.toSeq: _*))
-          .drop("bucket")
-        val updatedN = curNA.join(nodeDelta, Seq("entity_id"), "left")
-          .select(col("entity_id"),
-            (col("refs") + coalesce(col("dn"), lit(0L))).as("refs"))
-          .filter(col("refs") > 0)
-        val createdN = nodeDelta.filter(col("dn") > 0)
-          .join(curNA.select("entity_id"), Seq("entity_id"), "left_anti")
-          .select(col("entity_id"), col("dn").as("refs"))
-        nodeTable.stagePartitioned(
-          updatedN.unionByName(createdN)
-            .withColumn("bucket", convBucket(col("entity_id"))), runId)
-        val ng = nodeTable.publishBuckets(runId, affectedNodeBuckets)
+        val ng = nodeTable.read(spark) match {
+          case Some(curN) =>
+            val affectedNodeBuckets = nodeDelta
+              .select(convBucket(col("entity_id")).as("b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            val curNA = curN
+              .filter(col("bucket").isin(affectedNodeBuckets.toSeq: _*))
+              .drop("bucket")
+            val updatedN = curNA.join(nodeDelta, Seq("entity_id"), "left")
+              .select(col("entity_id"),
+                (col("refs") + coalesce(col("dn"), lit(0L))).as("refs"))
+              .filter(col("refs") > 0)
+            val createdN = nodeDelta.filter(col("dn") > 0)
+              .join(curNA.select("entity_id"), Seq("entity_id"), "left_anti")
+              .select(col("entity_id"), col("dn").as("refs"))
+            nodeTable.stagePartitioned(
+              updatedN.unionByName(createdN)
+                .withColumn("bucket", convBucket(col("entity_id"))), runId)
+            nodeTable.publishBuckets(runId, affectedNodeBuckets)
+          case None =>
+            // the previous run crashed between the edge and node publishes
+            // (node table never bootstrapped): rebuild refcounts fully from
+            // the just-published (delta-applied) edges — symmetric to the
+            // missing-edge-table fallback above
+            val rebuilt = edgeTable.read(spark).get
+              .select(explode(array(col("subj"), col("obj"))).as("entity_id"))
+              .groupBy("entity_id").agg(count(lit(1)).as("refs"))
+              .withColumn("bucket", convBucket(col("entity_id")))
+            nodeTable.stagePartitioned(rebuilt, runId)
+            nodeTable.publishBuckets(runId, allBuckets)
+        }
         (eg, ng)
     }
 
@@ -630,9 +652,11 @@ final class KgPipeline(cfg: PipelineConfig) {
     // delta's subjects map to exactly the affected edge/doc buckets. Rebuild
     // docs for affected subjects from their (pruned) edge slice, keep every
     // other doc in those buckets, carry untouched buckets by hard link.
-    // uriDescription labels resolve against the FULL published edge set; a
-    // label change refreshes only docs of changed subjects — the reference's
-    // sync has the same staleness (unchanged resources are not re-indexed,
+    // uriDescription labels resolve against the slice's own object URIs
+    // (bucket-pruned + semi-joined below — result-identical to a full-table
+    // lookup because labels of URI u live under subject u); a label change
+    // refreshes only docs of changed subjects — the reference's sync has the
+    // same staleness (unchanged resources are not re-indexed,
     // Harvester.java:1199-1453). Full-refresh of referencing docs would be
     // an obj-side semi-join over the edge table (opt-in extension point).
     if (cfg.publishDocs) {
@@ -648,7 +672,11 @@ final class KgPipeline(cfg: PipelineConfig) {
           // per-sync doc cost O(table), not O(delta) — label subjects are
           // bucket-prunable (labels of URI u live under subject u, so only
           // the slice-obj buckets are read)
+          // materialized once: consumed by the driver-side bucket collect
+          // AND the labelSrc semi-join (two evaluations of the slice scan
+          // otherwise)
           val sliceObjs = slice.select(col("obj").as("subj")).distinct()
+            .localCheckpoint(true)
           val objBuckets = sliceObjs
             .select(subjectBucket(col("subj")).as("b")).distinct()
             .collect().map(_.getInt(0)).toSet

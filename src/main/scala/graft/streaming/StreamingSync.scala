@@ -135,11 +135,19 @@ object StreamingSync {
       java.nio.file.Files.readString(f).trim
     else {
       val id = java.util.UUID.randomUUID().toString
-      val tmp = dir.resolve(".graft-ckpt-id.tmp")
+      val tmp = dir.resolve(s".graft-ckpt-id.${java.util.UUID.randomUUID()}.tmp")
       java.nio.file.Files.writeString(tmp, id)
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      id
+      try {
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        id
+      } catch {
+        // lost the first-initializer race: adopt the winner's id
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          java.nio.file.Files.readString(f).trim
+      }
     }
   }
 

@@ -356,6 +356,66 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(supportSet(p) == supportSet(full2))
   }
 
+  test("syncOldData resume replays the PINNED vanished set; later deletions defer") {
+    val spark = SparkTestSession.get
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true))
+    val t0 = fx.turns
+    val t1 = t0.filterNot(_.conv_id == "conv-000013") // vanishes before the sync
+    val t2 = t1.filterNot(_.conv_id == "conv-000017") // vanishes AFTER the crash
+
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    val id1 = p.syncRunId(spark)
+    // crash after the edge delta (computed against vanished={conv-000013})
+    // but before any publish
+    p.failAfterStage = Some("edge_delta")
+    intercept[RuntimeException] {
+      p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, id1)
+    }
+    p.failAfterStage = None
+
+    // retry against the further-shrunk source: the pinned vanished set
+    // replays, so conv-000017's deletion defers to the next sync
+    p.runSync(spark, turnsDs(t2), fx.catalog, fx.markers, id1)
+    val s1 = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    s1.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s1")
+    assert(edgeSet(p) == edgeSet(s1))
+    assert(supportSet(p) == supportSet(s1))
+
+    // the next sync reaps the deferred deletion
+    p.runSync(spark, turnsDs(t2), fx.catalog, fx.markers, p.syncRunId(spark))
+    val s2 = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    s2.runFull(spark, turnsDs(t2), fx.catalog, fx.markers, "s2")
+    assert(edgeSet(p) == edgeSet(s2))
+    assert(supportSet(p) == supportSet(s2))
+  }
+
+  test("a crash between the edge and node publishes self-heals on the next sync") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val p = new KgPipeline(PipelineConfig(workDir = wd, syncBuckets = 8))
+    val t0 = fx.turns.filter(_.turn_idx <= 4)
+    // first-ever derivation crashes with edges published, nodes never
+    // bootstrapped
+    p.failAfterPublish = Some("edges")
+    intercept[RuntimeException] {
+      p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    }
+    p.failAfterPublish = None
+    assert(p.nodeTable.read(spark).isEmpty)
+
+    // a later sync rebuilds node refcounts from the published edges instead
+    // of dying on the missing table
+    p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, p.syncRunId(spark))
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    scratch.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "s")
+    def nodes(q: KgPipeline) = q.nodeTable.read(spark).get
+      .select("entity_id", "refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes(p) == nodes(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
+  }
+
   test("empty sync (no changes) republishes every bucket by reference") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
