@@ -43,13 +43,38 @@ final class TableCommitter(rootDir: String) {
     currentGeneration(alias).map(g => root.resolve(g).toString)
 
   def read(spark: SparkSession, alias: String = "current"): Option[DataFrame] =
-    currentPath(alias).map(spark.read.parquet(_))
+    currentPath(alias).map(readPath(spark, _))
 
   /** Time travel: read any retained generation directly (generations are
     * immutable once published — the Iceberg snapshot-read equivalent). */
   def readGeneration(spark: SparkSession, gen: String): Option[DataFrame] = {
     val p = root.resolve(gen)
-    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (Files.exists(p)) Some(readPath(spark, p.toString)) else None
+  }
+
+  /** Read a generation through its schema sidecar when one exists. The
+    * sidecar (written at stage time) makes a ZERO-ROW generation readable:
+    * `partitionBy` of an empty DataFrame emits no parquet data files at all,
+    * so schema inference would throw and a legitimate empty publish (e.g. a
+    * first-ever sync over a source with no extractable triples) would brick
+    * every later read of the table. It also skips footer-based schema
+    * inference on non-empty reads. Pre-sidecar generations fall back to
+    * plain inference. */
+  private def readPath(spark: SparkSession, path: String): DataFrame = {
+    val sidecar = Paths.get(path).resolve(TableCommitter.SchemaSidecar)
+    if (Files.exists(sidecar)) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(sidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(path)
+    } else spark.read.parquet(path)
+  }
+
+  private def writeSchemaSidecar(df: DataFrame, stagedAt: String): Unit = {
+    val tmp = Paths.get(stagedAt).resolve(s".${TableCommitter.SchemaSidecar}.tmp")
+    Files.writeString(tmp, df.schema.json)
+    Files.move(tmp, Paths.get(stagedAt).resolve(TableCommitter.SchemaSidecar),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** All published generations, oldest first. */
@@ -71,6 +96,7 @@ final class TableCommitter(rootDir: String) {
   def stage(df: DataFrame, runId: String): String = {
     val p = stagingPath(runId)
     df.write.mode("overwrite").parquet(p)
+    writeSchemaSidecar(df, p)
     p
   }
 
@@ -92,6 +118,7 @@ final class TableCommitter(rootDir: String) {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 20000000)
       .partitionBy(TableCommitter.BucketCol).parquet(p)
+    writeSchemaSidecar(df, p)
     p
   }
 
@@ -143,17 +170,24 @@ final class TableCommitter(rootDir: String) {
     }
     val stagedAt = staging.resolve(runId)
     require(Files.exists(stagedAt), s"nothing staged for $runId")
+    // sweep orphan assembly dirs a crashed publish left behind (they were
+    // never recorded or pointer-referenced, but they'd otherwise linger
+    // forever, confuse time travel, and occupy retention slots)
+    sweepTmpGens()
     val n = generations().lastOption
       .map(_.stripPrefix("gen-").toLong).getOrElse(-1L) + 1
     val gen = s"gen-$n"
-    val genDir = root.resolve(gen)
-    Files.createDirectories(genDir)
+    // assemble in a dotted tmp dir, then ATOMIC_MOVE into place: a crash
+    // mid-assembly never leaves a partial gen-N visible to readGeneration /
+    // generations() (dotted names don't match the gen- prefix)
+    val tmpDir = root.resolve(s".$gen.tmp")
+    Files.createDirectories(tmpDir)
     val changedNames = changedBuckets.map(b => s"${TableCommitter.BucketCol}=$b")
     // carry over untouched buckets from the live generation by hard link
     currentPath(alias).foreach { cur =>
       bucketDirs(Paths.get(cur))
         .filterNot(d => changedNames.contains(d.getFileName.toString))
-        .foreach(d => linkDir(d, genDir.resolve(d.getFileName.toString)))
+        .foreach(d => linkDir(d, tmpDir.resolve(d.getFileName.toString)))
     }
     // move the rewritten buckets in from staging (caller contract: staged
     // data may only touch declared-changed buckets, or the hard-linked
@@ -163,17 +197,41 @@ final class TableCommitter(rootDir: String) {
     require(undeclared.isEmpty,
       s"staged buckets not declared changed: ${undeclared.mkString(",")}")
     staged.foreach { d =>
-      Files.move(d, genDir.resolve(d.getFileName.toString),
+      Files.move(d, tmpDir.resolve(d.getFileName.toString),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    val success = stagedAt.resolve("_SUCCESS")
-    if (Files.exists(success))
-      Files.move(success, genDir.resolve("_SUCCESS"),
-        StandardCopyOption.REPLACE_EXISTING)
+    Seq("_SUCCESS", TableCommitter.SchemaSidecar).foreach { f =>
+      val src = stagedAt.resolve(f)
+      if (Files.exists(src))
+        Files.move(src, tmpDir.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // a fresh staged write always carries a sidecar; keep a carried-over one
+    // readable even if the caller staged through an out-of-band writer
+    val sidecar = tmpDir.resolve(TableCommitter.SchemaSidecar)
+    if (!Files.exists(sidecar))
+      currentPath(alias).map(Paths.get(_).resolve(TableCommitter.SchemaSidecar))
+        .filter(Files.exists(_))
+        .foreach(Files.copy(_, sidecar))
+    Files.move(tmpDir, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(stagedAt)
     recordRun(runId, gen, alias)
     setPointer(alias, gen)
     gen
+  }
+
+  /** Delete assembly dirs (`.gen-*.tmp`) orphaned by a crash mid-publish. */
+  private def sweepTmpGens(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root)) {
+      val s = Files.list(root)
+      val orphans =
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".gen-") && n.endsWith(".tmp")
+        }.toSeq
+        finally s.close()
+      orphans.foreach(deleteRecursively)
+    }
   }
 
   /** Generation already published for this runId, if any — publishes are
@@ -236,6 +294,33 @@ final class TableCommitter(rootDir: String) {
     recordRun(runId, gen, alias)
     setPointer(alias, gen)
     gen
+  }
+
+  /** Pin an immutable table-layout property (e.g. the bucket count): first
+    * caller writes it atomically, every later caller must agree — a writer
+    * using a different key-to-bucket mapping than the table was built with
+    * would replace rows in the wrong buckets and silently carry stale copies
+    * forward. */
+  def pinOrVerify(key: String, value: String): Unit = {
+    val pins = meta.resolve("pins")
+    val f = pins.resolve(key)
+    if (Files.exists(f)) {
+      val pinned = Files.readString(f).trim
+      require(pinned == value,
+        s"table pin '$key' is $pinned but this writer uses $value — " +
+          "rebuild into a fresh table to change it")
+    } else {
+      Files.createDirectories(pins)
+      val tmp = pins.resolve(s".$key.tmp")
+      Files.writeString(tmp, value)
+      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the first-writer race: verify against the winner
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          pinOrVerify(key, value)
+      }
+    }
   }
 
   /** Point an alias at an existing generation (blue/green switch, K6). */
@@ -337,4 +422,8 @@ final class TableCommitter(rootDir: String) {
 object TableCommitter {
   /** Physical partition column of bucketed tables. */
   val BucketCol = "bucket"
+
+  /** Per-generation schema sidecar file name (leading underscore: parquet
+    * readers ignore it as metadata, like _SUCCESS). */
+  val SchemaSidecar = "_graft_schema.json"
 }

@@ -22,6 +22,16 @@ object StreamingSync {
 
   /** Ingest every available file once, extracting and merging per batch.
     *
+    * O(batch), not O(table): the support table is physically bucketed on
+    * hash(conv_id) with the bucket count pinned in the table's metadata, so a
+    * micro-batch touching k conversations re-aggregates and rewrites only
+    * their buckets (pruned read of the current generation + bucket-level
+    * dynamic partition overwrite); every untouched bucket carries into the
+    * new generation by hard link — the same mechanism as the batch sync's
+    * incremental publish (KgPipeline.runSync). A trickle of micro-batches
+    * over a 100 TB table therefore costs per-batch work proportional to the
+    * batch, never a full-table rewrite.
+    *
     * Weights merge ADDITIVELY (existing + new per key): weight is an
     * occurrence count, so a conversation whose turns are split across
     * micro-batches accumulates the same totals as a single batch would —
@@ -30,11 +40,12 @@ object StreamingSync {
     * foreachBatch is at-least-once for side effects; additive merges are NOT
     * naturally idempotent, so each publish stamps a `lastBatch` pointer and a
     * replayed batchId is skipped — together with the checkpointed source
-    * offsets this restores exactly-once table contents.
+    * offsets this restores exactly-once table contents (publishes are also
+    * runId-idempotent in the committer, covering a crash between the publish
+    * and the stamp).
     *
-    * The per-batch row count rides the merge write via Dataset.observe — one
-    * Spark job per micro-batch, not an extra extraction pass just for the
-    * counter.
+    * The per-batch row count rides the batch materialization via
+    * Dataset.observe — no extra extraction pass just for the counter.
     *
     * @return rows merged across all fresh batches. */
   def ingestAvailableNow(
@@ -79,6 +90,13 @@ object StreamingSync {
           "original checkpoint or start a new table — replaying from batch 0 " +
           "over an additively-merged table would double-count")
 
+    // bucket count pinned in the table's own metadata: the key-to-bucket
+    // mapping is baked into every published generation, and every writer
+    // (including a later run with a different config) must agree on it
+    val B = cfg.syncBuckets
+    table.pinOrVerify("bucket_count", B.toString)
+    val bucketOf = pmod(hash(col("conv_id")), lit(B))
+
     var merged = 0L
     val q = turns.writeStream
       .trigger(Trigger.AvailableNow())
@@ -88,34 +106,50 @@ object StreamingSync {
           table.currentGeneration("lastBatch").exists(_.toLong >= batchId)
         if (!replayed) {
           val s = batch.sparkSession
-          // the observation rides the merge write and counts THIS batch's
-          // extracted support rows (pre-merge), not the combined table size
+          // the observation rides the batch materialization and counts THIS
+          // batch's extracted support rows (pre-merge), not the table size
           val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
           val supports = Extractor.extract(batch, catalog, markers).toDF()
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
             .withColumn("lang", lit(cfg.language))
             .observe(obs, count(lit(1)).as("n"))
-            .select(keyCols.map(col) :+ col("weight"): _*)
-          val combined = table.read(s) match {
-            case Some(cur) =>
-              cur.select(keyCols.map(col) :+ col("weight"): _*)
-                .unionByName(supports)
-                .groupBy(keyCols.map(col): _*)
-                .agg(sum(col("weight")).as("weight"))
-            case None => supports
+            .select(keyCols.map(col) :+ col("weight") :+
+              bucketOf.as("bucket"): _*)
+            // materialized once (batch-sized): consumed by the bucket-set
+            // collect AND the merge below — recomputing the extraction per
+            // consumer would double the batch work
+            .localCheckpoint(true)
+          merged += obs.get("n").asInstanceOf[Long]
+          // the buckets this batch touches — at most B driver-side ints
+          val touched = supports.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (touched.nonEmpty) {
+            // additive merge WITHIN the touched buckets only: the current
+            // generation's read is partition-pruned to them, and the publish
+            // rewrites exactly them (hard-link carryover for the rest)
+            val combined = table.read(s) match {
+              case Some(cur) =>
+                cur.filter(col("bucket").isin(touched.toSeq: _*)) // pruned
+                  .select(keyCols.map(col) :+ col("weight"): _*)
+                  .unionByName(supports.drop("bucket"))
+                  .groupBy(keyCols.map(col): _*)
+                  .agg(sum(col("weight")).as("weight"))
+              case None =>
+                supports.drop("bucket")
+            }
+            // runId scoped by lineage id: publish idempotence records must
+            // never collide across checkpoint lineages (a fresh lineage's
+            // batch 0 is a different logical batch than an old lineage's)
+            table.stagePartitioned(
+              combined.withColumn("bucket", bucketOf), s"stream-$ckptId-$batchId")
+            table.publishBuckets(s"stream-$ckptId-$batchId", touched)
           }
-          // runId scoped by lineage id: publish idempotence records must
-          // never collide across checkpoint lineages (a fresh lineage's
-          // batch 0 is a different logical batch than an old lineage's)
-          table.stage(combined, s"stream-$ckptId-$batchId")
-          table.publish(s"stream-$ckptId-$batchId")
           // lineage id BEFORE the batch stamp: a crash between the two must
           // never leave lastBatch set with no (or a stale) lineage id — the
           // strict guard above would then brick or bypass the table
           table.setPointer("lastBatchCkpt", ckptId)
           table.setPointer("lastBatch", batchId.toString)
-          merged += obs.get("n").asInstanceOf[Long]
         }
         ()
       }

@@ -48,6 +48,29 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0)
   }
 
+  test("first-ever sync with zero extractable supports publishes a readable " +
+       "empty table and a later data-bearing sync heals it") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    // turns whose text mentions nothing from the catalog -> zero supports;
+    // stamped with a pre-corpus event time so the recorded watermark cannot
+    // hide any real turn from the later sync
+    val blank = fx.turns.take(20).map(_.copy(
+      text = "nothing to see here", ts = new java.sql.Timestamp(1L)))
+    p.runSync(spark, turnsDs(blank), fx.catalog, fx.markers, "sync-empty")
+    // the empty generations are readable (schema sidecar), not a brick
+    assert(p.supportTable.read(spark).get.count() == 0)
+    assert(p.edgeTable.read(spark).get.count() == 0)
+    // a later sync over real data proceeds and matches a full scratch run
+    // (blank turns carry the fixture's own timestamps, so the real turns are
+    // not all behind the recorded watermark)
+    p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "sync-data")
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    scratch.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "full")
+    assert(edgesOf(p) == edgesOf(scratch))
+  }
+
   test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
     import spark.implicits._

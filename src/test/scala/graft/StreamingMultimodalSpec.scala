@@ -54,6 +54,65 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(table.currentGeneration("lastBatch").isDefined)
   }
 
+  test("a micro-batch touching one conversation rewrites only its buckets (inode-verified)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 12, nEnt = 10, hotFactor = 2)
+    val inDir = Files.createTempDirectory("stream-ob-in-").toString
+    fx.turns.toDS().coalesce(1).write.mode("overwrite").parquet(inDir)
+    val table = new TableCommitter(Files.createTempDirectory("stream-ob-tbl-").toString)
+    val ckpt = Files.createTempDirectory("stream-ob-ckpt-").toString
+    val cfg = PipelineConfig()
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, cfg, table)
+    val gen0 = java.nio.file.Paths.get(table.currentPath().get)
+
+    // a second micro-batch carrying extra turns of exactly ONE conversation
+    val conv = fx.turns.head.conv_id
+    val extra = fx.turns.filter(_.conv_id == conv)
+    extra.toDS().coalesce(1).write.mode("append").parquet(inDir)
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, cfg, table)
+    val gen1 = java.nio.file.Paths.get(table.currentPath().get)
+    assert(gen1 != gen0)
+
+    // O(batch) check: every fresh (non-hard-linked) data file of the new
+    // generation lives in the touched conversation's bucket dir; all other
+    // buckets carried over as hard links of the previous generation
+    def files(g: java.nio.file.Path) = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(g).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    def inode(f: java.nio.file.Path) =
+      Files.getAttribute(f, "unix:ino").asInstanceOf[Long]
+    val expectedBucket = {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      Seq(conv).toDF("conv_id")
+        .select(pmod(hash(col("conv_id")), lit(cfg.syncBuckets)))
+        .head().getInt(0)
+    }
+    val oldInodes = files(gen0).map(inode).toSet
+    val fresh = files(gen1).filterNot(f => oldInodes.contains(inode(f)))
+    assert(fresh.nonEmpty)
+    assert(fresh.map(_.getParent.getFileName.toString).toSet ==
+      Set(s"bucket=$expectedBucket"),
+      "a 1-conversation micro-batch must rewrite exactly that conversation's bucket")
+
+    // content parity: streamed == batch extraction over (original + extra)
+    val batch = graft.extract.Extractor
+      .extract((fx.turns ++ extra).toDS(), fx.catalog, fx.markers).toDF()
+      .groupBy("conv_id", "subj", "pred", "obj").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    val streamed = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("a recreated checkpoint over a non-empty table is refused, not silently skipped") {
     val spark = SparkTestSession.get
     import spark.implicits._

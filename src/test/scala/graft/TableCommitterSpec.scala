@@ -112,6 +112,57 @@ class TableCommitterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.expireGenerations(0))
   }
 
+  test("a zero-row bucketed publish stays readable (schema sidecar) and " +
+       "does not brick later syncs") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    val empty = Seq.empty[(Int, String, Int)].toDF("k", "v", "bucket")
+    // partitionBy of an empty DF writes no parquet data files at all —
+    // without the sidecar this generation would throw on every read
+    t.stagePartitioned(empty, "r0")
+    t.publishBuckets("r0", Set.empty)
+    val got = t.read(spark).get
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("k", "v", "bucket"))
+    // a later incremental publish over the empty generation works normally
+    t.stagePartitioned(Seq((1, "a", 0)).toDF("k", "v", "bucket"), "r1")
+    t.publishBuckets("r1", Set(0))
+    assert(t.read(spark).get.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == Set((1, "a")))
+    // the intermediate empty generation stays time-travel readable too
+    assert(t.readGeneration(spark, "gen-0").get.count() == 0)
+  }
+
+  test("a crash mid-publishBuckets leaves no orphan generation dir") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stagePartitioned(Seq((1, "a", 0), (2, "b", 1)).toDF("k", "v", "bucket"), "r0")
+    t.publishBuckets("r0", Set(0, 1))
+    // simulate the crash: an assembly tmp dir left behind mid-publish
+    val root = java.nio.file.Paths.get(t.currentPath().get).getParent
+    val orphan = root.resolve(".gen-1.tmp")
+    Files.createDirectories(orphan.resolve("bucket=0"))
+    Files.writeString(orphan.resolve("bucket=0").resolve("junk.parquet"), "x")
+    // orphans are invisible to generations() (and so to retention/time travel)
+    assert(t.generations() == Seq("gen-0"))
+    // ...and the next publish sweeps them and numbers correctly
+    t.stagePartitioned(Seq((2, "b2", 1)).toDF("k", "v", "bucket"), "r1")
+    val gen = t.publishBuckets("r1", Set(1))
+    assert(gen == "gen-1")
+    assert(!Files.exists(orphan))
+    assert(t.read(spark).get.filter($"k" === 2).head().getString(1) == "b2")
+  }
+
+  test("pinOrVerify: first writer pins, later writers must agree") {
+    val t = fresh()
+    t.pinOrVerify("bucket_count", "16")
+    t.pinOrVerify("bucket_count", "16") // same value: fine
+    val ex = intercept[IllegalArgumentException](t.pinOrVerify("bucket_count", "64"))
+    assert(ex.getMessage.contains("bucket_count"))
+  }
+
   test("blue/green alias pointers flip between generations (K6)") {
     val spark = SparkTestSession.get
     import spark.implicits._
