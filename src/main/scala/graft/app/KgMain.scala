@@ -16,6 +16,16 @@ import graft.sources.TranscriptGen
   *   KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]
   *   KgMain ingest-nt <ntDumpDir> <workDir>
   *
+  * Pipeline knobs (env, all optional):
+  *   GRAFT_DISTRIBUTED_CANON=1  large-star/small-star CC canonicalization
+  *                              instead of driver union-find (graph-scale
+  *                              catalogs)
+  *   GRAFT_PUBLISH_DOCS=1       also publish the per-(subject, lang) doc table
+  *   GRAFT_DETECT_LANGUAGE=1    per-conversation language detection
+  *   GRAFT_SCORED_LINKING=1     contextual disambiguation of ambiguous aliases
+  *   GRAFT_SYNC_OLD_DATA=1      full-set vanished-conversation reconciliation
+  *   GRAFT_SYNC_BUCKETS=<n>     physical bucket count (pinned at first run)
+  *
   * `ingest-nt` is the reference's dump-harvest lifecycle (harvestFromDumps ->
   * addModelToES -> publish, Harvester.java:1702-1730, 1803-1905): RDF triples
   * from N-Triples dumps are assembled into per-(resource, language) docs —
@@ -45,7 +55,20 @@ object KgMain {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = PipelineConfig(workDir = workDir)
+    def envFlag(name: String): Boolean = sys.env.get(name) match {
+      case None => false
+      case Some("1") | Some("true") => true
+      case Some("0") | Some("false") => false
+      case Some(other) => // loud: a typo must not silently disable a feature
+        sys.error(s"$name must be 0/1/true/false, got '$other'")
+    }
+    val cfg = PipelineConfig(workDir = workDir,
+      useDistributedCanon = envFlag("GRAFT_DISTRIBUTED_CANON"),
+      publishDocs = envFlag("GRAFT_PUBLISH_DOCS"),
+      detectLanguage = envFlag("GRAFT_DETECT_LANGUAGE"),
+      scoredLinking = envFlag("GRAFT_SCORED_LINKING"),
+      syncOldData = envFlag("GRAFT_SYNC_OLD_DATA"),
+      syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt).getOrElse(16))
     val pipeline = new KgPipeline(cfg)
     // sync runIds are watermark-derived so a crashed sync RETRIED FROM A NEW
     // PROCESS resumes the original run (stage checkpoints + idempotent

@@ -37,8 +37,16 @@ final case class PipelineConfig(
     langProfiles: Map[String, Set[String]] = Map(
       "en" -> Set("the", "of", "and", "is", "with"),
       "cs" -> Set("je", "na", "se", "aby", "nebo")),
-    // J1: label source priority (uriDescriptionList, EEASettings.java:46-50)
-    uriDescription: Seq[String] = Seq("prefLabel", "title", "label"),
+    // J1: label source priority (uriDescriptionList; defaults are the
+    // reference's full predicate IRIs, EEASettings.java:46-50 — ingest-nt
+    // dumps carry full-IRI predicates, so bare local names would silently
+    // never match. Bare-name fallbacks follow at lower priority for
+    // synthetic/transcript-derived models keyed by local names.)
+    uriDescription: Seq[String] = Seq(
+      "http://www.w3.org/2004/02/skos/core#prefLabel",
+      "http://purl.org/dc/terms/title",
+      "http://www.w3.org/2000/01/rdf-schema#label",
+      "prefLabel", "title", "label"),
     // about=[subject URI] property on the shared doc
     // (addUriForResource, ESNormalizer.java:318-328; key Indexer.java:389)
     includeResourceURI: Boolean = false,
@@ -56,6 +64,12 @@ final case class PipelineConfig(
     // catalogs (default); distributed large-star/small-star CC for
     // graph-scale catalogs
     useDistributedCanon: Boolean = false,
+    // scored entity linking: an alias naming SEVERAL entities is resolved
+    // per mention by TF-IDF/Jaccard context similarity (EntityLinker)
+    // instead of being collapsed by alias-sharing canonicalization or
+    // rank-guessed — flips the shared-alias semantics from "identity" to
+    // "ambiguity" (KgPipeline.resolveAmbiguousMentions)
+    scoredLinking: Boolean = false,
     // split structurally-bad input rows into the quarantine table instead of
     // failing the job (K2 failure-granularity shrink)
     quarantineBadRows: Boolean = true,

@@ -46,6 +46,18 @@ object Extractor {
   /** Per-turn context row: the turn's last mention by token position. */
   val LastMentionPred = "urn:graft:lastMention"
 
+  /** Sentinel prefix for mentions of AMBIGUOUS aliases (an alias naming >1
+    * distinct entity) when scored linking is on: the kernel defers the
+    * entity choice to the contextual linker (EntityLinker), which re-maps
+    * the sentinel per (conv, turn, alias) — see
+    * KgPipeline.resolveAmbiguousMentions. */
+  val AmbPrefix = "urn:amb:"
+
+  /** Canonical sentinel for an ambiguous alias: whitespace-normalized and
+    * lowercased, matching the linker's case-insensitive alias key. */
+  def ambSentinel(alias: String): String =
+    AmbPrefix + alias.trim.split("\\s+").mkString(" ").toLowerCase
+
   /** Token-trie node for multi-token alias matching (longest match wins).
     * A single-token alias is a depth-1 terminal, so the trie scan is a
     * strict generalization of plain hash lookup. */
@@ -57,13 +69,21 @@ object Extractor {
     * (rank, then entityId — W3 semantics), aliases tokenized on whitespace.
     * When a canonical map is given, resolution composes with it so mentions
     * are emitted (and per-turn deduplicated) at canonical granularity —
-    * two aliases of one canonical cluster in a turn are ONE mention. */
+    * two aliases of one canonical cluster in a turn are ONE mention.
+    *
+    * With `sentinelAmbiguous`, an alias whose candidates resolve to MORE
+    * THAN ONE canonical entity maps to [[ambSentinel]] instead of the
+    * rank-winner — the scored-linking mode where surface-form collisions are
+    * disambiguated per mention by context, not collapsed or rank-guessed. */
   def buildTrie(catalog: Seq[CatalogEntry],
-                canon: Map[String, String] = Map.empty): TrieNode = {
+                canon: Map[String, String] = Map.empty,
+                sentinelAmbiguous: Boolean = false): TrieNode = {
     val resolve: Map[String, String] =
       catalog.groupBy(_.alias).map { case (a, es) =>
+        val targets = es.map(e => canon.getOrElse(e.entityId, e.entityId)).distinct
         val e = es.minBy(e => (e.rank, e.entityId)).entityId
-        a -> canon.getOrElse(e, e)
+        a -> (if (sentinelAmbiguous && targets.size > 1) ambSentinel(a)
+              else canon.getOrElse(e, e))
       }
     def insert(node: TrieNode, toks: List[String], entity: String): TrieNode =
       toks match {
@@ -83,11 +103,13 @@ object Extractor {
       catalog: Seq[CatalogEntry],
       markers: Map[String, String],
       emitContext: Boolean = false,
-      canon: Map[String, String] = Map.empty): Dataset[Extracted] = {
+      canon: Map[String, String] = Map.empty,
+      sentinelAmbiguous: Boolean = false): Dataset[Extracted] = {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    val bcTrie = spark.sparkContext.broadcast(buildTrie(catalog, canon))
+    val bcTrie = spark.sparkContext.broadcast(
+      buildTrie(catalog, canon, sentinelAmbiguous))
     val bcMarkers = spark.sparkContext.broadcast(markers)
 
     // project before the kernel: only 3 of the 6 turn columns are consumed,

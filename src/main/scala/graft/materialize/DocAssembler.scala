@@ -33,6 +33,9 @@ import graft.config.PipelineConfig
   *    order EEASettings.java:46-50; the live v2 path is the sync-query label
   *    pushdown, Harvester.java:982-1031). Substitution happens BEFORE value
   *    dedup, exactly like the reference's per-value rewrite.
+  *  - A5 `normMissing`: per-predicate default values fill the untagged map
+  *    when (and only when) it lacks the predicate (ESNormalizer.java:127-155;
+  *    see the inline note for the bug-compatible tagged-only case).
   *  - F7: doc id = subj@lang (Harvester.java:1852-1853) — the MERGE key.
   *  - A7: optional items_count_<pred> entries (dead code in the reference,
   *    call site commented out at Harvester.java:1845-1848 — implemented
@@ -127,7 +130,33 @@ object DocAssembler {
           .select(col("subj"), lit("about").as("pred"),
             col("subj").as("obj"), lit("").as("lang")))
 
-    val vals = withAbout
+    // A5 normMissing, reference-exact (ESNormalizer.normalizeMissing,
+    // ESNormalizer.java:127-155, called from process() after the property
+    // loop): a subject missing a defaulted predicate in its UNTAGGED ("")
+    // map gets the raw default values there — absence is judged on the
+    // untagged map alone (a subject holding the predicate only under a
+    // language tag STILL receives the default, which then unions into its
+    // tagged docs via the shared merge — bug-compatible by design). Defaults
+    // are config strings, never label-substituted (they skip
+    // processProperty's getLabelForUri), hence applied after resolution.
+    val withDefaults =
+      if (cfg.normMissing.isEmpty) withAbout
+      else {
+        val spark = withAbout.sparkSession
+        import spark.implicits._
+        val defaults = cfg.normMissing.toSeq.sortBy(_._1)
+          .flatMap { case (p, vs) => vs.map(v => (p, v)) }
+          .toDF("pred", "obj")
+        val untaggedPreds = withAbout.filter(col("lang") === "")
+          .select("subj", "pred").distinct()
+        val missing = withAbout.select("subj").distinct()
+          .crossJoin(broadcast(defaults)) // config-sized right side
+          .join(untaggedPreds, Seq("subj", "pred"), "left_anti")
+          .select(col("subj"), col("pred"), col("obj"), lit("").as("lang"))
+        withAbout.unionByName(missing)
+      }
+
+    val vals = withDefaults
       .groupBy("subj", "lang", "pred")
       .agg(array_sort(collect_set(col("obj"))).as("vals"))
       .filter(size(col("vals")) > 0) // P3

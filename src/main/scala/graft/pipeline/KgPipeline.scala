@@ -150,7 +150,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     val identityCfg = cfg.proplist.isEmpty && cfg.normProp.isEmpty &&
       cfg.normObj.isEmpty && cfg.whiteMap.isEmpty && cfg.blackMap.isEmpty
     if (cfg.encodedShuffle && identityCfg && !cfg.useDistributedCanon &&
-        !cfg.detectLanguage)
+        !cfg.detectLanguage && !cfg.scoredLinking)
       return computeSupportsEncoded(spark, turns, catalog, markers)
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
@@ -162,14 +162,23 @@ final class KgPipeline(cfg: PipelineConfig) {
     // canonicalization composes into the kernel's broadcast dictionary
     // (code/string resolution at canonical granularity — no joins needed;
     // the CC result is catalog-sized by definition, so collecting the
-    // distributed variant back to a broadcast map is bounded)
+    // distributed variant back to a broadcast map is bounded).
+    // scoredLinking flips the shared-alias semantics: a surface form naming
+    // several entities is AMBIGUITY to resolve per mention by context (the
+    // TF-IDF/Jaccard linker), not identity to collapse — so canon is the
+    // identity map and ambiguous aliases route through the linker below.
     val canon: Map[String, String] =
-      if (cfg.useDistributedCanon)
+      if (cfg.scoredLinking) Map.empty
+      else if (cfg.useDistributedCanon)
         canonicalMapDistributed(spark,
           catalog.toDF("entity_id", "alias", "pref_label", "rank"))
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       else graft.sources.TranscriptGen.components(catalog)
-    val raw = Extractor.extract(turns, catalog, markers, canon = canon).toDF()
+    val raw0 = Extractor.extract(turns, catalog, markers, canon = canon,
+      sentinelAmbiguous = cfg.scoredLinking).toDF()
+    val raw =
+      if (cfg.scoredLinking) resolveAmbiguousMentions(spark, raw0, turns, catalog)
+      else raw0
     val normalized = Extractor.normalize(raw, cfg)
 
     val grouped = normalized
@@ -186,6 +195,65 @@ final class KgPipeline(cfg: PipelineConfig) {
         .join(convLanguages(turns), Seq("conv_id"), "left")
         .withColumn("lang", coalesce(col("lang"), lit(cfg.language)))
     stamped.select("conv_id", "subj", "pred", "obj", "lang", "weight")
+  }
+
+  /** Scored entity linking over the extraction output (north star: "entity
+    * linking scored with a broadcast-hash-join candidate lookup plus
+    * TF-IDF/Jaccard similarity"): rows whose subject/object is an
+    * [[Extractor.ambSentinel]] — a mention of an alias naming several
+    * entities — are re-mapped to the contextual winner chosen by
+    * [[graft.link.EntityLinker.link]] for that exact (conv, turn, alias).
+    * Mentions the token-level linker cannot see (multi-token ambiguous
+    * aliases) fall back to the rank-winner, so no triple is ever dropped.
+    *
+    * Plan shape: the linker's decision table is ambiguous-mention-sized; the
+    * two re-mapping joins touch only the sentinel-bearing extraction rows
+    * (clean rows bypass them entirely). The final mention dedup re-groups
+    * only mention edges — two aliases resolving to one entity within a turn
+    * must count as ONE mention, exactly as trie-time canonical resolution
+    * would have. */
+  private def resolveAmbiguousMentions(spark: SparkSession, raw: DataFrame,
+                                       turns: Dataset[Turn],
+                                       catalog: Seq[CatalogEntry]): DataFrame = {
+    val amb = catalog.groupBy(_.alias)
+      .filter { case (_, es) => es.map(_.entityId).distinct.size > 1 }
+    if (amb.isEmpty) return raw
+    val ambAliases = amb.keySet
+    val ambCatalog = catalog.filter(e => ambAliases.contains(e.alias))
+    val fallback: Map[String, String] = amb.map { case (a, es) =>
+      Extractor.ambSentinel(a) -> es.minBy(e => (e.rank, e.entityId)).entityId
+    }
+    val fbLit = typedlit(fallback)
+
+    // per-(conv, turn, alias) contextual winner; the linker lowercases alias
+    // keys, matching ambSentinel's normalization
+    val dec = graft.link.EntityLinker.link(turns, ambCatalog)
+      .select(col("conv_id"), col("turn_idx"),
+        concat(lit(Extractor.AmbPrefix), col("alias")).as("amb"),
+        col("entity_id"))
+
+    val isAmb = col("subj").startsWith(Extractor.AmbPrefix) ||
+      col("obj").startsWith(Extractor.AmbPrefix)
+    val clean = raw.filter(!isAmb)
+    val decS = dec.toDF("c_s", "t_s", "amb_s", "res_s")
+    val decO = dec.toDF("c_o", "t_o", "amb_o", "res_o")
+    val resolved = raw.filter(isAmb)
+      .join(decS, col("conv_id") === col("c_s") &&
+        col("turn_idx") === col("t_s") && col("subj") === col("amb_s"), "left")
+      .join(decO, col("conv_id") === col("c_o") &&
+        col("turn_idx") === col("t_o") && col("obj") === col("amb_o"), "left")
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("res_s"), element_at(fbLit, col("subj")), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("res_o"), element_at(fbLit, col("obj")), col("obj")).as("obj"))
+
+    val all = clean.unionByName(resolved)
+    // re-establish per-turn mention uniqueness across BOTH row classes: a
+    // clean mention and a resolved one may land on the same entity in the
+    // same turn, which trie-time resolution would have emitted once
+    val mentions = all.filter(col("pred") === Extractor.MentionsPred)
+      .dropDuplicates("conv_id", "turn_idx", "subj", "pred", "obj")
+    all.filter(col("pred") =!= Extractor.MentionsPred).unionByName(mentions)
   }
 
   /** Conversation-level language detection: argmax function-word hit ratio

@@ -156,6 +156,76 @@ object MaterializeQueries {
         .orderBy("subj", "pred", "rendered")
     },
 
+    // ---- A5 normMissing through the full assembler: per-predicate defaults
+    // fill the UNTAGGED map when it lacks the predicate (reference-exact:
+    // a subject holding the predicate only under a language tag still gets
+    // the default, which then unions into its tagged docs via the shared
+    // merge — ESNormalizer.java:127-155 judges absence on the "" map alone);
+    // defaults are raw config strings, never label-substituted
+    "mat_doc_defaults" -> Q(
+      """WITH t AS (
+        |  SELECT 'urn:s:' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+        |         'urn:p:' || source AS pred,
+        |         CAST(n_chars AS VARCHAR) AS obj,
+        |         CASE WHEN doc_id % 50 >= 45 THEN ''
+        |              WHEN doc_id % 4 = 0 THEN '' ELSE lang END AS lang
+        |  FROM documents),
+        |defaults(pred, obj) AS (VALUES ('urn:p:src3', 'd3a'),
+        |                               ('urn:p:src3', 'd3b'),
+        |                               ('urn:p:curated', 'no')),
+        |untagged AS (SELECT DISTINCT subj, pred FROM t WHERE lang = ''),
+        |withdefaults AS (
+        |  SELECT * FROM t
+        |  UNION ALL
+        |  SELECT s.subj, d.pred, d.obj, '' AS lang
+        |  FROM (SELECT DISTINCT subj FROM t) s CROSS JOIN defaults d
+        |  WHERE NOT EXISTS (SELECT 1 FROM untagged u
+        |                    WHERE u.subj = s.subj AND u.pred = d.pred)),
+        |vals AS (
+        |  SELECT subj, lang, pred, list_sort(list_distinct(list(obj))) AS vs
+        |  FROM withdefaults GROUP BY 1, 2, 3),
+        |shared AS (SELECT subj, pred, vs FROM vals WHERE lang = ''),
+        |tagged AS (SELECT * FROM vals WHERE lang <> ''),
+        |tlangs AS (SELECT DISTINCT subj, lang FROM tagged),
+        |mergedentries AS (
+        |  SELECT subj, lang, pred, vs FROM tagged
+        |  UNION ALL
+        |  SELECT tl.subj, tl.lang, s.pred, s.vs
+        |  FROM tlangs tl JOIN shared s ON tl.subj = s.subj),
+        |merged AS (
+        |  SELECT subj, lang, pred, list_sort(list_distinct(flatten(list(vs)))) AS vs
+        |  FROM mergedentries GROUP BY 1, 2, 3),
+        |stamped AS (
+        |  SELECT subj, lang, pred, vs FROM merged WHERE pred <> 'language'
+        |  UNION ALL
+        |  SELECT subj, lang, 'language' AS pred, [lang] AS vs FROM tlangs),
+        |untaggedonly AS (
+        |  SELECT s.subj, 'en' AS lang, s.pred, s.vs
+        |  FROM shared s LEFT JOIN tlangs tl ON s.subj = tl.subj
+        |  WHERE tl.subj IS NULL),
+        |alldocs AS (SELECT * FROM stamped UNION ALL SELECT * FROM untaggedonly)
+        |SELECT subj || '@' || lang AS id, subj, lang, pred AS key,
+        |       array_to_string(vs, ',') AS vals
+        |FROM alldocs ORDER BY id, key""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        concat(lit("urn:s:"), (col("doc_id") % 50).cast("string")).as("subj"),
+        concat(lit("urn:p:"), col("source")).as("pred"),
+        col("n_chars").cast("string").as("obj"),
+        when(col("doc_id") % 50 >= 45, "")
+          .when(col("doc_id") % 4 === 0, "")
+          .otherwise(col("lang")).as("lang"))
+      val cfg = PipelineConfig(language = "en", addLanguage = true,
+        normMissing = Map(
+          "urn:p:src3" -> Seq("d3a", "d3b"),
+          "urn:p:curated" -> Seq("no")))
+      DocAssembler.assemble(t, cfg)
+        .select(col("id"), col("subj"), col("lang"),
+          explode(col("doc")).as(Seq("key", "vs")))
+        .select(col("id"), col("subj"), col("lang"), col("key"),
+          array_join(col("vs"), ",").as("vals"))
+        .orderBy("id", "key")
+    },
+
     // ---- A6 + about + language through the full assembler: shared-prop
     // merge, about=[subj] via the shared doc, language=[lang] on tagged docs,
     // untagged-only fallback at the default language — exploded to long form

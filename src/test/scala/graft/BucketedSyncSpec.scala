@@ -151,15 +151,19 @@ class BucketedSyncSpec extends AnyFunSuite {
 
   test("incremental doc publish equals a from-scratch doc build") {
     val spark = SparkTestSession.get
+    // normMissing exercises A5 defaults through the REAL incremental path:
+    // rebuilt docs of changed subjects must re-fill the same defaults the
+    // scratch build does
+    val defaults = Map("urn:p:reviewed" -> Seq("no"))
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
-      syncOldData = true, publishDocs = true))
+      syncOldData = true, publishDocs = true, normMissing = defaults))
     val t0 = fx.turns.filter(_.turn_idx <= 4)
     val t1 = fx.turns.filterNot(_.conv_id == "conv-000002")
     p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
     p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
 
     val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
-      syncBuckets = 8, publishDocs = true))
+      syncBuckets = 8, publishDocs = true, normMissing = defaults))
     scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s")
 
     def docs(q: KgPipeline) = q.docTable.read(spark).get
@@ -170,6 +174,58 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(docs(p) == docs(scratch))
     // doc generations advanced incrementally (full + sync), both bucketed
     assert(p.docTable.generations().size == 2)
+  }
+
+  test("incremental doc rebuild with language-mixed literals and cross-bucket " +
+       "label resolution equals a scratch rebuild") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // catalog: ten single-alias entities; "labeledas" emits prefLabel edges
+    // so uriDescription substitution has real label triples to resolve
+    // against (bare "prefLabel" sits in the default priority list)
+    val cat = (0 until 10).map(i =>
+      graft.schema.CatalogEntry(s"urn:e:$i", s"al$i", s"entity $i", 1))
+    val markers = Map("uses" -> "urn:p:uses", "labeledas" -> "prefLabel")
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new Timestamp(10000L * (i + 1)))
+    // conv-en / conv-cs mention the SAME subject (e1) under different
+    // detected languages, so its docs span languages; conv-lbl holds e2's
+    // label under another subject bucket (cross-bucket lookup)
+    val t0 = Seq(
+      turn("conv-en", 0, "the design is good and al1 uses al2 with the rest of it"),
+      turn("conv-cs", 0, "je to tak aby se al1 uses al3 nebo na tom"),
+      turn("conv-lbl", 0, "the al2 labeledas al5 is shared with all of the docs"),
+      turn("conv-other", 0, "the al7 uses al8 is with and of the others"))
+    // the sync changes BOTH of e1's conversations — new literals in each
+    // language — and leaves the label conversation untouched
+    val t1 = t0 ++ Seq(
+      turn("conv-en", 1, "and the al1 uses al4 with more of the same"),
+      turn("conv-cs", 1, "aby se al1 uses al2 je nebo dalsi na tom"))
+
+    def mkCfg() = PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+      syncOldData = true, publishDocs = true, detectLanguage = true)
+    val p = new KgPipeline(mkCfg())
+    p.runFull(spark, t0.toDS(), cat, markers, "t0")
+    p.runSync(spark, t1.toDS(), cat, markers, "t1")
+    val scratch = new KgPipeline(mkCfg())
+    scratch.runFull(spark, t1.toDS(), cat, markers, "s")
+
+    def docs(q: KgPipeline) = q.docTable.read(spark).get
+      .selectExpr("id", "explode(map_entries(doc)) AS e")
+      .selectExpr("id", "e.key AS k", "array_join(e.value, ',') AS v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val incr = docs(p)
+    assert(incr == docs(scratch))
+    // the language mix is real: e1 carries docs in both detected languages
+    val e1Langs = incr.collect { case (id, _, _) if id.startsWith("urn:e:1@") => id }
+    assert(e1Langs.exists(_.endsWith("@en")) && e1Langs.exists(_.endsWith("@cs")),
+      s"expected en+cs docs for urn:e:1, got $e1Langs")
+    // and the label actually resolved: e1's uses-values carry e2's label
+    // (urn:e:5), not the raw URI urn:e:2
+    val usesVals = incr.collect {
+      case (id, k, v) if id.startsWith("urn:e:1@") && k == "urn:p:uses" => v }
+    assert(usesVals.nonEmpty && usesVals.forall(_.contains("urn:e:5")),
+      s"label substitution missing in $usesVals")
   }
 
   test("sync resumes exactly after crashes at BOTH mid-publish points " +

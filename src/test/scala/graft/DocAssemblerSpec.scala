@@ -65,6 +65,39 @@ class DocAssemblerSpec extends AnyFunSuite {
     assert(!docsOf()("s1@en").contains("about"))
   }
 
+  test("normMissing fills defaults by untagged-map absence (reference-exact): " +
+       "tagged-only subjects still get them; untagged holders do not") {
+    val cfg = PipelineConfig(language = "en",
+      normMissing = Map("p_title" -> Seq("untitled"), "p_flag" -> Seq("a", "b")))
+    val docs = docsOf(cfg)
+    // s1 HAS an untagged p_title ("shared-title") -> no default for it;
+    // p_flag is absent everywhere -> defaults land in the shared map and
+    // union into every tagged doc
+    assert(docs("s1@en")("p_title") == List("hello", "shared-title"))
+    assert(docs("s1@en")("p_flag") == List("a", "b"))
+    assert(docs("s1@cs")("p_flag") == List("a", "b"))
+    // s2 (untagged-only) lacks p_title entirely -> default fills its doc
+    assert(docs("s2@en")("p_title") == List("untitled"))
+    assert(docs("s2@en")("p_flag") == List("a", "b"))
+
+    // the bug-compatible branch: a subject holding the predicate ONLY under
+    // a language tag still receives the default (absence is judged on the
+    // untagged map alone, ESNormalizer.java:127-134), and the default unions
+    // with the tagged values via the shared merge
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val taggedOnly = Seq(("s3", "p_title", "tagged-title", "en"))
+      .toDF("subj", "pred", "obj", "lang")
+    val got = DocAssembler.assemble(taggedOnly,
+        PipelineConfig(language = "en", normMissing = Map("p_title" -> Seq("untitled"))))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, scala.collection.Seq[String]](3).toMap
+          .map { case (k, v) => k -> v.toList })
+      .toMap
+    assert(got("s3@en")("p_title") == List("tagged-title", "untitled"))
+  }
+
   test("uriDescription label substitution: priority first-match, URI fallback") {
     val spark = SparkTestSession.get
     import spark.implicits._

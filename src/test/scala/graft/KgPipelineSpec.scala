@@ -71,6 +71,42 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(scratch))
   }
 
+  test("scoredLinking: turn context flips an ambiguous link that rank alone " +
+       "would get wrong (through runFull)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    // "mercury" names two entities; rank alone always picks the element
+    // (rank 1 < 2), and default canonicalization would collapse both into
+    // one cluster — only context can link each conversation correctly
+    val cat = Seq(
+      CatalogEntry("urn:e:element", "mercury", "mercury chemical element silvery metal", 1),
+      CatalogEntry("urn:e:planet", "mercury", "mercury planet solar orbit innermost", 2),
+      CatalogEntry("urn:e:venus", "venus", "venus planet solar orbit", 1))
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val turns = Seq(
+      turn("conv-planet", 0, "the innermost planet mercury has a short orbit in the solar system"),
+      turn("conv-element", 0, "mercury is a chemical element a silvery metal"))
+
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), scoredLinking = true))
+    p.runFull(spark, turns.toDS(), cat, Map.empty, "run-scored")
+    def linkedTo(q: KgPipeline, conv: String): Set[String] =
+      q.edgeTable.read(spark).get
+        .filter(col("subj") === s"urn:conv:$conv" &&
+          col("pred") === graft.extract.Extractor.MentionsPred)
+        .collect().map(_.getString(2)).toSet
+    assert(linkedTo(p, "conv-planet") == Set("urn:e:planet"))
+    assert(linkedTo(p, "conv-element") == Set("urn:e:element"))
+
+    // control: without the flag, alias-sharing canonicalization collapses
+    // both entities into one cluster — no contextual distinction possible
+    val ctrl = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    ctrl.runFull(spark, turns.toDS(), cat, Map.empty, "run-rank")
+    assert(linkedTo(ctrl, "conv-planet") == Set("urn:e:element"))
+    assert(linkedTo(ctrl, "conv-element") == Set("urn:e:element"))
+  }
+
   test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
     import spark.implicits._
