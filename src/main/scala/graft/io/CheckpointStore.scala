@@ -19,22 +19,55 @@ final class CheckpointStore(root: String) {
   private def metricsPath = s"$root/metrics"
   private def lineagePath = s"$root/lineage"
 
+  // the watermark table's schema is fixed by writeWatermark; providing it to
+  // the reader skips one footer-based schema-inference Spark job per read —
+  // the sync path reads this table on every run, and a no-op sync is
+  // fixed-overhead bound
+  private val wmSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pipeline_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("run_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("watermark",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("status",
+      org.apache.spark.sql.types.StringType)))
+
+  private def readWm(spark: SparkSession): DataFrame = {
+    // schema given, but existence still probed: .schema() defers the
+    // missing-path error to action time, losing the AnalysisException the
+    // callers map to "no table yet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(wmPath)))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND", messageParameters = Map("path" -> wmPath))
+    spark.read.schema(wmSchema).parquet(wmPath)
+  }
+
+  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:ckpt:$desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
   def writeWatermark(spark: SparkSession, pipelineId: String, runId: String,
                      watermark: Timestamp, status: String): Unit = {
     import spark.implicits._
-    Seq((pipelineId, runId, watermark, status))
-      .toDF("pipeline_id", "run_id", "watermark", "status")
-      .write.mode("append").parquet(wmPath)
+    withJobDesc(spark, "watermark-write") {
+      Seq((pipelineId, runId, watermark, status))
+        .toDF("pipeline_id", "run_id", "watermark", "status")
+        .write.mode("append").parquet(wmPath)
+    }
   }
 
   /** Highest successful watermark — the reference reads `last_update` before
     * composing the sync FILTER (Harvester.java:628-651). */
   def lastWatermark(spark: SparkSession, pipelineId: String): Option[Timestamp] =
     try {
-      spark.read.parquet(wmPath)
+      withJobDesc(spark, "watermark-read")(readWm(spark)
         .filter(col("pipeline_id") === pipelineId && col("status") === "success")
         .agg(max(col("watermark")))
-        .head() match {
+        .head()) match {
           case r if r.isNullAt(0) => None
           case r => Some(r.getTimestamp(0))
         }
@@ -51,10 +84,10 @@ final class CheckpointStore(root: String) {
     * yet stable across crash-retries of the same one. */
   def syncEpoch(spark: SparkSession, pipelineId: String): (Long, Option[Timestamp]) =
     try {
-      val r = spark.read.parquet(wmPath)
+      val r = withJobDesc(spark, "epoch-read")(readWm(spark)
         .filter(col("pipeline_id") === pipelineId && col("status") === "success")
         .agg(count(lit(1)), max(col("watermark")))
-        .head()
+        .head())
       (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => (0L, None)
@@ -63,9 +96,11 @@ final class CheckpointStore(root: String) {
   def writeMetrics(spark: SparkSession, runId: String,
                    rows: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._
-    rows.map { case (stage, metric, v) => (runId, stage, metric, v) }
-      .toDF("run_id", "stage", "metric", "value")
-      .write.mode("append").parquet(metricsPath)
+    withJobDesc(spark, "metrics-write") {
+      rows.map { case (stage, metric, v) => (runId, stage, metric, v) }
+        .toDF("run_id", "stage", "metric", "value")
+        .write.mode("append").parquet(metricsPath)
+    }
   }
 
   /** Per-partition lineage: one row per (run, stage, partition) with its row
@@ -73,11 +108,45 @@ final class CheckpointStore(root: String) {
     * not a driver collect. */
   def writeLineage(spark: SparkSession, runId: String, stage: String,
                    df: DataFrame): Unit = {
-    df.groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows"))
-      .withColumn("run_id", lit(runId))
-      .withColumn("stage", lit(stage))
-      .write.mode("append").parquet(lineagePath)
+    withJobDesc(spark, s"lineage-write:$stage") {
+      df.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("run_id", lit(runId))
+        .withColumn("stage", lit(stage))
+        .write.mode("append").parquet(lineagePath)
+    }
+  }
+
+  /** Per-partition lineage for an already-checkpointed stage, read from the
+    * checkpoint's parquet FOOTERS (each writer task produced one file whose
+    * footer carries its row count) — metadata-only, so recording lineage for
+    * a 100 TB supports checkpoint costs zero data reads; the DataFrame-scan
+    * variant above re-reads every row because groupBy(spark_partition_id)
+    * defeats Spark's metadata-only count. One small Spark job remains: the
+    * append of the lineage rows themselves. */
+  def writeLineageFromFooters(spark: SparkSession, runId: String, stage: String,
+                              checkpointDir: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(checkpointDir))
+    val parts =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    val rows = parts.map { f =>
+      val name = f.getFileName.toString // part-00007-<uuid>... -> 7
+      val pid = name.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf))
+      try pid -> rdr.getRecordCount finally rdr.close()
+    }
+    withJobDesc(spark, s"lineage-write:$stage") {
+      rows.map { case (pid, n) => (pid, n, runId, stage) }
+        .toDF("partition_id", "rows", "run_id", "stage")
+        .write.mode("append").parquet(lineagePath)
+    }
   }
 
   def metrics(spark: SparkSession): Option[DataFrame] =

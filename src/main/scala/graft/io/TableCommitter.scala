@@ -92,10 +92,20 @@ final class TableCommitter(rootDir: String) {
 
   def stagingPath(runId: String): String = staging.resolve(runId).toString
 
+  private val tableName = root.getFileName.toString
+
+  /** Label this table's Spark jobs in the UI / listeners. */
+  private def withJobDesc[T](df: DataFrame, desc: String)(body: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:$desc:$tableName")
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Write a full snapshot into staging (not yet visible). */
   def stage(df: DataFrame, runId: String): String = {
     val p = stagingPath(runId)
-    df.write.mode("overwrite").parquet(p)
+    withJobDesc(df, "stage-table")(df.write.mode("overwrite").parquet(p))
     writeSchemaSidecar(df, p)
     p
   }
@@ -114,10 +124,12 @@ final class TableCommitter(rootDir: String) {
     * buckets, maxRecordsPerFile splits giant ones. */
   def stagePartitioned(df: DataFrame, runId: String): String = {
     val p = stagingPath(runId)
-    df.repartition(col(TableCommitter.BucketCol))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 20000000)
-      .partitionBy(TableCommitter.BucketCol).parquet(p)
+    withJobDesc(df, "stage-buckets") {
+      df.repartition(col(TableCommitter.BucketCol))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 20000000)
+        .partitionBy(TableCommitter.BucketCol).parquet(p)
+    }
     writeSchemaSidecar(df, p)
     p
   }

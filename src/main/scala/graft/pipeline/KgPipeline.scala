@@ -65,14 +65,36 @@ final class KgPipeline(cfg: PipelineConfig) {
         Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => Files.delete(f))
       }
-      compute.write.parquet(tmp.toString)
+      val df = compute
+      withJobDesc(spark, s"stage:$name")(df.write.parquet(tmp.toString))
+      // schema sidecar: the read-back below (and every resume) skips the
+      // footer-based schema-inference job — a no-op sync is fixed-overhead
+      // bound, and each inference is one extra Spark job
+      Files.writeString(tmp.resolve(SchemaSidecar), df.schema.json)
       afterWrite(tmp)
       Files.createDirectories(dir.getParent)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       if (failAfterStage.contains(name))
         throw new RuntimeException(s"injected failure after stage $name")
     }
-    spark.read.parquet(dir.toString)
+    val sidecar = dir.resolve(SchemaSidecar)
+    if (Files.exists(sidecar)) // pre-sidecar checkpoints fall back to inference
+      spark.read.schema(org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(sidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(dir.toString)
+    else spark.read.parquet(dir.toString)
+  }
+
+  private val SchemaSidecar = graft.io.TableCommitter.SchemaSidecar
+
+  /** Label the Spark jobs of `body` in the UI / listeners (restores the
+    * caller's description afterwards — stages nest inside runFull/runSync
+    * phases). */
+  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(s"graft:$desc")
+    try body finally spark.sparkContext.setJobDescription(prev)
   }
 
   /** Watermark sidecar name: leading underscore keeps parquet readers from
@@ -126,8 +148,8 @@ final class KgPipeline(cfg: PipelineConfig) {
       val (good, bad) = Quarantine.split(
         turns.toDF().observe(obs, max(col("ts")).as("max_ts")),
         Quarantine.turnChecks)
-      bad.write.mode("overwrite")
-        .parquet(s"${cfg.workDir}/quarantine/run_id=$runId")
+      withJobDesc(spark, "quarantine-split")(bad.write.mode("overwrite")
+        .parquet(s"${cfg.workDir}/quarantine/run_id=$runId"))
       // the observation fired on the bad.write action and saw every row
       // (the quarantine filter sits above the observe node)
       val wm = obs.get("max_ts") match {
@@ -419,7 +441,8 @@ final class KgPipeline(cfg: PipelineConfig) {
     // resumed run replays the checkpoint's own watermark; the live-source
     // fallback is only for checkpoints that predate the sidecar
     val wm = readWmSidecar(runId, "supports").getOrElse(maxEventTime(turns))
-    checkpoints.writeLineage(spark, runId, "supports", supports)
+    checkpoints.writeLineageFromFooters(spark, runId, "supports",
+      s"$stagesRoot/$runId/supports")
 
     supportTable.stagePartitioned(
       supports.withColumn("bucket", convBucket(col("conv_id"))), runId)
@@ -491,8 +514,16 @@ final class KgPipeline(cfg: PipelineConfig) {
     // J3: re-extract only changed conversations (semi-join restriction)
     // any turn newer than the watermark belongs to a changed conversation by
     // construction, so max(ts) over changedTurns == max over the full source
-    // whenever new data exists (and the fallback keeps the old watermark)
-    val changedTurns = turns.join(changedConvs, Seq("conv_id"), "left_semi").as[Turn]
+    // whenever new data exists (and the fallback keeps the old watermark).
+    // Stage-checkpointed: the quarantine split and the extraction each
+    // consume these rows, and without the checkpoint each consumer re-scans
+    // the FULL source behind the semi-join — three 100 TB scans per sync
+    // instead of two (the changed-set scan + this one). The checkpoint is
+    // delta-sized, and pinning it also hardens resume (a post-crash source
+    // mutation can never leak into a replayed extraction).
+    val changedTurns = stage(spark, runId, "changed_turns") {
+      turns.join(changedConvs, Seq("conv_id"), "left_semi").toDF()
+    }.as[Turn]
     var obsWm: Option[Timestamp] = None
     val newSupports = stage(spark, runId, "sync_supports",
       afterWrite = writeWmSidecar(_, obsWm)) {
@@ -505,7 +536,8 @@ final class KgPipeline(cfg: PipelineConfig) {
     // crash and the retry without ever extracting them
     val newWm = readWmSidecar(runId, "sync_supports")
       .getOrElse(maxEventTime(changedTurns))
-    checkpoints.writeLineage(spark, runId, "sync_supports", newSupports)
+    checkpoints.writeLineageFromFooters(spark, runId, "sync_supports",
+      s"$stagesRoot/$runId/sync_supports")
 
     supportTable.read(spark) match {
       case None =>
@@ -535,9 +567,9 @@ final class KgPipeline(cfg: PipelineConfig) {
         val touched = changedConvs.unionByName(vanished).distinct()
 
         // the set of physical buckets to rewrite — at most B driver-side ints
-        val changedBuckets = touched
-          .select(convBucket(col("conv_id")).as("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        val changedBuckets = withJobDesc(spark, "collect:changed-buckets")(
+          touched.select(convBucket(col("conv_id")).as("b")).distinct()
+            .collect()).map(_.getInt(0)).toSet
         val curChanged = cur
           .filter(col("bucket").isin(changedBuckets.toSeq: _*)) // partition-pruned
         val keep = curChanged
@@ -628,8 +660,9 @@ final class KgPipeline(cfg: PipelineConfig) {
                                         newWatermark: Option[Timestamp]): RunResult = {
     val keyCols = Seq("subj", "pred", "obj", "lang")
 
-    val affectedEdgeBuckets = delta
-      .select(edgeBucket.as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val affectedEdgeBuckets = withJobDesc(spark, "collect:edge-buckets")(
+      delta.select(edgeBucket.as("b")).distinct().collect())
+      .map(_.getInt(0)).toSet
 
     val (edgesGen, nodesGen) = edgeTable.read(spark) match {
       case None =>
@@ -679,9 +712,9 @@ final class KgPipeline(cfg: PipelineConfig) {
 
         val ng = nodeTable.read(spark) match {
           case Some(curN) =>
-            val affectedNodeBuckets = nodeDelta
-              .select(convBucket(col("entity_id")).as("b")).distinct()
-              .collect().map(_.getInt(0)).toSet
+            val affectedNodeBuckets = withJobDesc(spark, "collect:node-buckets")(
+              nodeDelta.select(convBucket(col("entity_id")).as("b")).distinct()
+                .collect()).map(_.getInt(0)).toSet
             val curNA = curN
               .filter(col("bucket").isin(affectedNodeBuckets.toSeq: _*))
               .drop("bucket")
@@ -713,7 +746,7 @@ final class KgPipeline(cfg: PipelineConfig) {
 
     val publishedEdges = edgeTable.read(spark).get
     // snapshot-level triple count: parquet footer metadata scan, no data read
-    val nTriples = publishedEdges.count()
+    val nTriples = withJobDesc(spark, "count:edges")(publishedEdges.count())
 
     // optional document sink, incrementally: docs pivot per (subj, lang)
     // over all of a subject's edges, and edges are subject-bucketed — so the
@@ -745,9 +778,9 @@ final class KgPipeline(cfg: PipelineConfig) {
           // otherwise)
           val sliceObjs = slice.select(col("obj").as("subj")).distinct()
             .localCheckpoint(true)
-          val objBuckets = sliceObjs
-            .select(subjectBucket(col("subj")).as("b")).distinct()
-            .collect().map(_.getInt(0)).toSet
+          val objBuckets = withJobDesc(spark, "collect:label-buckets")(
+            sliceObjs.select(subjectBucket(col("subj")).as("b")).distinct()
+              .collect()).map(_.getInt(0)).toSet
           val labelSrc = publishedEdges
             .filter(col("bucket").isin(objBuckets.toSeq: _*)) // pruned
             .join(sliceObjs, Seq("subj"), "left_semi")
