@@ -76,6 +76,13 @@ final case class PipelineConfig(
     // also publish the per-(subject, language) document table — the
     // reference's actual output shape (one ES doc per resource@lang)
     publishDocs: Boolean = false,
+    // incremental doc rebuild also refreshes docs that REFERENCE a changed
+    // subject as an object value (a label edit then propagates to every doc
+    // that displays it). Off by default: matching the reference's sync
+    // staleness (unchanged resources are not re-indexed) AND because the
+    // obj-side semi-join scans the edge table along a non-bucketed column —
+    // opt in when label freshness is worth one extra edge-table pass per sync
+    refreshReferencingDocs: Boolean = false,
     // integer-coded support shuffle (identity-normalization fast path):
     // exchanges (conv_id, 3 ints) instead of four URI strings
     encodedShuffle: Boolean = true)

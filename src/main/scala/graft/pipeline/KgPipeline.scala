@@ -758,14 +758,31 @@ final class KgPipeline(cfg: PipelineConfig) {
     // lookup because labels of URI u live under subject u); a label change
     // refreshes only docs of changed subjects — the reference's sync has the
     // same staleness (unchanged resources are not re-indexed,
-    // Harvester.java:1199-1453). Full-refresh of referencing docs would be
-    // an obj-side semi-join over the edge table (opt-in extension point).
+    // Harvester.java:1199-1453) — unless `refreshReferencingDocs` opts into
+    // the obj-side semi-join extension, which widens the affected-subject
+    // set to every subject holding a changed subject as an object value.
     if (cfg.publishDocs) {
       docTable.read(spark) match {
         case Some(curD) =>
-          val affectedSubjects = delta.select("subj").distinct()
+          val changedSubjects = delta.select("subj").distinct()
+          val affectedSubjects =
+            if (!cfg.refreshReferencingDocs) changedSubjects
+            else changedSubjects.unionByName(
+              // obj is not the bucket key, so this scans the edge table —
+              // the documented cost of opting into label freshness
+              publishedEdges
+                .join(changedSubjects.withColumnRenamed("subj", "obj"),
+                  Seq("obj"), "left_semi")
+                .select("subj")).distinct()
+          // doc buckets follow the (possibly widened) affected-subject set —
+          // a referencing subject can live outside the delta's edge buckets
+          val docBuckets =
+            if (!cfg.refreshReferencingDocs) affectedEdgeBuckets
+            else withJobDesc(spark, "collect:doc-buckets")(
+              affectedSubjects.select(subjectBucket(col("subj")).as("b"))
+                .distinct().collect()).map(_.getInt(0)).toSet
           val slice = publishedEdges
-            .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*)) // pruned
+            .filter(col("bucket").isin(docBuckets.toSeq: _*)) // pruned
             .join(affectedSubjects, Seq("subj"), "left_semi")
             .select("subj", "pred", "obj", "lang")
           // label lookup restricted to the slice's own object URIs BEFORE
@@ -788,12 +805,12 @@ final class KgPipeline(cfg: PipelineConfig) {
           val rebuilt = graft.materialize.DocAssembler.assemble(
             slice, cfg, labelSource = Some(labelSrc))
           val kept = curD
-            .filter(col("bucket").isin(affectedEdgeBuckets.toSeq: _*))
+            .filter(col("bucket").isin(docBuckets.toSeq: _*))
             .drop("bucket")
             .join(affectedSubjects, Seq("subj"), "left_anti")
           docTable.stagePartitioned(
             rebuilt.unionByName(kept).withColumn("bucket", edgeBucket), runId)
-          docTable.publishBuckets(runId, affectedEdgeBuckets)
+          docTable.publishBuckets(runId, docBuckets)
         case None =>
           // publishDocs enabled after a docs-less run: an incremental slice
           // would present only the changed subjects' docs as the whole

@@ -228,6 +228,64 @@ class BucketedSyncSpec extends AnyFunSuite {
       s"label substitution missing in $usesVals")
   }
 
+  test("refreshReferencingDocs: a label edit propagates to docs that display " +
+       "it; default keeps the reference's staleness") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val cat = (0 until 10).map(i =>
+      graft.schema.CatalogEntry(s"urn:e:$i", s"al$i", s"entity $i", 1))
+    val markers = Map("uses" -> "urn:p:uses", "labeledas" -> "prefLabel")
+    def turn(c: String, i: Int, text: String, ts: Long) =
+      Turn(c, i, "user", text, "", new Timestamp(ts))
+    val t0 = Seq(
+      turn("conv-a", 0, "al1 uses al2 today", 10000),
+      turn("conv-lbl", 0, "al2 labeledas al5 now", 10000))
+    // the label edit REPLACES conv-lbl's only turn (same turn_idx, newer ts):
+    // the sync re-extracts the whole conversation, so the old label support
+    // vanishes and only al6 remains
+    val t1 = Seq(
+      turn("conv-a", 0, "al1 uses al2 today", 10000),
+      turn("conv-lbl", 0, "al2 labeledas al6 now", 20000))
+
+    def run(refresh: Boolean): (String, KgPipeline) = {
+      val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8,
+        publishDocs = true, refreshReferencingDocs = refresh))
+      p.runFull(spark, t0.toDS(), cat, markers, "t0")
+      p.runSync(spark, t1.toDS(), cat, markers, "t1")
+      val label = p.docTable.read(spark).get
+        .filter("subj = 'urn:e:1'")
+        .selectExpr("explode(doc['urn:p:uses']) AS v")
+        .collect().map(_.getString(0)).toSeq
+      (label.mkString(","), p)
+    }
+
+    // scratch truth: e1's doc displays e2's NEW label (urn:e:6)
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      syncBuckets = 8, publishDocs = true))
+    scratch.runFull(spark, t1.toDS(), cat, markers, "s")
+    val want = scratch.docTable.read(spark).get
+      .filter("subj = 'urn:e:1'")
+      .selectExpr("explode(doc['urn:p:uses']) AS v")
+      .collect().map(_.getString(0)).toSeq.mkString(",")
+    assert(want == "urn:e:6")
+
+    // opt-in: referencing doc refreshed, equal to scratch — full doc-table
+    // parity, not just the one value
+    val (refreshed, pOn) = run(refresh = true)
+    assert(refreshed == want)
+    def docs(q: KgPipeline) = q.docTable.read(spark).get
+      .selectExpr("id", "explode(map_entries(doc)) AS e")
+      .selectExpr("id", "e.key AS k", "array_join(e.value, ',') AS v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(docs(pOn) == docs(scratch))
+
+    // default: the referencing doc keeps the OLD label (reference-matching
+    // staleness, Harvester.java:1199-1453 — unchanged resources are not
+    // re-indexed)
+    val (stale, _) = run(refresh = false)
+    assert(stale == "urn:e:5")
+  }
+
   test("sync resumes exactly after crashes at BOTH mid-publish points " +
        "(support published / edges published) — the delta replays, never " +
        "recomputes from mutated state") {

@@ -117,6 +117,17 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(got == fx.goldenComponents)
   }
 
+  test("useDistributedCanon e2e: runFull publishes tables identical to the " +
+       "driver union-find path") {
+    val spark = SparkTestSession.get
+    val dist = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      useDistributedCanon = true))
+    dist.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "dist")
+    val uf = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    uf.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "uf")
+    assert(edgesOf(dist) == edgesOf(uf))
+  }
+
   test("per-conversation count reconciliation (CLUSTERS-TEST style)") {
     // the reference validated its v1->v2 port by per-cluster doc-count
     // parity (src/logs/2/CLUSTERS-TEST); here: per-conversation mention-edge
