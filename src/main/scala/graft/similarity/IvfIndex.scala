@@ -58,13 +58,17 @@ object IvfIndex {
       }.toSeq)
     (1 to iters).foreach { _ =>
       val assigned = unit.withColumn("bucket", bucketCol(model, col("u")))
-      // per-dimension mean via posexplode + re-collect (exact aggregation)
+      // per-dimension mean as ONE vector aggregation (Summarizer.mean):
+      // element-wise sums combine map-side, so the exchange carries one
+      // dim-length buffer per (partition, bucket) — the posexplode
+      // formulation shuffled n x dim scalar rows, a dim-fold inflation of
+      // the training shuffle at corpus scale
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val means = assigned
-        .select(col("bucket"), posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy("bucket", "pos").agg(avg(col("x")).as("m"))
+        .select(col("bucket"), array_to_vector(col("u")).as("uv"))
         .groupBy("bucket")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("bucket"), transform(col("ps"), p => p.getField("m")).as("c"))
+        .agg(org.apache.spark.ml.stat.Summarizer.mean(col("uv")).as("mv"))
+        .select(col("bucket"), vector_to_array(col("mv")).as("c"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       // keep previous centroid for any emptied bucket; renormalize
