@@ -41,6 +41,20 @@ object DedupQueries {
       |       FROM (SELECT doc_id, l, unnest(range(len(l) - 2)) AS i
       |             FROM toks WHERE len(l) >= 3))""".stripMargin
 
+  /** MinHash universal-hash family shared by the Spark query and its DuckDB
+    * oracle: h = first 7 hex digits of md5(shingle) as an integer (< 2^28);
+    * mh_k = min over shingles of (a_k*h + b_k) mod P. Constants are fixed
+    * (Knuth multiplicative seeds), distinct per k, and < P, so every product
+    * stays below 2^59 — exact in 64-bit integers on both engines. */
+  private[queries] object MinHash {
+    val P = 2147483647L // 2^31 - 1 (prime)
+    val perms: Seq[(Long, Long)] = (0 until 16).map { k =>
+      ((2654435761L * (2 * k + 1)) % P, (1013904223L * (k + 1)) % P)
+    }
+    val permValuesSql: String = perms.zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+  }
+
   /** Native codegen'd dot product (graft.functions.DotProduct): a tight
     * left-to-right loop inside whole-stage codegen — bit-identical to a
     * sequential fold and to the DuckDB oracle's list_dot_product, and ~10x
@@ -91,10 +105,18 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // ---- MinHash + LSH banding: 16 md5-derived min-hashes, 4 bands of 4
-    // (P[candidate] = 1-(1-j^4)^4 — sharp enough that sf0.1's small shared
-    // vocabulary does not flood the candidate set); candidates =
-    // band-signature equality join; verified Jaccard >= 0.3.
+    // ---- MinHash + LSH banding: ONE md5 per shingle -> 28-bit integer h,
+    // then 16 linear permutations (a_k*h + b_k) mod P — the classic
+    // universal-hash minhash family. The naive formulation hashes every
+    // shingle 16 times; here the k permutations are integer arithmetic over
+    // one digest, a 16x reduction of the dominant stage's hash cost at
+    // corpus scale. Constants are inlined identically into the DuckDB
+    // oracle, so candidate sets (and thus output rows) stay engine-exact
+    // (bounds: a_k < P < 2^31, h < 2^28 -> products < 2^59, overflow-safe
+    // in both engines' 64-bit ints). 4 bands of 4 (P[candidate] =
+    // 1-(1-j^4)^4 — sharp enough that sf0.1's small shared vocabulary does
+    // not flood the candidate set); candidates = band-signature equality
+    // join; verified Jaccard >= 0.3.
     //
     // Scale shape: candidate generation is a band-bucket equality join
     // (never all-pairs); verification restricts shingles to candidate docs
@@ -105,10 +127,14 @@ object DedupQueries {
     // caching the full shingle table across the sweep.
     "dd_minhash_lsh" -> Q(
       s"""WITH $shinglesSql,
-         |ks AS (SELECT unnest(range(16)) AS k),
-         |mh AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
-         |       FROM sh CROSS JOIN ks GROUP BY doc_id, k),
-         |bands AS (SELECT doc_id, k // 4 AS band, md5(string_agg(mh, '|' ORDER BY k)) AS sig
+         |perm(k, a, b) AS (VALUES ${MinHash.permValuesSql}),
+         |hh AS (SELECT doc_id,
+         |              CAST(CONCAT('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+         |       FROM sh),
+         |mh AS (SELECT doc_id, k, min((a * h + b) % ${MinHash.P}) AS mh
+         |       FROM hh CROSS JOIN perm GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, k // 4 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k)) AS sig
          |          FROM mh GROUP BY doc_id, k // 4),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |         FROM bands x JOIN bands y
@@ -123,17 +149,23 @@ object DedupQueries {
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
       val sh = shingles(s, d)
-      // all 16 min-hashes in ONE aggregation pass (no x16 row blow-up; values
-      // identical to the oracle's per-k group-by min over md5("k|shingle"))
-      val mhCols = (0 until 16).map(k =>
-        min(md5(concat(lit(s"$k|"), col("s")).cast("binary"))).as(s"mh$k"))
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // one digest per shingle; all 16 permuted min-hashes in ONE
+      // aggregation pass (no x16 row blow-up; arithmetic identical to the
+      // oracle's perm VALUES — see MinHash)
+      val h = conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10)
+        .cast("long")
+      val hh = sh.select(col("doc_id"), h.as("h"))
+      val mhCols = MinHash.perms.zipWithIndex.map { case ((a, b), k) =>
+        min((lit(a) * col("h") + lit(b)) % lit(MinHash.P)).as(s"mh$k")
+      }
+      val mh = hh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       // bands of 4: sig = md5(mh_{4b} || "|" || ... || mh_{4b+3}); all 4
       // bands exploded from ONE pass over the aggregate (a 4-way union would
       // recompute the aggregation per branch)
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b).as("band"),
-          md5(concat_ws("|", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*)
+          md5(concat_ws("|",
+            (0 until 4).map(i => col(s"mh${4 * b + i}").cast("string")): _*)
             .cast("binary")).as("sig"))
       }
       val bands = mh
