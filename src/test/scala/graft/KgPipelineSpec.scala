@@ -105,6 +105,19 @@ class KgPipelineSpec extends AnyFunSuite {
     ctrl.runFull(spark, turns.toDS(), cat, Map.empty, "run-rank")
     assert(linkedTo(ctrl, "conv-planet") == Set("urn:e:element"))
     assert(linkedTo(ctrl, "conv-element") == Set("urn:e:element"))
+
+    // incremental sync under scoredLinking: a new conversation links by its
+    // own context, and the result equals a from-scratch scored run
+    val t1 = turns ++ Seq(
+      Turn("conv-planet2", 0, "user",
+        "venus and mercury are planet bodies in solar orbit", "",
+        new java.sql.Timestamp(99999L))) // past the recorded watermark
+    p.runSync(spark, t1.toDS(), cat, Map.empty, "sync-scored")
+    assert(linkedTo(p, "conv-planet2") == Set("urn:e:planet", "urn:e:venus"))
+    val scratch2 = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      scoredLinking = true))
+    scratch2.runFull(spark, t1.toDS(), cat, Map.empty, "full-scored")
+    assert(edgesOf(p) == edgesOf(scratch2))
   }
 
   test("distributed CC canonicalization matches union-find golden components") {

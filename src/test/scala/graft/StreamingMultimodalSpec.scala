@@ -113,6 +113,54 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  /** Erase batch 0's commit record (and its Hadoop-local-FS checksum twin —
+    * leaving the stale .crc behind trips Spark's concurrent-writer check) so
+    * a restarted query replays the batch, as after a crash mid-commit. */
+  private def deleteCommit(ckpt: String): Unit = {
+    val commits = java.nio.file.Paths.get(ckpt).resolve("commits")
+    Files.delete(commits.resolve("0"))
+    Files.deleteIfExists(commits.resolve(".0.crc"))
+  }
+
+  test("bucketed ingest survives foreachBatch replay: stamped batches skip, " +
+       "crash-before-stamp republishes idempotently (no double-merge)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 8, nEnt = 8, hotFactor = 2)
+    val inDir = Files.createTempDirectory("stream-rp-in-").toString
+    fx.turns.toDS().coalesce(1).write.mode("overwrite").parquet(inDir)
+    val tblDir = Files.createTempDirectory("stream-rp-tbl-").toString
+    val table = new TableCommitter(tblDir)
+    val ckpt = Files.createTempDirectory("stream-rp-ckpt-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+    def content() = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    val want = content()
+    val genAfter = table.currentGeneration()
+
+    // scenario 1: the engine replays batch 0 (its commit log entry lost),
+    // but the lastBatch stamp survived -> the batch is SKIPPED, additive
+    // weights unchanged
+    deleteCommit(ckpt)
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+    assert(content() == want)
+    assert(table.currentGeneration() == genAfter)
+
+    // scenario 2: crash happened AFTER publishBuckets but BEFORE the stamp —
+    // both the commit log entry and the lastBatch pointer are gone; the
+    // replay re-runs the merge, and the committer's runId idempotence must
+    // discard the re-staged data instead of double-adding the weights
+    deleteCommit(ckpt)
+    Files.delete(java.nio.file.Paths.get(tblDir).resolve("_meta").resolve("lastBatch"))
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, PipelineConfig(), table)
+    assert(content() == want, "replayed batch double-merged the weights")
+    assert(table.currentGeneration("lastBatch").contains("0"))
+  }
+
   test("a recreated checkpoint over a non-empty table is refused, not silently skipped") {
     val spark = SparkTestSession.get
     import spark.implicits._
