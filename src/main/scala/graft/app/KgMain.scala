@@ -17,12 +17,18 @@ import graft.sources.TranscriptGen
   *   KgMain ingest-nt <ntDumpDir> <workDir>
   *
   * Pipeline knobs (env, all optional):
+  *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
+  *                              blob shape — proplist/normProp/normObj/
+  *                              normMissing/white/blackMap/language/
+  *                              uriDescription/..., ConfigParsing.fromJson);
+  *                              env flags below override its scale knobs
   *   GRAFT_DISTRIBUTED_CANON=1  large-star/small-star CC canonicalization
   *                              instead of driver union-find (graph-scale
   *                              catalogs)
   *   GRAFT_PUBLISH_DOCS=1       also publish the per-(subject, lang) doc table
   *   GRAFT_DETECT_LANGUAGE=1    per-conversation language detection
   *   GRAFT_SCORED_LINKING=1     contextual disambiguation of ambiguous aliases
+  *   GRAFT_REFRESH_REF_DOCS=1   label edits also refresh referencing docs
   *   GRAFT_SYNC_OLD_DATA=1      full-set vanished-conversation reconciliation
   *   GRAFT_SYNC_BUCKETS=<n>     physical bucket count (pinned at first run)
   *
@@ -62,12 +68,19 @@ object KgMain {
       case Some(other) => // loud: a typo must not silently disable a feature
         sys.error(s"$name must be 0/1/true/false, got '$other'")
     }
-    val cfg = PipelineConfig(workDir = workDir,
+    // data-shaping keys come from the river-config JSON when given (the
+    // reference's settings blob, S7); scale knobs layer on top via env
+    val baseCfg = sys.env.get("GRAFT_CONFIG_JSON")
+      .map(p => graft.config.ConfigParsing.fromJson(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+      .getOrElse(PipelineConfig())
+    val cfg = baseCfg.copy(workDir = workDir,
       useDistributedCanon = envFlag("GRAFT_DISTRIBUTED_CANON"),
       publishDocs = envFlag("GRAFT_PUBLISH_DOCS"),
       detectLanguage = envFlag("GRAFT_DETECT_LANGUAGE"),
       scoredLinking = envFlag("GRAFT_SCORED_LINKING"),
-      syncOldData = envFlag("GRAFT_SYNC_OLD_DATA"),
+      refreshReferencingDocs = envFlag("GRAFT_REFRESH_REF_DOCS"),
+      syncOldData = baseCfg.syncOldData || envFlag("GRAFT_SYNC_OLD_DATA"),
       syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt).getOrElse(16))
     val pipeline = new KgPipeline(cfg)
     // sync runIds are watermark-derived so a crashed sync RETRIED FROM A NEW

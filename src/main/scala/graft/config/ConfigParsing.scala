@@ -87,10 +87,12 @@ object ConfigParsing {
       blackMap = multiMap(node("blackMap")).map { case (k, v) => k -> v.toSet },
       language = Option(node("language")).map(_.asText()).getOrElse("en"),
       addLanguage = Option(node("addLanguage")).forall(_.asBoolean(true)),
+      // absent key falls back to the SAME default as PipelineConfig() — the
+      // two default paths must never diverge (full predicate IRIs first)
       uriDescription = Option(node("uriDescription")).map {
         case n if n.isTextual => parseBracketList(n.asText())
         case n => strings(n)
-      }.getOrElse(Seq("prefLabel", "title", "label")),
+      }.getOrElse(PipelineConfig().uriDescription),
       includeResourceURI =
         Option(node("includeResourceURI")).exists(_.asBoolean(false)),
       syncOldData = Option(node("syncOldData")).exists(_.asBoolean(false)))

@@ -42,6 +42,14 @@ class ConfigQuarantineSpec extends AnyFunSuite {
     assert(d.listType == "white" && d.language == "en" && !d.syncOldData)
   }
 
+  test("fromJson with no uriDescription key matches PipelineConfig's default " +
+       "(full predicate IRIs first — the two default paths must not diverge)") {
+    val cfg = graft.config.ConfigParsing.fromJson("""{"config":{"eeaRDF":{}}}""")
+    assert(cfg.uriDescription == graft.config.PipelineConfig().uriDescription)
+    assert(cfg.uriDescription.head ==
+      "http://www.w3.org/2004/02/skos/core#prefLabel")
+  }
+
   test("F4/F5/F6 scalar config functions match reference behavior") {
     // F4 duration format (Harvester.java:719-728)
     assert(ConfigParsing.formatDuration(512) == "512ms")
