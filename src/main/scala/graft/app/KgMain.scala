@@ -81,7 +81,8 @@ object KgMain {
       scoredLinking = envFlag("GRAFT_SCORED_LINKING"),
       refreshReferencingDocs = envFlag("GRAFT_REFRESH_REF_DOCS"),
       syncOldData = baseCfg.syncOldData || envFlag("GRAFT_SYNC_OLD_DATA"),
-      syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt).getOrElse(16))
+      syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt)
+        .getOrElse(baseCfg.syncBuckets))
     val pipeline = new KgPipeline(cfg)
     // sync runIds are watermark-derived so a crashed sync RETRIED FROM A NEW
     // PROCESS resumes the original run (stage checkpoints + idempotent

@@ -43,12 +43,8 @@ final class CheckpointStore(root: String) {
     spark.read.schema(wmSchema).parquet(wmPath)
   }
 
-  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T = {
-    val sc = spark.sparkContext
-    val prev = sc.getLocalProperty("spark.job.description")
-    sc.setJobDescription(s"graft:ckpt:$desc")
-    try body finally sc.setJobDescription(prev)
-  }
+  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T =
+    SparkIo.withJobDesc(spark, s"ckpt:$desc")(body)
 
   def writeWatermark(spark: SparkSession, pipelineId: String, runId: String,
                      watermark: Timestamp, status: String): Unit = {
@@ -103,27 +99,14 @@ final class CheckpointStore(root: String) {
     }
   }
 
-  /** Per-partition lineage: one row per (run, stage, partition) with its row
-    * count — written from the executors via a partition-level aggregation,
-    * not a driver collect. */
-  def writeLineage(spark: SparkSession, runId: String, stage: String,
-                   df: DataFrame): Unit = {
-    withJobDesc(spark, s"lineage-write:$stage") {
-      df.groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .withColumn("run_id", lit(runId))
-        .withColumn("stage", lit(stage))
-        .write.mode("append").parquet(lineagePath)
-    }
-  }
-
   /** Per-partition lineage for an already-checkpointed stage, read from the
     * checkpoint's parquet FOOTERS (each writer task produced one file whose
-    * footer carries its row count) — metadata-only, so recording lineage for
-    * a 100 TB supports checkpoint costs zero data reads; the DataFrame-scan
-    * variant above re-reads every row because groupBy(spark_partition_id)
-    * defeats Spark's metadata-only count. One small Spark job remains: the
-    * append of the lineage rows themselves. */
+    * footer carries its row count; partition_id = the writer task's number
+    * from the file name) — metadata-only, so recording lineage for a 100 TB
+    * supports checkpoint costs zero data reads. A DataFrame-scan variant
+    * (groupBy(spark_partition_id)) would re-read every row because the
+    * grouping defeats Spark's metadata-only count. One small Spark job
+    * remains: the append of the lineage rows themselves. */
   def writeLineageFromFooters(spark: SparkSession, runId: String, stage: String,
                               checkpointDir: String): Unit = {
     import spark.implicits._

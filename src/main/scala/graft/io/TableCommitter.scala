@@ -60,22 +60,11 @@ final class TableCommitter(rootDir: String) {
     * every later read of the table. It also skips footer-based schema
     * inference on non-empty reads. Pre-sidecar generations fall back to
     * plain inference. */
-  private def readPath(spark: SparkSession, path: String): DataFrame = {
-    val sidecar = Paths.get(path).resolve(TableCommitter.SchemaSidecar)
-    if (Files.exists(sidecar)) {
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(Files.readString(sidecar))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.read.schema(schema).parquet(path)
-    } else spark.read.parquet(path)
-  }
+  private def readPath(spark: SparkSession, path: String): DataFrame =
+    SparkIo.readParquetWithSidecar(spark, path)
 
-  private def writeSchemaSidecar(df: DataFrame, stagedAt: String): Unit = {
-    val tmp = Paths.get(stagedAt).resolve(s".${TableCommitter.SchemaSidecar}.tmp")
-    Files.writeString(tmp, df.schema.json)
-    Files.move(tmp, Paths.get(stagedAt).resolve(TableCommitter.SchemaSidecar),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeSchemaSidecar(df: DataFrame, stagedAt: String): Unit =
+    SparkIo.writeSchemaSidecar(df.schema, Paths.get(stagedAt))
 
   /** All published generations, oldest first. */
   def generations(): Seq[String] =
@@ -95,12 +84,8 @@ final class TableCommitter(rootDir: String) {
   private val tableName = root.getFileName.toString
 
   /** Label this table's Spark jobs in the UI / listeners. */
-  private def withJobDesc[T](df: DataFrame, desc: String)(body: => T): T = {
-    val sc = df.sparkSession.sparkContext
-    val prev = sc.getLocalProperty("spark.job.description")
-    sc.setJobDescription(s"graft:$desc:$tableName")
-    try body finally sc.setJobDescription(prev)
-  }
+  private def withJobDesc[T](df: DataFrame, desc: String)(body: => T): T =
+    SparkIo.withJobDesc(df.sparkSession, s"$desc:$tableName")(body)
 
   /** Write a full snapshot into staging (not yet visible). */
   def stage(df: DataFrame, runId: String): String = {
@@ -224,6 +209,11 @@ final class TableCommitter(rootDir: String) {
       currentPath(alias).map(Paths.get(_).resolve(TableCommitter.SchemaSidecar))
         .filter(Files.exists(_))
         .foreach(Files.copy(_, sidecar))
+    // the run marker travels INSIDE the generation: a crash after the move
+    // but before recordRun would otherwise leave a complete, unreferenced
+    // gen-N that the retry re-publishes as gen-(N+1) — a phantom forever
+    // occupying a retention slot (publishedGeneration heals from the marker)
+    Files.writeString(tmpDir.resolve(TableCommitter.RunMarker), s"$alias~$runId")
     Files.move(tmpDir, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(stagedAt)
     recordRun(runId, gen, alias)
@@ -231,7 +221,12 @@ final class TableCommitter(rootDir: String) {
     gen
   }
 
-  /** Delete assembly dirs (`.gen-*.tmp`) orphaned by a crash mid-publish. */
+  /** Delete assembly dirs (`.gen-*.tmp`) orphaned by a crash mid-publish.
+    *
+    * WRITER CONTRACT: one publishing process per table at a time (crash +
+    * retry, never concurrent publishers — the same contract the gen
+    * numbering and pointer flips already assume; runId idempotence serializes
+    * retries). Under that contract any surviving tmp dir is a dead run's. */
   private def sweepTmpGens(): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(root)) {
@@ -258,7 +253,17 @@ final class TableCommitter(rootDir: String) {
     val p = meta.resolve("runs").resolve(s"$alias~$runId")
     if (Files.exists(p))
       Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
-    else None
+    else {
+      // crash window: generation moved into place but recordRun never ran —
+      // the in-dir run marker identifies it; heal the record so the retry
+      // takes the republish path instead of double-publishing
+      val healed = generations().reverse.find { g =>
+        val m = root.resolve(g).resolve(TableCommitter.RunMarker)
+        Files.exists(m) && Files.readString(m).trim == s"$alias~$runId"
+      }
+      healed.foreach(g => recordRun(runId, g, alias))
+      healed
+    }
   }
 
   // run records are ALIAS-scoped: publishing the same runId under another
@@ -302,6 +307,9 @@ final class TableCommitter(rootDir: String) {
       .map(_.stripPrefix("gen-").toLong).getOrElse(-1L) + 1
     val gen = s"gen-$n"
     Files.createDirectories(root)
+    // marker before the move — see publishBuckets: heals a crash between
+    // the move and recordRun
+    Files.writeString(stagedAt.resolve(TableCommitter.RunMarker), s"$alias~$runId")
     Files.move(stagedAt, root.resolve(gen), StandardCopyOption.ATOMIC_MOVE)
     recordRun(runId, gen, alias)
     setPointer(alias, gen)
@@ -312,27 +320,28 @@ final class TableCommitter(rootDir: String) {
     * caller writes it atomically, every later caller must agree — a writer
     * using a different key-to-bucket mapping than the table was built with
     * would replace rows in the wrong buckets and silently carry stale copies
-    * forward. */
+    * forward.
+    *
+    * First-writer exclusivity uses hard-link creation (CREATE_NEW
+    * semantics): rename(2) would silently REPLACE a concurrent winner's pin,
+    * letting both racers proceed believing their own value won. The
+    * unconditional read-back verifies the loser against the winner. */
   def pinOrVerify(key: String, value: String): Unit = {
     val pins = meta.resolve("pins")
     val f = pins.resolve(key)
-    if (Files.exists(f)) {
-      val pinned = Files.readString(f).trim
-      require(pinned == value,
-        s"table pin '$key' is $pinned but this writer uses $value — " +
-          "rebuild into a fresh table to change it")
-    } else {
+    if (!Files.exists(f)) {
       Files.createDirectories(pins)
-      val tmp = pins.resolve(s".$key.tmp")
+      val tmp = pins.resolve(s".$key.${java.util.UUID.randomUUID()}.tmp")
       Files.writeString(tmp, value)
-      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the first-writer race: verify against the winner
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp)
-          pinOrVerify(key, value)
-      }
+      try Files.createLink(f, tmp)
+      catch { // lost the first-writer race: fall through to the verify
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally Files.deleteIfExists(tmp)
     }
+    val pinned = Files.readString(f).trim
+    require(pinned == value,
+      s"table pin '$key' is $pinned but this writer uses $value — " +
+        "rebuild into a fresh table to change it")
   }
 
   /** Point an alias at an existing generation (blue/green switch, K6). */
@@ -438,4 +447,9 @@ object TableCommitter {
   /** Per-generation schema sidecar file name (leading underscore: parquet
     * readers ignore it as metadata, like _SUCCESS). */
   val SchemaSidecar = "_graft_schema.json"
+
+  /** In-generation run marker (`alias~runId` of the publish that created the
+    * generation) — lets publishedGeneration heal a run record lost to a
+    * crash between the generation move and recordRun. */
+  val RunMarker = "_graft_run"
 }

@@ -70,32 +70,20 @@ final class KgPipeline(cfg: PipelineConfig) {
       // schema sidecar: the read-back below (and every resume) skips the
       // footer-based schema-inference job — a no-op sync is fixed-overhead
       // bound, and each inference is one extra Spark job
-      Files.writeString(tmp.resolve(SchemaSidecar), df.schema.json)
+      graft.io.SparkIo.writeSchemaSidecar(df.schema, tmp)
       afterWrite(tmp)
       Files.createDirectories(dir.getParent)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       if (failAfterStage.contains(name))
         throw new RuntimeException(s"injected failure after stage $name")
     }
-    val sidecar = dir.resolve(SchemaSidecar)
-    if (Files.exists(sidecar)) // pre-sidecar checkpoints fall back to inference
-      spark.read.schema(org.apache.spark.sql.types.DataType
-        .fromJson(Files.readString(sidecar))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .parquet(dir.toString)
-    else spark.read.parquet(dir.toString)
+    // pre-sidecar checkpoints fall back to inference inside the helper
+    graft.io.SparkIo.readParquetWithSidecar(spark, dir.toString)
   }
 
-  private val SchemaSidecar = graft.io.TableCommitter.SchemaSidecar
-
-  /** Label the Spark jobs of `body` in the UI / listeners (restores the
-    * caller's description afterwards — stages nest inside runFull/runSync
-    * phases). */
-  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T = {
-    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
-    spark.sparkContext.setJobDescription(s"graft:$desc")
-    try body finally spark.sparkContext.setJobDescription(prev)
-  }
+  /** Label the Spark jobs of `body` in the UI / listeners. */
+  private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T =
+    graft.io.SparkIo.withJobDesc(spark, desc)(body)
 
   /** Watermark sidecar name: leading underscore keeps parquet readers from
     * treating it as data (like _SUCCESS). */
@@ -413,6 +401,13 @@ final class KgPipeline(cfg: PipelineConfig) {
       Files.writeString(tmp, B.toString)
       Files.move(tmp, bucketPin, StandardCopyOption.ATOMIC_MOVE)
     }
+    // the authoritative pin lives in each TABLE's own metadata (the mapping
+    // is a property of the table, not of this workDir): a writer reaching a
+    // table through any other path — StreamingSync, a different workDir —
+    // trips the same check. The workDir pin above stays for early, clearer
+    // failure before any table is touched.
+    Seq(supportTable, edgeTable, nodeTable, docTable)
+      .foreach(_.pinOrVerify("bucket_count", B.toString))
   }
 
   /** The subject-bucket expression of this pipeline's edge/doc tables —
@@ -774,6 +769,10 @@ final class KgPipeline(cfg: PipelineConfig) {
                 .join(changedSubjects.withColumnRenamed("subj", "obj"),
                   Seq("obj"), "left_semi")
                 .select("subj")).distinct()
+              // materialized ONCE: three consumers below (bucket collect,
+              // slice semi-join, kept anti-join) would otherwise re-run the
+              // full obj-side edge scan each
+              .localCheckpoint(true)
           // doc buckets follow the (possibly widened) affected-subject set —
           // a referencing subject can live outside the delta's edge buckets
           val docBuckets =

@@ -61,6 +61,14 @@ object StreamingSync {
       "detectLanguage is not supported by the streaming ingest path " +
         "(per-conversation detection needs cross-batch state); use the batch " +
         "sync or stamp a fixed language")
+    // same silent-divergence class: the batch pipeline resolves ambiguous
+    // aliases contextually under scoredLinking, while this path would
+    // rank-collapse them — the same logical support would land under
+    // different entity keys in streaming- vs batch-built tables
+    require(!cfg.scoredLinking,
+      "scoredLinking is not supported by the streaming ingest path " +
+        "(contextual disambiguation runs in the batch pipeline); ingest with " +
+        "rank resolution or use the batch sync")
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val reader = spark.readStream.schema(schema)
     val turns = maxFilesPerBatch

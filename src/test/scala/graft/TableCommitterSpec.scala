@@ -155,6 +155,29 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.read(spark).get.filter($"k" === 2).head().getString(1) == "b2")
   }
 
+  test("crash between the generation move and recordRun heals from the " +
+       "in-generation run marker — no phantom duplicate generation") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stagePartitioned(Seq((1, "a", 0)).toDF("k", "v", "bucket"), "r0")
+    t.publishBuckets("r0", Set(0))
+    t.stagePartitioned(Seq((1, "b", 0)).toDF("k", "v", "bucket"), "r1")
+    t.publishBuckets("r1", Set(0))
+    // simulate the crash window: gen-1 was moved into place, but the run
+    // record and pointer flip were lost
+    val meta = java.nio.file.Paths.get(t.currentPath().get).getParent.resolve("_meta")
+    Files.delete(meta.resolve("runs").resolve("current~r1"))
+    t.setPointer("current", "gen-0")
+    // the retried run re-stages and republishes the same runId
+    t.stagePartitioned(Seq((1, "b", 0)).toDF("k", "v", "bucket"), "r1")
+    val gen = t.publishBuckets("r1", Set(0))
+    assert(gen == "gen-1", "retry must adopt the already-moved generation")
+    assert(t.generations() == Seq("gen-0", "gen-1"), "phantom generation created")
+    assert(t.currentGeneration().contains("gen-1"))
+    assert(t.read(spark).get.head().getString(1) == "b")
+  }
+
   test("pinOrVerify: first writer pins, later writers must agree") {
     val t = fresh()
     t.pinOrVerify("bucket_count", "16")
