@@ -44,6 +44,7 @@ object Multimodal {
     * float vector out, batch-parallel) is fully exercised. */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
+    if (payload.length == 0) return out // undecodable -> zero features
     var i = 0
     while (i < dim) {
       out(i) = ((payload(i % payload.length) & 0xff) - 128) / 128.0f
@@ -52,14 +53,18 @@ object Multimodal {
     out
   }
 
-  /** Partition-batched decode/feature-extract over the payload column. */
+  /** Partition-batched decode/feature-extract over the payload column.
+    * Null/empty payloads (a real corpus always has some) yield zero-width
+    * features rather than killing the executor — a decode failure must cost
+    * one row, never the job. */
   def extractFeatures(withPayload: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select("doc_id", "modality", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, modality, payload) =>
+        it.map { case (id, modality, payloadOrNull) =>
+          val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
           MediaFeatures(id, modality, payload.length, decodeStub(payload, dim))
         }
       }
@@ -67,10 +72,14 @@ object Multimodal {
 
   /** Frame sampling: every k-th byte-chunk of the payload (stand-in for
     * every k-th video frame) — pure Column ops over the binary column
-    * (Substring supports BinaryType), no kernel needed. */
+    * (Substring supports BinaryType), no kernel needed. Null/empty payloads
+    * sample to an empty frame list (sequence(1, 0) would throw). */
   def frameSample(withPayload: DataFrame, k: Int): DataFrame =
     withPayload.select(
       col("doc_id"),
-      transform(sequence(lit(1), length(col("payload")), lit(k)),
-        i => col("payload").substr(i, lit(1))).as("frames"))
+      when(coalesce(length(col("payload")), lit(0)) === 0,
+        array().cast("array<binary>"))
+        .otherwise(
+          transform(sequence(lit(1), length(col("payload")), lit(k)),
+            i => col("payload").substr(i, lit(1)))).as("frames"))
 }

@@ -44,8 +44,10 @@ object AsOfJoin {
       lit(0).as("__tag"), col(rightVal).as("__val"))
     val u = l.unionByName(r)
     // right rows sort before left rows at equal ts (tag 0 < 1), so an exact
-    // tie counts as "at or before"
-    val joined = lastPriorEvent(u, Seq(key), Seq("__ts", "__tag"),
+    // tie counts as "at or before"; __val is the final order key so several
+    // right rows sharing (key, ts) resolve DETERMINISTICALLY to the max
+    // value rather than to whatever the shuffle happened to order last
+    val joined = lastPriorEvent(u, Seq(key), Seq("__ts", "__tag", "__val"),
       col("__tag") === 0, col("__val"), as)
     left.join(
       joined.filter(col("__tag") === 1)

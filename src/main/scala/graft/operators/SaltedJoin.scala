@@ -19,8 +19,13 @@ object SaltedJoin {
     "left_semi", "leftsemi", "left_anti", "leftanti")
 
   /** Equi-join `fact` with `dim` on `key`, spreading each fact key over
-    * `buckets` partitions. Deterministic: the salt is a hash of the whole
-    * fact row's monotonic id substitute (its other columns), not a random. */
+    * `buckets` partitions. The salt derives from each row's physical
+    * position (monotonically_increasing_id), NOT from a hash of the row's
+    * content: identical duplicate rows of the hot key would content-hash to
+    * ONE salt bucket and re-concentrate exactly the skew being split. The
+    * join RESULT is salt-independent (the salt is an internal join column,
+    * dropped after), so the position-derived value does not affect output
+    * determinism. */
   def join(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
            joinType: String = "inner"): DataFrame = {
     // right/full outer would emit `buckets` copies of every unmatched dim
@@ -28,7 +33,7 @@ object SaltedJoin {
     require(SupportedTypes.contains(joinType.toLowerCase),
       s"salted join supports fact-preserving types only, got $joinType")
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt"), joinType)

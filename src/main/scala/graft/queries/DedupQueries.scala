@@ -35,7 +35,7 @@ object DedupQueries {
   }
 
   private val shinglesSql =
-    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
       |         FROM documents),
       |sh AS (SELECT DISTINCT doc_id, l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS s
       |       FROM (SELECT doc_id, l, unnest(range(len(l) - 2)) AS i
@@ -199,7 +199,7 @@ object DedupQueries {
     // ---- SimHash: 32-bit signature from per-token md5 hex-digit high bits;
     // identical signatures = near-dup bucket
     "dd_simhash" -> Q(
-      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
         |              FROM documents),
         |js AS (SELECT unnest(range(32)) AS j),
         |bits AS (SELECT doc_id, j,

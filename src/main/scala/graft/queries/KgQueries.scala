@@ -91,7 +91,7 @@ object KgQueries {
     // at any scale)
     "kg_extract_mentions" -> Q(
       s"""WITH t AS ($turnsSql),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
          |dict(term, pred) AS (VALUES $termPredsSql)
          |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, pred, tok AS obj, count(*) AS n
          |FROM toks JOIN dict ON toks.tok = dict.term
@@ -113,7 +113,7 @@ object KgQueries {
     // rank via row_number over a per-(doc,alias) window (J1 + W3)
     "kg_entity_link_rank" -> Q(
       s"""WITH t AS ($turnsSql),
-         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
          |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
          |ranked AS (
          |  SELECT doc_id, alias, entity_id,
@@ -140,9 +140,9 @@ object KgQueries {
     // both engines.
     "kg_link_jaccard" -> Q(
       s"""WITH t AS ($turnsSql),
-         |dtoks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+         |dtoks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
          |ctx(entity_id, ctx_text) AS (VALUES $entityCtxSql),
-         |ctoks AS (SELECT DISTINCT entity_id, unnest(string_split(ctx_text, ' ')) AS tok FROM ctx),
+         |ctoks AS (SELECT DISTINCT entity_id, unnest(list_filter(string_split_regex(lower(ctx_text), '\\s+'), x -> length(x) > 0)) AS tok FROM ctx),
          |dsize AS (SELECT doc_id, count(*) AS dn FROM dtoks GROUP BY doc_id),
          |csize AS (SELECT entity_id, count(*) AS cn FROM ctoks GROUP BY entity_id),
          |inter AS (SELECT d.doc_id, c.entity_id, count(*) AS i
@@ -210,7 +210,7 @@ object KgQueries {
     // materialized edge-table rows (subj, pred, obj, lang) — the flagship
     "kg_triples_full" -> Q(
       s"""WITH t AS ($turnsSql),
-         |toks AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM t),
+         |toks AS (SELECT DISTINCT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
          |preds(term, pred) AS (VALUES $termPredsSql),
          |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
          |linked AS (

@@ -15,7 +15,7 @@ object TextStatsQueries {
     // ---- token counting: whitespace tokens + BPE-ish regex pieces
     "ta_token_counts" -> Q(
       """SELECT doc_id,
-        |       len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_ws,
+        |       len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_ws,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |       length(text) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -32,8 +32,8 @@ object TextStatsQueries {
     "ta_quality_score" -> Q(
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars_calc,
-        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
-        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_words,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the', 'a'))) AS n_stop,
         |         length(replace(text, ' ', '')) AS n_alpha
         |  FROM documents)
         |SELECT doc_id, n_chars_calc, n_words,
@@ -59,8 +59,8 @@ object TextStatsQueries {
     "ta_langid" -> Q(
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
-        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the', 'a'))) AS n_stop,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_words
         |  FROM documents)
         |SELECT doc_id, lang,
         |       CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE) / n_words > 0.05
@@ -82,8 +82,8 @@ object TextStatsQueries {
     // distinct token set (word-order-insensitive near-dup key)
     "ta_fingerprint" -> Q(
       """SELECT doc_id,
-        |       md5(array_to_string(list_sort(list_distinct(
-        |         list_filter(string_split(text, ' '), x -> length(x) > 0))), ' ')) AS fp
+        |       md5(coalesce(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0))), ' '), '')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -101,12 +101,12 @@ object TextStatsQueries {
     "ta_curation_pipeline" -> Q(
       """WITH s AS (
         |  SELECT doc_id, text,
-        |         len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
-        |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_words,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the', 'a'))) AS n_stop,
         |         length(replace(text, ' ', '')) AS n_alpha,
         |         md5(text) AS h,
-        |         md5(array_to_string(list_sort(list_distinct(
-        |           list_filter(string_split(text, ' '), x -> length(x) > 0))), ' ')) AS fp
+        |         md5(coalesce(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0))), ' '), '')) AS fp
         |  FROM documents),
         |gated AS (
         |  SELECT * FROM s

@@ -43,14 +43,20 @@ object IvfIndex {
   private def normalized(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      // zero-norm guard: 0/0 = NaN would poison a centroid mean, and NaN
+      // compares GREATER than every finite sim in struct ordering — one
+      // zero embedding (an empty document) would collapse the whole index
+      // into the poisoned bucket. Keep the zero vector as-is: it dots to 0
+      // with everything and ranks last.
+      .withColumn("u",
+        when(col("nrm") === 0, col("v"))
+          .otherwise(transform(col("v"), x => x / col("nrm"))))
       .select("vec_id", "u")
 
   /** Train the coarse quantizer with `iters` Lloyd steps. */
   def train(spark: SparkSession, vectors: DataFrame, k: Int,
             iters: Int = 3): Model = {
     val unit = normalized(vectors).persist()
-    val dim = unit.select(size(col("u"))).head().getInt(0)
     // deterministic init: the k smallest vec_ids
     var model = Model(
       unit.orderBy("vec_id").limit(k).collect().zipWithIndex.map {

@@ -12,8 +12,13 @@ import org.apache.spark.sql.types.StructType
   */
 object MultiFormatSource {
 
+  /** @param csvMultiLine opt IN for CSV sources whose quoted fields embed
+    *        newlines: multiLine parsing makes every file single-task
+    *        (non-splittable) — the default keeps files line-splittable,
+    *        which is the whole point of columnar/line formats at 100 TB. */
   def read(spark: SparkSession, path: String, format: String,
-           schema: Option[StructType] = None): DataFrame = {
+           schema: Option[StructType] = None,
+           csvMultiLine: Boolean = false): DataFrame = {
     val r = spark.read.format(format match {
       case "jsonl" => "json"
       case f => f
@@ -22,7 +27,7 @@ object MultiFormatSource {
     format match {
       case "csv" => withSchema
         .option("header", "true")
-        .option("multiLine", "true") // quoted fields may embed newlines
+        .option("multiLine", csvMultiLine.toString)
         .load(path)
       case _ => withSchema.load(path)
     }
@@ -32,8 +37,15 @@ object MultiFormatSource {
     * the reference's multi-source model.add() bag-union + graph set
     * semantics (S6/U1, Harvester.java:1640-1659). */
   def unionAll(spark: SparkSession, sources: Seq[(String, String)],
-               schema: StructType, dedupKeys: Seq[String]): DataFrame =
+               schema: StructType, dedupKeys: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "unionAll needs at least one source")
+    // dropDuplicates(Nil) is a GLOBAL aggregate in Spark — one arbitrary
+    // surviving row, a silent near-total data loss for a likely-intended
+    // "dedup on all columns"; demand explicit keys instead
+    require(dedupKeys.nonEmpty,
+      "dedupKeys must be non-empty (use the full column list for whole-row dedup)")
     sources.map { case (p, f) => read(spark, p, f, Some(schema)) }
       .reduce(_ unionByName _)
       .dropDuplicates(dedupKeys)
+  }
 }

@@ -26,7 +26,11 @@ object StatefulSessionizer {
     val out = sorted.map { e =>
       val ts = e.ts.getTime * 1000
       val gap = st.lastTsMicros != Long.MinValue && ts - st.lastTsMicros <= GapMicros
-      st = if (gap) st.copy(lastTsMicros = ts)
+      // lastTs only ever advances: a late cross-batch event (above watermark
+      // but older than the session's frontier) joins the open session WITHOUT
+      // rewinding it — a rewound baseline would misread the next in-gap
+      // event as a session break and set the eviction timeout in the past
+      st = if (gap) st.copy(lastTsMicros = math.max(ts, st.lastTsMicros))
            else SessionState(st.sessionId + 1, ts)
       Assigned(userId, e.event_id, st.sessionId)
     }

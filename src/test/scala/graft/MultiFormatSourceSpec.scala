@@ -150,7 +150,10 @@ class MultiFormatSourceSpec extends AnyFunSuite {
 
     val p = MultiFormatSource.read(spark, s"$base/p", "parquet")
     val j = MultiFormatSource.read(spark, s"$base/j", "json", Some(schema))
-    val c = MultiFormatSource.read(spark, s"$base/c", "csv", Some(schema))
+    // this corpus embeds newlines inside quoted text fields -> opt in to
+    // multiLine (the splittable default would mis-parse those rows)
+    val c = MultiFormatSource.read(spark, s"$base/c", "csv", Some(schema),
+      csvMultiLine = true)
     assert(key(p) == key(j))
     assert(key(p) == key(c))
 
