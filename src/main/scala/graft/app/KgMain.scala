@@ -15,6 +15,7 @@ import graft.sources.TranscriptGen
   * Usage:
   *   KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]
   *   KgMain ingest-nt <ntDumpDir> <workDir>
+  *   KgMain ingest-rdfxml <rdfXmlDumpDir> <workDir>
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -32,10 +33,12 @@ import graft.sources.TranscriptGen
   *   GRAFT_SYNC_OLD_DATA=1      full-set vanished-conversation reconciliation
   *   GRAFT_SYNC_BUCKETS=<n>     physical bucket count (pinned at first run)
   *
-  * `ingest-nt` is the reference's dump-harvest lifecycle (harvestFromDumps ->
-  * addModelToES -> publish, Harvester.java:1702-1730, 1803-1905): RDF triples
-  * from N-Triples dumps are assembled into per-(resource, language) docs —
-  * per-literal lang tags routing via objLang — and published atomically.
+  * `ingest-nt` / `ingest-rdfxml` are the reference's dump-harvest lifecycle
+  * (harvestFromDumps -> addModelToES -> publish, Harvester.java:1702-1730,
+  * 1803-1905): RDF triples from N-Triples (line-parallel) or RDF/XML
+  * (file-parallel — the serialization the reference itself reads) dumps are
+  * assembled into per-(resource, language) docs — per-literal lang tags
+  * routing via objLang — and published atomically.
   *
   * With no catalog dir, the built-in demo catalog is used (so the app is
   * drivable end-to-end on a bare fixture).
@@ -43,9 +46,10 @@ import graft.sources.TranscriptGen
 object KgMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: KgMain full|sync|ingest-nt <inputDir> <workDir> [catalogParquetDir]")
+      "usage: KgMain full|sync|ingest-nt|ingest-rdfxml <inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
-    require(mode == "full" || mode == "sync" || mode == "ingest-nt",
+    require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
+        mode == "ingest-rdfxml",
       s"unknown mode: $mode")
 
     val spark = SparkSession.builder()
@@ -92,11 +96,17 @@ object KgMain {
       if (mode == "sync") pipeline.syncRunId(spark)
       else s"$mode-${System.currentTimeMillis()}"
 
-    if (mode == "ingest-nt") {
+    if (mode == "ingest-nt" || mode == "ingest-rdfxml") {
       import org.apache.spark.sql.functions.col
       // every writer into the workDir's bucketed tables verifies the pin
       pipeline.pinOrVerifyBucketCount()
-      val triples = graft.sources.NTriplesSource.read(spark, turnsDir)
+      // NT scans line-parallel; RDF/XML (the reference's own dump format,
+      // Harvester.java:1711) is document-level so it scans file-parallel —
+      // malformed files are skipped whole, the reference's RiotException
+      // behavior (RdfXmlSource scaladoc)
+      val triples =
+        if (mode == "ingest-rdfxml") graft.sources.RdfXmlSource.read(spark, turnsDir)
+        else graft.sources.NTriplesSource.read(spark, turnsDir)
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),
           col("objLang").as("lang")), cfg)

@@ -63,6 +63,50 @@ object MaterializeQueries {
         .orderBy("subj", "pred", "obj", "objLang", "objType")
     },
 
+    // ---- S5 (RDF/XML): the same round-trip through the REAL document
+    // parser (graft.sources.RdfXmlSource): one small RDF/XML doc is
+    // synthesized per `documents` row — xml:lang inheritance from the root,
+    // rdf:datatype typed literal, rdf:resource object — parsed distributed
+    // (one parse unit per doc, the file-granularity scan contract), and the
+    // recovered rows oracle-checked against the direct derivation
+    "s5_rdfxml_roundtrip" -> Q(
+      """SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+        |       'urn:p:' || source AS pred,
+        |       CAST(n_chars AS VARCHAR) AS obj,
+        |       lang AS "objLang", '' AS "objType"
+        |FROM documents
+        |UNION ALL
+        |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:len',
+        |       CAST(n_chars AS VARCHAR), '',
+        |       'http://www.w3.org/2001/XMLSchema#integer'
+        |FROM documents
+        |UNION ALL
+        |SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:ref',
+        |       'urn:doc:' || CAST((doc_id * 3) % 500 AS VARCHAR), '', ''
+        |FROM documents
+        |ORDER BY subj, pred, obj, "objLang", "objType"""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val xml = docs.select(
+        col("doc_id").cast("string").as("id"),
+        format_string(
+          """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:p="urn:p:" xml:lang="%s">
+            |<rdf:Description rdf:about="urn:doc:%s">
+            |<p:%s>%s</p:%s>
+            |<p:len rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">%s</p:len>
+            |<p:ref rdf:resource="urn:doc:%s"/>
+            |</rdf:Description>
+            |</rdf:RDF>""".stripMargin,
+          col("lang"), col("doc_id"), col("source"), col("n_chars"),
+          col("source"), col("n_chars"), (col("doc_id") * 3) % 500).as("xml"))
+        .as[(String, String)]
+      xml.flatMap { case (id, x) =>
+          graft.sources.RdfXmlSource.parseFile(id, x).getOrElse(Seq.empty)
+        }
+        .toDF()
+        .orderBy("subj", "pred", "obj", "objLang", "objType")
+    },
+
     // ---- J5: config-driven label substitution at edge/doc build — object
     // URIs replaced by the best label found in the model itself; priority
     // prefLabel > title; URIs without labels pass through

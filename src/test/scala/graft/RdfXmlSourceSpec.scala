@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.Triple
+import graft.sources.{NTriplesSource, RdfXmlSource}
+
+class RdfXmlSourceSpec extends AnyFunSuite {
+
+  private val RDF = RdfXmlSource.RdfNs
+
+  private def parse(xml: String): Seq[Triple] =
+    RdfXmlSource.parseFile("test", xml) match {
+      case Right(ts) => ts
+      case Left(err) => fail(s"parse failed: $err")
+    }
+
+  /** Blank labels are file-hash-scoped; canonicalize by order of first
+    * appearance so assertions are label-independent. */
+  private def canon(ts: Seq[Triple]): Set[Triple] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    def c(t: String): String =
+      if (t.startsWith("_:")) m.getOrElseUpdate(t, s"_:c${m.size}") else t
+    ts.map(t => t.copy(subj = c(t.subj), obj =
+      if (t.objLang.isEmpty && t.objType.isEmpty) c(t.obj) else t.obj)).toSet
+  }
+
+  test("golden fixture: about/typed nodes, lang inheritance, datatype, resource") {
+    val got = parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:" xml:lang="en">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:name>Alice</p:name>
+        |    <p:name xml:lang="cs">Alena</p:name>
+        |    <p:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</p:age>
+        |    <p:knows rdf:resource="urn:s:2"/>
+        |  </rdf:Description>
+        |  <p:Person rdf:about="urn:s:2">
+        |    <p:note>esc " quote &amp; amp š</p:note>
+        |  </p:Person>
+        |</rdf:RDF>""".stripMargin)
+    assert(got.toSet == Set(
+      Triple("urn:s:1", "urn:p:name", "Alice", "en", ""),
+      Triple("urn:s:1", "urn:p:name", "Alena", "cs", ""),
+      Triple("urn:s:1", "urn:p:age", "42", "",
+        "http://www.w3.org/2001/XMLSchema#integer"),
+      Triple("urn:s:1", "urn:p:knows", "urn:s:2", "", ""),
+      Triple("urn:s:2", RDF + "type", "urn:p:Person", "", ""),
+      Triple("urn:s:2", "urn:p:note", "esc \" quote & amp š", "en", "")))
+  }
+
+  test("blank nodes: nodeID sharing, nested fresh blanks, parseType=Resource") {
+    val got = canon(parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:nodeID="alice">
+        |    <p:knows rdf:nodeID="bob"/>
+        |    <p:address rdf:parseType="Resource">
+        |      <p:city>Prague</p:city>
+        |    </p:address>
+        |    <p:pet>
+        |      <p:Cat>
+        |        <p:name>Mourek</p:name>
+        |      </p:Cat>
+        |    </p:pet>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:nodeID="bob">
+        |    <p:knows rdf:nodeID="alice"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin))
+    assert(got == Set(
+      Triple("_:c0", "urn:p:knows", "_:c1", "", ""),
+      Triple("_:c0", "urn:p:address", "_:c2", "", ""),
+      Triple("_:c2", "urn:p:city", "Prague", "", ""),
+      Triple("_:c3", RDF + "type", "urn:p:Cat", "", ""),
+      Triple("_:c3", "urn:p:name", "Mourek", "", ""),
+      Triple("_:c0", "urn:p:pet", "_:c3", "", ""),
+      Triple("_:c1", "urn:p:knows", "_:c0", "", "")))
+  }
+
+  test("property attributes, rdf:type attribute, rdf:li numbering, Collection") {
+    val got = canon(parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1" p:name="Attr Alice"
+        |                   rdf:type="urn:p:Person">
+        |    <rdf:li>first</rdf:li>
+        |    <rdf:li>second</rdf:li>
+        |    <p:list rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="urn:i:1"/>
+        |      <rdf:Description rdf:about="urn:i:2"/>
+        |    </p:list>
+        |    <p:empty rdf:parseType="Collection"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin))
+    assert(got == Set(
+      Triple("urn:s:1", "urn:p:name", "Attr Alice", "", ""),
+      Triple("urn:s:1", RDF + "type", "urn:p:Person", "", ""),
+      Triple("urn:s:1", RDF + "_1", "first", "", ""),
+      Triple("urn:s:1", RDF + "_2", "second", "", ""),
+      Triple("urn:s:1", "urn:p:list", "_:c0", "", ""),
+      Triple("_:c0", RDF + "first", "urn:i:1", "", ""),
+      Triple("_:c0", RDF + "rest", "_:c1", "", ""),
+      Triple("_:c1", RDF + "first", "urn:i:2", "", ""),
+      Triple("_:c1", RDF + "rest", RDF + "nil", "", ""),
+      Triple("urn:s:1", "urn:p:empty", RDF + "nil", "", "")))
+  }
+
+  test("xml:base resolution for rdf:about, rdf:ID and rdf:resource") {
+    val got = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:" xml:base="http://ex.org/data/">
+        |  <rdf:Description rdf:about="thing">
+        |    <p:see rdf:resource="other"/>
+        |    <p:abs rdf:resource="urn:abs:1"/>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:ID="frag">
+        |    <p:x>y</p:x>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(got.toSet == Set(
+      Triple("http://ex.org/data/thing", "urn:p:see",
+        "http://ex.org/data/other", "", ""),
+      Triple("http://ex.org/data/thing", "urn:p:abs", "urn:abs:1", "", ""),
+      // per W3C rdf:ID resolution: base + '#' + ID
+      Triple("http://ex.org/data/#frag", "urn:p:x", "y", "", "")))
+  }
+
+  test("whole-file rejection: malformed XML, DOCTYPE (XXE), parseType=Literal") {
+    assert(RdfXmlSource.parseFile("f", "<rdf:RDF><unclosed>").isLeft)
+    assert(RdfXmlSource.parseFile("f",
+      """<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1"><p:a>&x;</p:a></rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
+    assert(RdfXmlSource.parseFile("f",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:x rdf:parseType="Literal"><b>xml</b></p:x>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
+  }
+
+  test("cross-file blank labels never collide; same file maps nodeID stably") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:nodeID="n"><p:a>v</p:a></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val a = RdfXmlSource.parseFile("file-a", xml).toOption.get
+    val b = RdfXmlSource.parseFile("file-b", xml).toOption.get
+    assert(a.head.subj != b.head.subj)
+    assert(a.head.subj.startsWith("_:"))
+  }
+
+  test("distributed read: NT parity on a blank-free graph, malformed file dropped") {
+    val spark = SparkTestSession.get
+    val dir = Files.createTempDirectory("rdfxml-")
+    Files.writeString(dir.resolve("a.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:" xml:lang="en">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:name>Alice</p:name>
+        |    <p:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</p:age>
+        |    <p:knows rdf:resource="urn:s:2"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(dir.resolve("b.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <p:Person rdf:about="urn:s:2"><p:note xml:lang="cs">pozn</p:note></p:Person>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(dir.resolve("broken.rdf"), "<rdf:RDF><oops>")
+    val viaXml = RdfXmlSource.read(spark, dir.toString).collect().toSet
+
+    val ntDir = Files.createTempDirectory("nt-parity-")
+    Files.writeString(ntDir.resolve("g.nt"), viaXml.toSeq.sortBy(_.toString)
+      .map(NTriplesSource.render).mkString("", "\n", "\n"))
+    val viaNt = NTriplesSource.read(spark, ntDir.toString).collect().toSet
+
+    assert(viaXml == Set(
+      Triple("urn:s:1", "urn:p:name", "Alice", "en", ""),
+      Triple("urn:s:1", "urn:p:age", "42", "",
+        "http://www.w3.org/2001/XMLSchema#integer"),
+      Triple("urn:s:1", "urn:p:knows", "urn:s:2", "", ""),
+      Triple("urn:s:2", RdfXmlSource.RdfNs + "type", "urn:p:Person", "", ""),
+      Triple("urn:s:2", "urn:p:note", "pozn", "cs", "")))
+    assert(viaNt == viaXml)
+  }
+}
