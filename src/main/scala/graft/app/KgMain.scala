@@ -29,6 +29,7 @@ import graft.sources.TranscriptGen
   *   GRAFT_PUBLISH_DOCS=1       also publish the per-(subject, lang) doc table
   *   GRAFT_DETECT_LANGUAGE=1    per-conversation language detection
   *   GRAFT_SCORED_LINKING=1     contextual disambiguation of ambiguous aliases
+  *   GRAFT_COREF=1              cross-turn coreference for subject-less markers
   *   GRAFT_REFRESH_REF_DOCS=1   label edits also refresh referencing docs
   *   GRAFT_SYNC_OLD_DATA=1      full-set vanished-conversation reconciliation
   *   GRAFT_SYNC_BUCKETS=<n>     physical bucket count (pinned at first run)
@@ -83,6 +84,7 @@ object KgMain {
       publishDocs = envFlag("GRAFT_PUBLISH_DOCS"),
       detectLanguage = envFlag("GRAFT_DETECT_LANGUAGE"),
       scoredLinking = envFlag("GRAFT_SCORED_LINKING"),
+      corefResolution = envFlag("GRAFT_COREF"),
       refreshReferencingDocs = envFlag("GRAFT_REFRESH_REF_DOCS"),
       syncOldData = baseCfg.syncOldData || envFlag("GRAFT_SYNC_OLD_DATA"),
       syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt)

@@ -70,6 +70,13 @@ final case class PipelineConfig(
     // rank-guessed — flips the shared-alias semantics from "identity" to
     // "ambiguity" (KgPipeline.resolveAmbiguousMentions)
     scoredLinking: Boolean = false,
+    // cross-turn coreference: a marker with a right-hand mention but no
+    // left-hand one takes the most recently mentioned entity from earlier
+    // turns of the same conversation (CorefResolver — window over
+    // (conv_id, turn_idx), no stateful per-conversation scan). Off by
+    // default: it adds one conversation-keyed window shuffle of the
+    // extraction output
+    corefResolution: Boolean = false,
     // split structurally-bad input rows into the quarantine table instead of
     // failing the job (K2 failure-granularity shrink)
     quarantineBadRows: Boolean = true,

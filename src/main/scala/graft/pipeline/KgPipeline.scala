@@ -160,7 +160,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     val identityCfg = cfg.proplist.isEmpty && cfg.normProp.isEmpty &&
       cfg.normObj.isEmpty && cfg.whiteMap.isEmpty && cfg.blackMap.isEmpty
     if (cfg.encodedShuffle && identityCfg && !cfg.useDistributedCanon &&
-        !cfg.detectLanguage && !cfg.scoredLinking)
+        !cfg.detectLanguage && !cfg.scoredLinking && !cfg.corefResolution)
       return computeSupportsEncoded(spark, turns, catalog, markers)
     // NOTE deliberately NOT prepare()d: extraction is per-turn, so it runs on
     // the input splits with no exchange at all — a full-input shuffle before
@@ -184,11 +184,17 @@ final class KgPipeline(cfg: PipelineConfig) {
           catalog.toDF("entity_id", "alias", "pref_label", "rank"))
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       else graft.sources.TranscriptGen.components(catalog)
-    val raw0 = Extractor.extract(turns, catalog, markers, canon = canon,
+    val raw0 = Extractor.extract(turns, catalog, markers,
+      emitContext = cfg.corefResolution, canon = canon,
       sentinelAmbiguous = cfg.scoredLinking).toDF()
-    val raw =
+    val raw1 =
       if (cfg.scoredLinking) resolveAmbiguousMentions(spark, raw0, turns, catalog)
       else raw0
+    // coref runs AFTER scored linking so the cross-turn antecedent is the
+    // contextually-resolved entity, not an ambiguity sentinel
+    val raw =
+      if (cfg.corefResolution) graft.extract.CorefResolver.resolve(raw1)
+      else raw1
     val normalized = Extractor.normalize(raw, cfg)
 
     val grouped = normalized

@@ -86,6 +86,88 @@ object KgQueries {
         .orderBy("conv_id", "turn_idx")
     },
 
+    // ---- cross-turn coreference through the REAL kernel + resolver
+    // (Extractor.extract(emitContext=true) -> CorefResolver.resolve): a
+    // marker with a right-hand mention but nothing to its left takes the
+    // most recent mention from EARLIER turns of the conversation (north
+    // rule: cross-turn context under stable (conv_id, turn_idx) ordering).
+    // The oracle replays the kernel's marker-adjacency scan with positional
+    // windows; parseForJson is the identity on this corpus (plain
+    // space-separated words), which the trip-wire queries (p5) cover
+    // separately.
+    "kg_coref_resolve" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |pos AS (
+         |  SELECT conv_id, turn_idx, l[i] AS tok, i
+         |  FROM (SELECT conv_id, turn_idx, l, unnest(range(1, len(l) + 1)) AS i
+         |        FROM (SELECT conv_id, turn_idx,
+         |                     list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+         |              FROM t))),
+         |aliases(alias, entity) AS (VALUES
+         |  ('spark','urn:ent:00001'), ('table','urn:ent:00002'), ('query','urn:ent:00003'),
+         |  ('vector','urn:ent:00004'), ('stream','urn:ent:00005'), ('hash','urn:ent:00006')),
+         |markers(term, mpred) AS (VALUES
+         |  ('join','urn:p:op'), ('merge','urn:p:op'), ('scan','urn:p:op')),
+         |seq AS (
+         |  SELECT p.conv_id, p.turn_idx, p.i, a.entity,
+         |         CASE WHEN a.entity IS NULL THEN m.mpred END AS mpred,
+         |         last_value(a.entity IGNORE NULLS) OVER
+         |           (PARTITION BY p.conv_id, p.turn_idx ORDER BY p.i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lent,
+         |         first_value(a.entity IGNORE NULLS) OVER
+         |           (PARTITION BY p.conv_id, p.turn_idx ORDER BY p.i
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rent
+         |  FROM pos p
+         |  LEFT JOIN aliases a ON p.tok = a.alias
+         |  LEFT JOIN markers m ON p.tok = m.term),
+         |triples AS (
+         |  SELECT conv_id, turn_idx, lent AS subj, mpred AS pred, rent AS obj
+         |  FROM seq WHERE mpred IS NOT NULL AND lent IS NOT NULL AND rent IS NOT NULL),
+         |orphans AS (
+         |  SELECT conv_id, turn_idx, mpred AS pred, rent AS obj
+         |  FROM seq WHERE mpred IS NOT NULL AND lent IS NULL AND rent IS NOT NULL),
+         |lastment AS (
+         |  SELECT conv_id, turn_idx, arg_max(entity, i) AS lastent
+         |  FROM seq WHERE entity IS NOT NULL GROUP BY 1, 2),
+         |turnctx AS (
+         |  SELECT tt.conv_id, tt.turn_idx,
+         |         last_value(lm.lastent IGNORE NULLS) OVER
+         |           (PARTITION BY tt.conv_id ORDER BY tt.turn_idx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ent
+         |  FROM (SELECT DISTINCT conv_id, turn_idx FROM t) tt
+         |  LEFT JOIN lastment lm ON tt.conv_id = lm.conv_id AND tt.turn_idx = lm.turn_idx),
+         |resolved AS (
+         |  SELECT o.conv_id, o.turn_idx, tc.prev_ent AS subj, o.pred, o.obj
+         |  FROM orphans o JOIN turnctx tc
+         |    ON o.conv_id = tc.conv_id AND o.turn_idx = tc.turn_idx
+         |  WHERE tc.prev_ent IS NOT NULL),
+         |mentions AS (
+         |  SELECT DISTINCT conv_id, turn_idx,
+         |         'urn:conv:' || conv_id AS subj, 'urn:p:mentions' AS pred, entity AS obj
+         |  FROM seq WHERE entity IS NOT NULL),
+         |unioned AS (
+         |  SELECT * FROM triples UNION ALL SELECT * FROM resolved
+         |  UNION ALL SELECT * FROM mentions)
+         |SELECT conv_id, turn_idx, subj, pred, obj FROM unioned
+         |ORDER BY conv_id, turn_idx, subj, pred, obj""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.schema.{CatalogEntry, Turn}
+      val t = turns(s, d).select(
+          col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+          col("role"), col("text"), lit("").as("tool"),
+          lit(null).cast("timestamp").as("ts"))
+        .as[Turn]
+      val catalog = aliasEntities.map { case (a, e, r) => CatalogEntry(e, a, "", r) }
+      val markers = Map("join" -> "urn:p:op", "merge" -> "urn:p:op",
+        "scan" -> "urn:p:op")
+      val raw = graft.extract.Extractor
+        .extract(t, catalog, markers, emitContext = true).toDF()
+      graft.extract.CorefResolver.resolve(raw)
+        .select(col("conv_id"), col("turn_idx").cast("bigint").as("turn_idx"),
+          col("subj"), col("pred"), col("obj"))
+        .orderBy("conv_id", "turn_idx", "subj", "pred", "obj")
+    },
+
     // ---- mention detection: tokenize turns, equality-join tokens against a
     // broadcast dictionary (NOT a contains() theta-join — stays a hash join
     // at any scale)

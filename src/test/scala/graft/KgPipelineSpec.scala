@@ -120,6 +120,54 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(scratch2))
   }
 
+  test("corefResolution: a subject-less marker takes its antecedent from an " +
+       "earlier turn (through runFull), and sync == full under the flag") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(
+      CatalogEntry("urn:e:titan", "titan", "titan moon", 1),
+      CatalogEntry("urn:e:saturn", "saturn", "saturn planet", 1))
+    val markers = Map("orbits" -> "urn:p:orbits")
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val turns = Seq(
+      // turn 1's "orbits saturn" has no left-hand mention: the subject is
+      // turn 0's last mention (titan)
+      turn("conv-a", 0, "the hazy moon titan is large"),
+      turn("conv-a", 1, "orbits saturn closely"),
+      // orphan in the FIRST turn: no antecedent exists -> dropped
+      turn("conv-b", 0, "orbits saturn distantly"))
+
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      corefResolution = true))
+    p.runFull(spark, turns.toDS(), cat, markers, "run-coref")
+    def orbitEdges(q: KgPipeline): Set[(String, String)] =
+      q.edgeTable.read(spark).get
+        .filter(col("pred") === "urn:p:orbits")
+        .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(orbitEdges(p) == Set(("urn:e:titan", "urn:e:saturn")))
+
+    // control: without the flag the subject-less marker contributes nothing
+    val ctrl = new KgPipeline(PipelineConfig(workDir = freshDir()))
+    ctrl.runFull(spark, turns.toDS(), cat, markers, "run-nocoref")
+    assert(orbitEdges(ctrl).isEmpty)
+
+    // incremental sync: a LATER turn referencing an antecedent from an
+    // unchanged earlier turn still resolves, because a changed conversation
+    // re-extracts WHOLE (semi-join on conv_id keeps its full history)
+    val t1 = turns ++ Seq(
+      turn("conv-b", 1, "the moon titan is small"),
+      Turn("conv-b", 2, "user", "orbits saturn too", "",
+        new java.sql.Timestamp(99999L)))
+    p.runSync(spark, t1.toDS(), cat, markers, "sync-coref")
+    assert(orbitEdges(p) == Set(("urn:e:titan", "urn:e:saturn")))
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      corefResolution = true))
+    scratch.runFull(spark, t1.toDS(), cat, markers, "full-coref")
+    assert(edgesOf(p) == edgesOf(scratch))
+  }
+
   test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
     import spark.implicits._
