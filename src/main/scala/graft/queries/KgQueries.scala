@@ -288,6 +288,98 @@ object KgQueries {
         .orderBy("id")
     },
 
+    // ---- graph analytics over the materialized KG: fixed-point PageRank
+    // (3 iterations, damping 0.85) on a deterministic skewed doc-reference
+    // graph. All arithmetic is BIGINT fixed-point (scale 1e12, per-edge
+    // 85/100 integer damping) so the iteration is BIT-EXACT in both engines
+    // — float PageRank sums are order-dependent and can never hash-match
+    // across engines. Plan shape at scale: each iteration is one
+    // shuffle-on-dst aggregation (map-side combinable longs) + one
+    // node-sized left join; nothing driver-side but the node count.
+    "kg_pagerank" -> Q(
+      """WITH n AS (SELECT count(*) AS cnt FROM documents),
+        |edges AS (SELECT doc_id AS src, (doc_id * doc_id) % (SELECT cnt FROM n) AS dst
+        |          FROM documents),
+        |pr0 AS (SELECT doc_id AS id, 1000000000000 // (SELECT cnt FROM n) AS r
+        |        FROM documents),
+        |pr1 AS (SELECT d.doc_id AS id,
+        |               (150000000000 // (SELECT cnt FROM n)) + coalesce(s.inr, 0) AS r
+        |        FROM documents d
+        |        LEFT JOIN (SELECT e.dst, sum((85 * p.r) // 100) AS inr
+        |                   FROM edges e JOIN pr0 p ON e.src = p.id GROUP BY e.dst) s
+        |          ON d.doc_id = s.dst),
+        |pr2 AS (SELECT d.doc_id AS id,
+        |               (150000000000 // (SELECT cnt FROM n)) + coalesce(s.inr, 0) AS r
+        |        FROM documents d
+        |        LEFT JOIN (SELECT e.dst, sum((85 * p.r) // 100) AS inr
+        |                   FROM edges e JOIN pr1 p ON e.src = p.id GROUP BY e.dst) s
+        |          ON d.doc_id = s.dst),
+        |pr3 AS (SELECT d.doc_id AS id,
+        |               (150000000000 // (SELECT cnt FROM n)) + coalesce(s.inr, 0) AS r
+        |        FROM documents d
+        |        LEFT JOIN (SELECT e.dst, sum((85 * p.r) // 100) AS inr
+        |                   FROM edges e JOIN pr2 p ON e.src = p.id GROUP BY e.dst) s
+        |          ON d.doc_id = s.dst)
+        |SELECT 'urn:doc:' || CAST(id AS VARCHAR) AS node, r AS rank_fp
+        |FROM pr3 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      // node count: the one driver-side scalar (bounded O(1) result)
+      val cnt = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id")) % cnt).as("dst"))
+      val base = 150000000000L / cnt
+      var pr = docs.select(col("doc_id").as("id"),
+        lit(1000000000000L / cnt).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(pr, col("src") === col("id"))
+          .groupBy("dst").agg(sum(expr("(85 * r) div 100")).as("inr"))
+        pr = docs.select(col("doc_id").as("id"))
+          .join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"), (lit(base) + coalesce(col("inr"), lit(0L))).as("r"))
+      }
+      pr.select(concat(lit("urn:doc:"), col("id").cast("string")).as("node"),
+          col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node")).limit(20)
+    },
+
+    // ---- graph analytics: entity co-occurrence edges (entities mentioned
+    // in the same conversation), the standard KG edge-derivation self-join.
+    // Scale shape: mention sets are DISTINCT per conversation and bounded by
+    // the (broadcast-sized) catalog, so the conv-keyed self-join does
+    // O(k^2) work per conversation with small k — hot conversations cannot
+    // blow it up, and the pair aggregation combines map-side.
+    "kg_entity_cooccur" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT conv_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |winners AS (
+         |  SELECT alias, entity_id FROM (
+         |    SELECT alias, entity_id,
+         |           row_number() OVER (PARTITION BY alias ORDER BY rnk, entity_id) AS rn
+         |    FROM dict) WHERE rn = 1),
+         |ment AS (SELECT DISTINCT conv_id, entity_id
+         |         FROM toks JOIN winners ON toks.tok = winners.alias)
+         |SELECT a.entity_id AS e1, b.entity_id AS e2, count(*) AS n_convs
+         |FROM ment a JOIN ment b
+         |  ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+         |GROUP BY 1, 2 ORDER BY e1, e2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
+      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("alias", "entity_id"))
+      val ment = turns(s, d)
+        .select(col("conv_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .join(winners, col("tok") === col("alias"))
+        .select("conv_id", "entity_id").distinct()
+      ment.alias("a").join(ment.alias("b"),
+          col("a.conv_id") === col("b.conv_id") &&
+            col("a.entity_id") < col("b.entity_id"))
+        .groupBy(col("a.entity_id").as("e1"), col("b.entity_id").as("e2"))
+        .agg(count(lit(1)).as("n_convs"))
+        .orderBy("e1", "e2")
+    },
+
     // ---- full mini-pipeline: normalize text -> extract -> link -> emit the
     // materialized edge-table rows (subj, pred, obj, lang) — the flagship
     "kg_triples_full" -> Q(
