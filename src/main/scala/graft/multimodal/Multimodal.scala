@@ -54,9 +54,9 @@ object Multimodal {
   }
 
   /** Partition-batched decode/feature-extract over the payload column.
-    * Null/empty payloads (a real corpus always has some) yield zero-width
-    * features rather than killing the executor — a decode failure must cost
-    * one row, never the job. */
+    * Null/empty payloads (a real corpus always has some) yield an all-zero
+    * dim-length feature vector rather than killing the executor — a decode
+    * failure must cost one row, never the job. */
   def extractFeatures(withPayload: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = withPayload.sparkSession
     import spark.implicits._

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * no skew handling; at 10^12-turn scale one hot entity would pin a single
   * reducer).
   *
-  * The skewed (fact) side gets a random-but-deterministic salt in
-  * [0, buckets); the dimension side is exploded `buckets` times so every
-  * salted key finds its match. Use when AQE's runtime skew split is not
+  * The skewed (fact) side gets a position-derived salt in [0, buckets)
+  * (see [[SaltedJoin.join]] — salts vary run to run, the join RESULT does
+  * not); the dimension side is exploded `buckets` times so every salted
+  * key finds its match. Use when AQE's runtime skew split is not
   * available (e.g. a non-AQE-eligible join) or the skew is known up front;
   * otherwise prefer AQE (enabled in all session builders here).
   */

@@ -322,7 +322,10 @@ object KgQueries {
         |          ON d.doc_id = s.dst)
         |SELECT 'urn:doc:' || CAST(id AS VARCHAR) AS node, r AS rank_fp
         |FROM pr3 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"))
+      // cached: the count plus every iteration's node frame and edge
+      // derivation read this one node-sized projection — uncached, the
+      // final action would re-scan the source once per iteration level
+      val docs = Tables.documents(s, d).select(col("doc_id")).persist()
       // node count: the one driver-side scalar (bounded O(1) result)
       val cnt = docs.count()
       val edges = docs.select(col("doc_id").as("src"),

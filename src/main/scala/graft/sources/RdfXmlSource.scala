@@ -54,22 +54,32 @@ object RdfXmlSource {
     spark.read.format("binaryFile").load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        parseFile(p, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          .getOrElse(Seq.empty)
-      }
+      .flatMap { case (p, bytes) => parseBytes(p, bytes).getOrElse(Seq.empty) }
   }
 
-  /** Parse one complete RDF/XML document. `fileId` namespaces blank-node
-    * labels (any stable per-file string: path, URI). */
-  def parseFile(fileId: String, xml: String): Either[String, Seq[Triple]] = {
+  /** Parse raw file bytes: the StAX reader sniffs the encoding from the XML
+    * declaration / BOM (a hardcoded UTF-8 decode would silently corrupt
+    * ISO-8859-1 dumps into U+FFFD literals — the reference honors the
+    * declaration via Jena). */
+  def parseBytes(fileId: String, bytes: Array[Byte]): Either[String, Seq[Triple]] =
+    parseWith(fileId,
+      f => f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes)))
+
+  /** Parse one complete RDF/XML document already decoded to characters.
+    * `fileId` namespaces blank-node labels (any stable per-file string:
+    * path, URI). */
+  def parseFile(fileId: String, xml: String): Either[String, Seq[Triple]] =
+    parseWith(fileId,
+      f => f.createXMLStreamReader(new java.io.StringReader(xml)))
+
+  private def parseWith(fileId: String,
+      mk: XMLInputFactory => XMLStreamReader): Either[String, Seq[Triple]] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
       java.lang.Boolean.FALSE)
     factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    val reader =
-      factory.createXMLStreamReader(new java.io.StringReader(xml))
+    val reader = mk(factory)
     try {
       val ctx = new Ctx(fileId)
       // advance to the root element
@@ -156,12 +166,15 @@ object RdfXmlSource {
         ctx.emit(subj, RdfNs + "type", resolve(base, r.getAttributeValue(i)))
       i += 1
     }
+    // the container-membership ordinal counts ONLY rdf:li children (W3C
+    // RDF/XML 7.4 / Jena): an interleaved ordinary property must not shift
+    // the numbering
     var li = 0
     var done = false
     while (!done && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
-          li += 1
+          if (r.getNamespaceURI == RdfNs && r.getLocalName == "li") li += 1
           parsePropertyElement(r, ctx, subj, lang, base, li)
         case XMLStreamConstants.END_ELEMENT => done = true
         case _ => ()
@@ -186,6 +199,27 @@ object RdfXmlSource {
     val nodeId = attr(r, RdfNs, "nodeID")
     val datatype = attr(r, RdfNs, "datatype")
     val parseType = attr(r, RdfNs, "parseType")
+    // property attributes on an (empty) property element — W3C RDF/XML
+    // 2.12: each asserts a triple about the OBJECT (rdf:resource/rdf:nodeID
+    // target, or an implicit blank node when neither is given)
+    val propAttrs: Seq[(String, String)] = {
+      val b = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < r.getAttributeCount) {
+        val ans = Option(r.getAttributeNamespace(i)).getOrElse("")
+        val ln = r.getAttributeLocalName(i)
+        if (ans == RdfNs && ln == "type")
+          b += ((RdfNs + "type", r.getAttributeValue(i)))
+        else if (ans != RdfNs && ans != XmlNs && ans.nonEmpty)
+          b += ((ans + ln, r.getAttributeValue(i)))
+        i += 1
+      }
+      b.result()
+    }
+    def emitPropAttrs(obj: String): Unit = propAttrs.foreach { case (p, v) =>
+      if (p == RdfNs + "type") ctx.emit(obj, p, resolve(base, v))
+      else ctx.emit(obj, p, v, lang)
+    }
 
     def consumeEmpty(): Unit = {
       var done = false
@@ -211,7 +245,7 @@ object RdfXmlSource {
         while (!done && r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
-              li += 1
+              if (r.getNamespaceURI == RdfNs && r.getLocalName == "li") li += 1
               parsePropertyElement(r, ctx, b, lang, base, li)
             case XMLStreamConstants.END_ELEMENT => done = true
             case _ => ()
@@ -243,10 +277,21 @@ object RdfXmlSource {
         // documented escape hatch for exotic content
         throw new IllegalStateException(s"unsupported rdf:parseType=$other")
       case None if resource.isDefined =>
-        ctx.emit(subj, pred, resolve(base, resource.get))
+        val obj = resolve(base, resource.get)
+        ctx.emit(subj, pred, obj)
+        emitPropAttrs(obj)
         consumeEmpty()
       case None if nodeId.isDefined =>
-        ctx.emit(subj, pred, ctx.mapNodeId(nodeId.get))
+        val obj = ctx.mapNodeId(nodeId.get)
+        ctx.emit(subj, pred, obj)
+        emitPropAttrs(obj)
+        consumeEmpty()
+      case None if propAttrs.nonEmpty =>
+        // attrs-only empty property element: the object is an implicit
+        // blank node carrying the attribute statements
+        val b = ctx.fresh()
+        ctx.emit(subj, pred, b)
+        emitPropAttrs(b)
         consumeEmpty()
       case None =>
         // literal text OR one nested node element

@@ -69,6 +69,14 @@ object StreamingSync {
       "scoredLinking is not supported by the streaming ingest path " +
         "(contextual disambiguation runs in the batch pipeline); ingest with " +
         "rank resolution or use the batch sync")
+    // coref needs the conversation's FULL turn history (the antecedent
+    // window looks at strictly-earlier turns); a micro-batch can split a
+    // conversation, so streamed orphan resolution would silently diverge
+    // from the batch pipeline, which re-extracts changed conversations whole
+    require(!cfg.corefResolution,
+      "corefResolution is not supported by the streaming ingest path " +
+        "(cross-turn antecedents need whole-conversation context); use the " +
+        "batch sync")
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val reader = spark.readStream.schema(schema)
     val turns = maxFilesPerBatch

@@ -109,6 +109,56 @@ class RdfXmlSourceSpec extends AnyFunSuite {
       Triple("urn:s:1", "urn:p:empty", RDF + "nil", "", "")))
   }
 
+  test("rdf:li numbering counts only li elements; interleaved properties " +
+       "do not shift the ordinals") {
+    val got = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:name>x</p:name>
+        |    <rdf:li>first</rdf:li>
+        |    <p:other>y</p:other>
+        |    <rdf:li>second</rdf:li>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(got.toSet == Set(
+      Triple("urn:s:1", "urn:p:name", "x", "", ""),
+      Triple("urn:s:1", "urn:p:other", "y", "", ""),
+      Triple("urn:s:1", RDF + "_1", "first", "", ""),
+      Triple("urn:s:1", RDF + "_2", "second", "", "")))
+  }
+
+  test("property attributes on property elements assert triples about the " +
+       "object (resource target and implicit blank node)") {
+    val got = canon(parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:" xml:lang="en">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:see rdf:resource="urn:s:2" p:note="linked"/>
+        |    <p:addr p:city="Prague" p:zip="11000"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin))
+    assert(got == Set(
+      Triple("urn:s:1", "urn:p:see", "urn:s:2", "", ""),
+      Triple("urn:s:2", "urn:p:note", "linked", "en", ""),
+      Triple("urn:s:1", "urn:p:addr", "_:c0", "", ""),
+      Triple("_:c0", "urn:p:city", "Prague", "en", ""),
+      Triple("_:c0", "urn:p:zip", "11000", "en", "")))
+  }
+
+  test("parseBytes honors the XML declaration's encoding (ISO-8859-1 dump)") {
+    val xml =
+      """<?xml version="1.0" encoding="ISO-8859-1"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1"><p:name>René Åström</p:name></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val bytes = xml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val got = RdfXmlSource.parseBytes("latin1-file", bytes).toOption.get
+    assert(got.toSet == Set(
+      Triple("urn:s:1", "urn:p:name", "René Åström", "", "")))
+  }
+
   test("xml:base resolution for rdf:about, rdf:ID and rdf:resource") {
     val got = parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -183,6 +183,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("checkpoint"))
   }
 
+  test("streaming ingest refuses configs whose semantics need cross-batch " +
+       "or whole-conversation context") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 2, nEnt = 3, hotFactor = 1)
+    val inDir = Files.createTempDirectory("stream-guard-in-").toString
+    fx.turns.toDS().write.mode("overwrite").parquet(inDir)
+    for (cfg <- Seq(
+        PipelineConfig(detectLanguage = true),
+        PipelineConfig(scoredLinking = true),
+        // coref antecedents look at strictly-earlier turns of the SAME
+        // conversation — a micro-batch boundary can hide them, so streamed
+        // results would silently diverge from the batch pipeline
+        PipelineConfig(corefResolution = true))) {
+      val table = new TableCommitter(
+        Files.createTempDirectory("stream-guard-tbl-").toString)
+      assertThrows[IllegalArgumentException] {
+        StreamingSync.ingestAvailableNow(spark, inDir,
+          Files.createTempDirectory("stream-guard-ck-").toString,
+          fx.catalog, fx.markers, cfg, table)
+      }
+    }
+  }
+
   test("streaming windowed mention-rate aggregate runs as a real stream") {
     val spark = SparkTestSession.get
     import spark.implicits._
