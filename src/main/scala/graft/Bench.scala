@@ -268,6 +268,63 @@ object Bench {
       (syncStr, streamStr)
     }
 
+    // ---- part 6: dump-ingest throughput — the SAME logical triples read
+    // through NTriplesSource (line-parallel text) and RdfXmlSource
+    // (file-parallel documents, 64 files). Quantifies the documented
+    // parallelism-contract difference between the two RDF serializations.
+    val ingestJson = if (skipKg) "{}" else {
+      import org.apache.spark.sql.functions._
+      import graft.schema.Triple
+      import graft.sources.{NTriplesSource, RdfXmlSource}
+      val spark3 = session(cpus)
+      import spark3.implicits._
+      val nConvSync = sys.env.getOrElse("SPARK_GRAFT_SYNC_CONVS", "200000").toInt
+      val t0Dir = s"/tmp/graft-sync-bench-$nConvSync/t0"
+      val ntDir = s"/tmp/graft-ingest-bench-$nConvSync/nt"
+      val xmlDir = s"/tmp/graft-ingest-bench-$nConvSync/rdfxml"
+      val trip = spark3.read.parquet(t0Dir).select(
+        concat(lit("urn:conv:"), col("conv_id")).as("subj"),
+        concat(lit("urn:p:turn"), col("turn_idx").cast("string")).as("pred"),
+        col("text").as("obj"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ntDir))) {
+        trip.as[(String, String, String)]
+          .map { case (s0, p0, o0) => NTriplesSource.render(Triple(s0, p0, o0, "en", "")) }
+          .repartition(64).write.mode("overwrite").text(ntDir)
+        // one COMPLETE single-line RDF/XML document per partition -> 64
+        // one-document files, the file-parallel scan contract
+        trip.as[(String, String, String)].repartition(64)
+          .mapPartitions { it =>
+            val sb = new java.lang.StringBuilder(1 << 20)
+            sb.append("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:p=\"urn:p:\" xml:lang=\"en\">")
+            it.foreach { case (s0, p0, o0) =>
+              val e = o0.replace("&", "&amp;").replace("<", "&lt;")
+              val local = p0.stripPrefix("urn:p:")
+              sb.append("<rdf:Description rdf:about=\"").append(s0)
+                .append("\"><p:").append(local).append('>').append(e)
+                .append("</p:").append(local).append("></rdf:Description>")
+            }
+            sb.append("</rdf:RDF>")
+            Iterator(sb.toString)
+          }.write.mode("overwrite").text(xmlDir)
+      }
+      def time2(body: => Long): (Double, Long) = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = body
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (runs.map(_._1).min, runs.head._2)
+      }
+      val (ntSec, ntN) = time2(NTriplesSource.read(spark3, ntDir).count())
+      val (xmlSec, xmlN) =
+        time2(RdfXmlSource.read(spark3, s"$xmlDir/part-*").count())
+      require(ntN == xmlN, s"ingest parity broken: NT=$ntN RDF/XML=$xmlN")
+      spark3.stop()
+      s"""{"triples":$ntN,"nt_sec":${fmt(ntSec)},"rdfxml_sec":${fmt(xmlSec)},""" +
+        s""""nt_triples_per_sec":${fmt(ntN / ntSec)},""" +
+        s""""rdfxml_triples_per_sec":${fmt(xmlN / xmlSec)}}"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -281,6 +338,6 @@ object Bench {
       s""""turns_per_sec_local32":${fmt(nTurns / t32)},""" +
       s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
       s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson,"stream":$streamJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson,"stream":$streamJson,"ingest":$ingestJson}""")
   }
 }
