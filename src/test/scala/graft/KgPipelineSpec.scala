@@ -168,6 +168,33 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(scratch))
   }
 
+  test("scoredLinking + corefResolution compose: the cross-turn antecedent " +
+       "is the contextually-resolved entity, not the rank winner") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(
+      CatalogEntry("urn:e:element", "mercury", "mercury chemical element silvery metal", 1),
+      CatalogEntry("urn:e:planet", "mercury", "mercury planet solar orbit innermost", 2),
+      CatalogEntry("urn:e:venus", "venus", "venus planet solar orbit", 1))
+    val markers = Map("orbits" -> "urn:p:orbits")
+    val turns = Seq(
+      Turn("conv-p", 0, "user",
+        "the innermost planet mercury has a short orbit in the solar system",
+        "", new java.sql.Timestamp(1000L)),
+      // subject-less marker: the antecedent is turn 0's mercury, which the
+      // LINKER resolved to the planet — rank alone would say element
+      Turn("conv-p", 1, "user", "orbits venus today", "",
+        new java.sql.Timestamp(1001L)))
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      scoredLinking = true, corefResolution = true))
+    p.runFull(spark, turns.toDS(), cat, markers, "run-both")
+    val orbit = p.edgeTable.read(spark).get
+      .filter(org.apache.spark.sql.functions.col("pred") === "urn:p:orbits")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(orbit == Set(("urn:e:planet", "urn:e:venus")))
+  }
+
   test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
     import spark.implicits._
