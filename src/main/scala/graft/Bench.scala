@@ -291,20 +291,12 @@ object Bench {
           .map { case (s0, p0, o0) => NTriplesSource.render(Triple(s0, p0, o0, "en", "")) }
           .repartition(64).write.mode("overwrite").text(ntDir)
         // one COMPLETE single-line RDF/XML document per partition -> 64
-        // one-document files, the file-parallel scan contract
+        // one-document files, the file-parallel scan contract; rendered by
+        // the real exporter (round-trip property-tested)
         trip.as[(String, String, String)].repartition(64)
           .mapPartitions { it =>
-            val sb = new java.lang.StringBuilder(1 << 20)
-            sb.append("<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:p=\"urn:p:\" xml:lang=\"en\">")
-            it.foreach { case (s0, p0, o0) =>
-              val e = o0.replace("&", "&amp;").replace("<", "&lt;")
-              val local = p0.stripPrefix("urn:p:")
-              sb.append("<rdf:Description rdf:about=\"").append(s0)
-                .append("\"><p:").append(local).append('>').append(e)
-                .append("</p:").append(local).append("></rdf:Description>")
-            }
-            sb.append("</rdf:RDF>")
-            Iterator(sb.toString)
+            Iterator(RdfXmlSource.render(
+              it.map { case (s0, p0, o0) => Triple(s0, p0, o0, "en", "") }.toSeq))
           }.write.mode("overwrite").text(xmlDir)
       }
       def time2(body: => Long): (Double, Long) = {

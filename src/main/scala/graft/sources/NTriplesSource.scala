@@ -70,7 +70,7 @@ object NTriplesSource {
   /** Heuristic used only by the renderer to decide IRI-vs-literal form for
     * untyped objects: a scheme prefix and no characters illegal in an IRI
     * ref. Parsing is unambiguous either way (the form is explicit). */
-  private def isIriLike(s: String): Boolean =
+  private[sources] def isIriLike(s: String): Boolean =
     s.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s<>\"{}|^`]*")
 
   /** Parse one N-Triples line; None for blank/comment/malformed lines. */

@@ -57,6 +57,98 @@ object RdfXmlSource {
       .flatMap { case (p, bytes) => parseBytes(p, bytes).getOrElse(Seq.empty) }
   }
 
+  /** Render triples as ONE complete RDF/XML document — the export direction,
+    * mirroring [[NTriplesSource.render]] (pair with per-partition rendering
+    * for a many-file corpus, one document per partition, as the bench's
+    * ingest section does). Not every triple is XML-representable:
+    * XML 1.0 cannot carry control characters (other than TAB/LF/CR) at all,
+    * and a predicate IRI must end in an NCName local part to become an
+    * element name — render throws on either, because silently dropping or
+    * mangling would corrupt an export. N-Triples is the lossless
+    * serialization; use it when fidelity beats interop.
+    *
+    * CR survives round-trips by numeric escape (an XML parser line-end-
+    * normalizes a raw CR to LF); blank-node labels survive structurally but
+    * not literally (the parser re-namespaces them per file). */
+  def render(triples: Seq[Triple]): String = {
+    val sb = new java.lang.StringBuilder(triples.size * 96 + 64)
+    sb.append("<rdf:RDF xmlns:rdf=\"").append(RdfNs).append("\">")
+    triples.foreach { t =>
+      val (ns, local) = splitPred(t.pred)
+      sb.append("<rdf:Description ")
+      if (t.subj.startsWith("_:"))
+        sb.append("rdf:nodeID=\"").append(ncName(t.subj.drop(2), "blank label"))
+      else sb.append("rdf:about=\"").append(escAttr(t.subj))
+      sb.append("\"><n:").append(local)
+        .append(" xmlns:n=\"").append(escAttr(ns)).append('"')
+      if (t.objType.nonEmpty)
+        sb.append(" rdf:datatype=\"").append(escAttr(t.objType)).append("\">")
+          .append(escText(t.obj)).append("</n:").append(local).append('>')
+      else if (t.objLang.nonEmpty)
+        sb.append(" xml:lang=\"").append(escAttr(t.objLang)).append("\">")
+          .append(escText(t.obj)).append("</n:").append(local).append('>')
+      else if (t.obj.startsWith("_:"))
+        sb.append(" rdf:nodeID=\"").append(ncName(t.obj.drop(2), "blank label"))
+          .append("\"/>")
+      else if (NTriplesSource.isIriLike(t.obj))
+        sb.append(" rdf:resource=\"").append(escAttr(t.obj)).append("\"/>")
+      else
+        sb.append('>').append(escText(t.obj)).append("</n:").append(local)
+          .append('>')
+      sb.append("</rdf:Description>")
+    }
+    sb.append("</rdf:RDF>")
+    sb.toString
+  }
+
+  /** Split a predicate IRI into (namespace, NCName local part) for element
+    * rendering: the longest IRI suffix of name chars that starts with a
+    * letter or underscore. */
+  private def splitPred(pred: String): (String, String) = {
+    var i = pred.length
+    while (i > 0 && isNameChar(pred.charAt(i - 1))) i -= 1
+    // the local part must START with a letter/underscore: shrink from the
+    // left until it does
+    while (i < pred.length && !isNameStart(pred.charAt(i))) i += 1
+    require(i > 0 && i < pred.length,
+      s"predicate IRI <$pred> has no NCName local part — not RDF/XML-" +
+        "renderable (export as N-Triples instead)")
+    (pred.substring(0, i), pred.substring(i))
+  }
+
+  private def isNameStart(c: Char): Boolean =
+    Character.isLetter(c) || c == '_'
+  private def isNameChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+
+  private def ncName(s: String, what: String): String = {
+    require(s.nonEmpty && isNameStart(s.charAt(0)) && s.forall(isNameChar),
+      s"$what '$s' is not an XML NCName — not RDF/XML-renderable")
+    s
+  }
+
+  private def checkXmlChars(s: String): String = {
+    s.foreach { c =>
+      require(c >= ' ' || c == '\t' || c == '\n' || c == '\r',
+        f"control character U+${c.toInt}%04X cannot appear in an XML 1.0 " +
+          "document at all — export as N-Triples instead")
+    }
+    s
+  }
+
+  /** Text content: markup escapes; CR numerically (raw CR would be line-end-
+    * normalized to LF on parse). */
+  private def escText(s: String): String =
+    checkXmlChars(s).replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\r", "&#13;")
+
+  /** Attribute values: additionally quote and whitespace escapes (raw
+    * TAB/LF/CR in an attribute are normalized to spaces on parse). */
+  private def escAttr(s: String): String =
+    checkXmlChars(s).replace("&", "&amp;").replace("<", "&lt;")
+      .replace("\"", "&quot;").replace("\t", "&#9;")
+      .replace("\n", "&#10;").replace("\r", "&#13;")
+
   /** Parse raw file bytes: the StAX reader sniffs the encoding from the XML
     * declaration / BOM (a hardcoded UTF-8 decode would silently corrupt
     * ISO-8859-1 dumps into U+FFFD literals — the reference honors the

@@ -196,6 +196,58 @@ class RdfXmlSourceSpec extends AnyFunSuite {
         |</rdf:RDF>""".stripMargin).isLeft)
   }
 
+  test("render/parse round-trip holds over 5000 randomized triples") {
+    val rnd = new scala.util.Random(91724)
+    // XML-representable specials: markup chars, quotes, CR/LF/TAB, unicode
+    val specials = "&<>\"'@^. \t\n\ršé€"
+    def lit(max: Int): String =
+      (0 until rnd.nextInt(max)).map { _ =>
+        if (rnd.nextInt(4) == 0) specials(rnd.nextInt(specials.length))
+        else ('a' + rnd.nextInt(26)).toChar
+      }.mkString
+    def iri(): String =
+      s"urn:x:${(0 until 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString}"
+    def blank(): String = s"_:b${rnd.nextInt(100)}"
+    val batches = (0 until 50).map { _ =>
+      (0 until 100).map { _ =>
+        val subj = if (rnd.nextInt(5) == 0) blank() else iri()
+        rnd.nextInt(4) match {
+          case 0 => Triple(subj, iri(), lit(20), "", "")
+          case 1 => Triple(subj, iri(), lit(20),
+            s"${('a' + rnd.nextInt(26)).toChar}${('a' + rnd.nextInt(26)).toChar}", "")
+          case 2 => Triple(subj, iri(), lit(20), "", iri())
+          case 3 => Triple(subj, iri(), blank(), "", "")
+        }
+      }
+    }
+    batches.zipWithIndex.foreach { case (ts, i) =>
+      val doc = RdfXmlSource.render(ts)
+      val back = RdfXmlSource.parseFile(s"batch-$i", doc) match {
+        case Right(b) => b
+        case Left(e) => fail(s"batch $i failed to parse: $e\n$doc")
+      }
+      // blank labels are re-namespaced per file: compare under first-
+      // appearance canonicalization of BOTH sides
+      assert(canon(back) == canon(ts), s"batch $i diverged")
+      assert(back.size == ts.size)
+    }
+  }
+
+  test("render refuses what XML cannot carry instead of corrupting it") {
+    // XML 1.0 has no representation for control chars other than TAB/LF/CR
+    assertThrows[IllegalArgumentException] {
+      RdfXmlSource.render(Seq(Triple("urn:s:1", "urn:p:x", "a\u0001b", "", "")))
+    }
+    // a predicate with no NCName local part cannot become an element name
+    assertThrows[IllegalArgumentException] {
+      RdfXmlSource.render(Seq(Triple("urn:s:1", "urn:p:", "v", "", "")))
+    }
+    // a blank label that is not an NCName cannot become rdf:nodeID
+    assertThrows[IllegalArgumentException] {
+      RdfXmlSource.render(Seq(Triple("_:no spaces", "urn:p:x", "v", "", "")))
+    }
+  }
+
   test("cross-file blank labels never collide; same file maps nodeID stably") {
     val xml =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
