@@ -286,7 +286,12 @@ object Bench {
         concat(lit("urn:conv:"), col("conv_id")).as("subj"),
         concat(lit("urn:p:turn"), col("turn_idx").cast("string")).as("pred"),
         col("text").as("obj"))
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ntDir))) {
+      // guard on the LAST write's _SUCCESS marker: a crash between or during
+      // the two writes would otherwise wedge every later run on a
+      // half-generated corpus (both writes are mode=overwrite, so
+      // regeneration heals any partial state)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(xmlDir, "_SUCCESS"))) {
         trip.as[(String, String, String)]
           .map { case (s0, p0, o0) => NTriplesSource.render(Triple(s0, p0, o0, "en", "")) }
           .repartition(64).write.mode("overwrite").text(ntDir)

@@ -39,18 +39,20 @@ object KgAdmin {
       }
     case "generations" :: workDir :: table :: Nil =>
       val c = committer(workDir, table)
-      val byAlias = aliasTargets(workDir, table)
+      val byAlias = c.aliases()
       c.generations().foreach { g =>
         val aliases = byAlias.collect { case (a, t) if t == g => a }
-        println(s"""{"gen":"$g","bytes":${dirBytes(tableDir(workDir, table).resolve(g))},""" +
+        println(s"""{"gen":"$g","bytes":${c.generationPath(g).fold(0L)(dirBytes)},""" +
           s""""aliases":[${aliases.map("\"" + _ + "\"").mkString(",")}]}""")
       }
     case "set-pointer" :: workDir :: table :: gen :: rest if rest.size <= 1 =>
       val alias = rest.headOption.getOrElse("current")
-      require(Files.isDirectory(tableDir(workDir, table).resolve(gen)),
+      val c = committer(workDir, table)
+      // generationPath also rejects non-generation targets (_staging, _meta)
+      require(c.generationPath(gen).isDefined,
         s"generation $gen does not exist under $table — refusing to point " +
           "an alias at nothing")
-      committer(workDir, table).setPointer(alias, gen)
+      c.setPointer(alias, gen)
       println(s"""{"table":"$table","alias":"$alias","gen":"$gen"}""")
     case "expire" :: workDir :: table :: keepLast :: Nil =>
       val deleted = committer(workDir, table).expireGenerations(keepLast.toInt)
@@ -77,23 +79,6 @@ object KgAdmin {
       val s = Files.list(d)
       try s.iterator().asScala.filter(Files.isDirectory(_))
         .map(_.getFileName.toString).toSeq.sorted
-      finally s.close()
-    }
-  }
-
-  /** alias -> generation, read from the pointer files. */
-  private def aliasTargets(workDir: String, table: String): Seq[(String, String)] = {
-    val meta = tableDir(workDir, table).resolve("_meta")
-    if (!Files.isDirectory(meta)) Seq.empty
-    else {
-      val s = Files.list(meta)
-      try s.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filterNot(f => f.getFileName.toString.startsWith("."))
-        .map(f => f.getFileName.toString ->
-          new String(Files.readAllBytes(f)).trim)
-        .filter(_._2.startsWith("gen-"))
-        .toSeq.sortBy(_._1)
       finally s.close()
     }
   }

@@ -67,6 +67,30 @@ final class TableCommitter(rootDir: String) {
     SparkIo.writeSchemaSidecar(df.schema, Paths.get(stagedAt))
 
   /** All published generations, oldest first. */
+  /** Every alias pointer and the generation it references (control-plane
+    * inspection surface — KgAdmin renders this; keeping the pointer-file
+    * layout private to this class). */
+  def aliases(): Seq[(String, String)] =
+    if (!Files.exists(meta)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(meta)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(f => f.getFileName.toString ->
+          new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+        .filter(_._2.startsWith("gen-"))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+
+  /** Physical directory of a generation, if it exists. */
+  def generationPath(gen: String): Option[Path] = {
+    val p = root.resolve(gen)
+    if (gen.matches("gen-\\d+") && Files.isDirectory(p)) Some(p) else None
+  }
+
   def generations(): Seq[String] =
     if (!Files.exists(root)) Seq.empty
     else {
@@ -346,6 +370,11 @@ final class TableCommitter(rootDir: String) {
 
   /** Point an alias at an existing generation (blue/green switch, K6). */
   def setPointer(alias: String, gen: String): Unit = {
+    // the meta dir also holds the run-record DIRECTORY and dot-prefixed
+    // temp files: an alias colliding with either would clobber run records
+    // (Files.move onto _meta/runs) or fight the .alias.tmp convention
+    require(alias.matches("[A-Za-z0-9][A-Za-z0-9_-]*") && alias != "runs",
+      s"invalid alias name '$alias'")
     Files.createDirectories(meta)
     val tmp = meta.resolve(s".$alias.tmp")
     Files.write(tmp, gen.getBytes(StandardCharsets.UTF_8))

@@ -340,9 +340,16 @@ object KgQueries {
           .join(contrib, col("id") === col("dst"), "left")
           .select(col("id"), (lit(base) + coalesce(col("inr"), lit(0L))).as("r"))
       }
-      pr.select(concat(lit("urn:doc:"), col("id").cast("string")).as("node"),
+      // materialize the 20-row result eagerly so the cached projection can
+      // be RELEASED before returning — a persist left live would steal
+      // storage memory from every later query in the session
+      val out = pr
+        .select(concat(lit("urn:doc:"), col("id").cast("string")).as("node"),
           col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
+        .localCheckpoint(true)
+      docs.unpersist()
+      out
     },
 
     // ---- graph analytics: entity co-occurrence edges (entities mentioned

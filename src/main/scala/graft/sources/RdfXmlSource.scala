@@ -127,11 +127,27 @@ object RdfXmlSource {
     s
   }
 
+  /** XML 1.0 Char production: TAB/LF/CR, #x20-#xD7FF, #xE000-#xFFFD, and
+    * properly-paired supplementary code points. Everything else (C0
+    * controls, unpaired surrogates, U+FFFE/U+FFFF) has NO representation in
+    * an XML document — a renderer that emitted it would produce a file the
+    * parser must reject whole. */
   private def checkXmlChars(s: String): String = {
-    s.foreach { c =>
-      require(c >= ' ' || c == '\t' || c == '\n' || c == '\r',
-        f"control character U+${c.toInt}%04X cannot appear in an XML 1.0 " +
-          "document at all — export as N-Triples instead")
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        require(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+          f"unpaired surrogate U+${c.toInt}%04X is not an XML character — " +
+            "export as N-Triples instead")
+        i += 2
+      } else {
+        require(!Character.isLowSurrogate(c) && c != 0xFFFE.toChar && c != 0xFFFF.toChar &&
+            (c >= ' ' || c == '\t' || c == '\n' || c == '\r'),
+          f"U+${c.toInt}%04X cannot appear in an XML 1.0 document at all — " +
+            "export as N-Triples instead")
+        i += 1
+      }
     }
     s
   }
@@ -321,6 +337,13 @@ object RdfXmlSource {
           case XMLStreamConstants.START_ELEMENT =>
             throw new IllegalStateException(
               s"unexpected child element under resource-valued property $pred")
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+              if r.getText.trim.nonEmpty =>
+            // reject-don't-misparse: text alongside rdf:resource/nodeID/
+            // property attributes has no RDF meaning — dropping it would
+            // silently lose a literal
+            throw new IllegalStateException(
+              s"unexpected text content under resource-valued property $pred")
           case _ => ()
         }
       }

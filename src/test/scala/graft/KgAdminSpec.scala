@@ -50,6 +50,17 @@ class KgAdminSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       run("set-pointer", workDir, "edges", "gen-99")
     }
+    // non-generation targets and reserved/hostile alias names are refused
+    // (an alias named "runs" would clobber the run-record directory)
+    assertThrows[IllegalArgumentException] {
+      run("set-pointer", workDir, "edges", "_staging")
+    }
+    assertThrows[IllegalArgumentException] {
+      run("set-pointer", workDir, "edges", "gen-0", "runs")
+    }
+    assertThrows[IllegalArgumentException] {
+      run("set-pointer", workDir, "edges", "gen-0", ".sneaky")
+    }
 
     // retention never deletes an alias-referenced generation
     run("set-pointer", workDir, "edges", "gen-0", "blue")

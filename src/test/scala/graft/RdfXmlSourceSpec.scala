@@ -246,6 +246,31 @@ class RdfXmlSourceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       RdfXmlSource.render(Seq(Triple("_:no spaces", "urn:p:x", "v", "", "")))
     }
+    // unpaired surrogates and noncharacters are not XML characters either
+    assertThrows[IllegalArgumentException] {
+      RdfXmlSource.render(Seq(Triple("urn:s:1", "urn:p:x", "a\ud800b", "", "")))
+    }
+    assertThrows[IllegalArgumentException] {
+      RdfXmlSource.render(Seq(Triple("urn:s:1", "urn:p:x", "a" + 0xFFFF.toChar + "b", "", "")))
+    }
+  }
+
+  test("text alongside a resource-valued property rejects the file " +
+       "(never silently dropped)") {
+    assert(RdfXmlSource.parseFile("f",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:x rdf:resource="urn:s:2">stray literal</p:x>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
+    assert(RdfXmlSource.parseFile("f",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:x p:note="y">stray literal</p:x>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
   }
 
   test("cross-file blank labels never collide; same file maps nodeID stably") {
