@@ -70,6 +70,45 @@ object Multimodal {
       }
   }
 
+  /** Resized payload row produced by the resample kernel. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      modality: String,
+      n_bytes_in: Int,
+      payload: Array[Byte])
+
+  /** Resize: stride-resample the payload down to at most `targetBytes` —
+    * the byte-domain stand-in for image resize / audio downsampling, in the
+    * same partition-batched kernel shape the real codec drops into (a
+    * payload at or under the target passes through; there is no upscale).
+    * Null payloads resize to empty — one bad row must never cost the job. */
+  def resize(withPayload: DataFrame, targetBytes: Int): Dataset[ResizedMedia] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select("doc_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payloadOrNull) =>
+          val p = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
+          val out =
+            if (p.length <= targetBytes) p
+            else {
+              val o = new Array[Byte](targetBytes)
+              var i = 0
+              while (i < targetBytes) {
+                // stride positions cover the full input span evenly; Long
+                // math so huge payloads cannot overflow the index product
+                o(i) = p(((i.toLong * p.length) / targetBytes).toInt)
+                i += 1
+              }
+              o
+            }
+          ResizedMedia(id, modality, p.length, out)
+        }
+      }
+  }
+
   /** Frame sampling: every k-th byte-chunk of the payload (stand-in for
     * every k-th video frame) — pure Column ops over the binary column
     * (Substring supports BinaryType), no kernel needed. Null/empty payloads

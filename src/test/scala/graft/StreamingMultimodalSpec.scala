@@ -248,5 +248,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(withPayload, k = 4)
     val f0 = frames.orderBy("doc_id").head()
     assert(f0.getSeq[Array[Byte]](1).length == 4) // 16 bytes / every 4th
+
+    // resize: strict downsample to the target, passthrough at-or-under it,
+    // deterministic, endpoints drawn from the source span
+    val resized = Multimodal.resize(withPayload, targetBytes = 6).collect()
+    assert(resized.forall(_.payload.length == 6)) // all md5 payloads are 16
+    assert(resized.forall(_.n_bytes_in == 16))
+    val byId = resized.map(r => r.doc_id -> r.payload.toSeq).toMap
+    val pass = Multimodal.resize(withPayload, targetBytes = 16).collect()
+    assert(pass.forall(_.payload.length == 16)) // no upscale, byte-identical
+    val rerun = Multimodal.resize(withPayload, targetBytes = 6).collect()
+    assert(rerun.map(r => r.doc_id -> r.payload.toSeq).toMap == byId)
   }
 }
