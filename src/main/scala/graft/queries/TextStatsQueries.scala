@@ -12,6 +12,70 @@ object TextStatsQueries {
 
   val all: Map[String, Q] = Map(
 
+    // ---- keyword extraction: top-3 terms per doc by tf/df weight (the
+    // TF-IDF family with an exactly-comparable weight: tf and df are exact
+    // ints, the ratio is ONE double division — bit-identical cross-engine,
+    // the kg_link_jaccard precedent; ln-based idf would not be). Plan
+    // shape: one tokenize scan, df is a term-sized aggregate joined back by
+    // term equality, per-doc top-k is a window — all map-side combinable.
+    "ta_keyword_tfidf" -> Q(
+      """WITH toks AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |         CAST(t.tf AS DOUBLE) / d.df AS w,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tok) AS rn
+        |  FROM toks t JOIN df d ON t.tok = d.tok)
+        |SELECT doc_id, tok, tf, df, w FROM scored WHERE rn <= 3
+        |ORDER BY doc_id, w DESC, tok""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+      toks.join(df, "tok")
+        .withColumn("w", col("tf").cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "w")
+        .orderBy(col("doc_id"), col("w").desc, col("tok"))
+    },
+
+    // ---- deterministic stratified sampling for curation: per-language
+    // sample rates via an md5 hash bucket compared AS A HEX STRING (both
+    // engines agree on md5 and on lexicographic compare; integer hash
+    // functions differ between Spark and DuckDB). Reproducible across runs
+    // and engines, no RNG, narrow scan + broadcast rate map — embarrassingly
+    // parallel at any scale.
+    "ta_stratified_sample" -> Q(
+      """WITH rates(lang, thr) AS (VALUES
+        |  ('en', '80'), ('es', '40'), ('de', '40'), ('fr', '40'), ('zh', '1a')),
+        |h AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)
+        |SELECT h.doc_id, h.lang, h.b
+        |FROM h JOIN rates r ON h.lang = r.lang
+        |WHERE h.b < r.thr
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rates = broadcast(Seq(("en", "80"), ("es", "40"), ("de", "40"),
+        ("fr", "40"), ("zh", "1a")).toDF("rlang", "thr"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2).as("b"))
+        .join(rates, col("lang") === col("rlang"))
+        .filter(col("b") < col("thr"))
+        .select("doc_id", "lang", "b")
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace tokens + BPE-ish regex pieces
     "ta_token_counts" -> Q(
       """SELECT doc_id,
