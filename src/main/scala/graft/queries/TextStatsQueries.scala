@@ -16,8 +16,10 @@ object TextStatsQueries {
     // TF-IDF family with an exactly-comparable weight: tf and df are exact
     // ints, the ratio is ONE double division — bit-identical cross-engine,
     // the kg_link_jaccard precedent; ln-based idf would not be). Plan
-    // shape: one tokenize scan, df is a term-sized aggregate joined back by
-    // term equality, per-doc top-k is a window — all map-side combinable.
+    // shape: the tokenize+tf aggregate feeds BOTH join sides (df is a
+    // term-sized re-aggregate of it; exchange reuse dedupes the shared
+    // shuffle at runtime), per-doc top-k is a window — all map-side
+    // combinable.
     "ta_keyword_tfidf" -> Q(
       """WITH toks AS (
         |  SELECT doc_id, tok, count(*) AS tf
