@@ -250,13 +250,19 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(f0.getSeq[Array[Byte]](1).length == 4) // 16 bytes / every 4th
 
     // resize: strict downsample to the target, passthrough at-or-under it,
-    // deterministic, endpoints drawn from the source span
+    // deterministic, and EXACTLY the documented stride positions — length
+    // assertions alone could not tell the resample from plain truncation
+    val srcBytes = withPayload.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     val resized = Multimodal.resize(withPayload, targetBytes = 6).collect()
-    assert(resized.forall(_.payload.length == 6)) // all md5 payloads are 16
-    assert(resized.forall(_.n_bytes_in == 16))
+    assert(resized.forall(_.n_bytes_in == 16)) // all md5 payloads are 16
+    assert(resized.forall { r =>
+      val p = srcBytes(r.doc_id)
+      r.payload.toSeq == (0 until 6).map(i => p((i * p.length) / 6))
+    })
     val byId = resized.map(r => r.doc_id -> r.payload.toSeq).toMap
     val pass = Multimodal.resize(withPayload, targetBytes = 16).collect()
-    assert(pass.forall(_.payload.length == 16)) // no upscale, byte-identical
+    assert(pass.forall(r => r.payload.toSeq == srcBytes(r.doc_id).toSeq))
     val rerun = Multimodal.resize(withPayload, targetBytes = 6).collect()
     assert(rerun.map(r => r.doc_id -> r.payload.toSeq).toMap == byId)
   }
