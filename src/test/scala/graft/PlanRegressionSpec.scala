@@ -56,6 +56,28 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "candidate semi-join missing from the plan")
   }
 
+  test("kg_entity_cooccur: conv-keyed self-join is hash-based, never a " +
+       "cartesian product; dictionary broadcasts") {
+    val p = plan("kg_entity_cooccur")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("kg_pagerank: per-iteration joins are hash/merge, never nested-loop") {
+    val p = plan("kg_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ta_stratified_sample: scan prunes to (doc_id, lang) — payload text " +
+       "is never read; rate map broadcasts") {
+    val p = plan("ta_stratified_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
+    assert(!p.contains("text:string"), "sampling must not scan the text column")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("sync support read prunes to the changed buckets only") {
     val spark = SparkTestSession.get
     import spark.implicits._
