@@ -66,6 +66,12 @@ object ProfSync {
       p.runSync(spark, spark.read.parquet(t1Dir).as[Turn], cat,
         TranscriptGen.markerPreds, "prof-sync")
     }
+    // the fixed-overhead floor: a sync with NOTHING changed (same input
+    // again) — every job here is pure per-sync overhead
+    phase("runSyncNoop") {
+      p.runSync(spark, spark.read.parquet(t1Dir).as[Turn], cat,
+        TranscriptGen.markerPreds, "prof-sync-noop")
+    }
     spark.stop()
   }
 }

@@ -104,10 +104,30 @@ object KgMain {
       pipeline.pinOrVerifyBucketCount()
       // NT scans line-parallel; RDF/XML (the reference's own dump format,
       // Harvester.java:1711) is document-level so it scans file-parallel —
-      // malformed files are skipped whole, the reference's RiotException
-      // behavior (RdfXmlSource scaladoc)
+      // malformed files are skipped whole (the reference's RiotException
+      // behavior) but SURFACED: each rejected file lands in the quarantine
+      // area with its path + reason (the reference logs them,
+      // Harvester.java:1723-1725; silent drops hide real data loss)
+      var nRejects = 0L
       val triples =
-        if (mode == "ingest-rdfxml") graft.sources.RdfXmlSource.read(spark, turnsDir)
+        if (mode == "ingest-rdfxml") {
+          // parsed once (persisted): the reject write and the doc build are
+          // two actions over the same parse
+          val parsed = graft.sources.RdfXmlSource.readParsed(spark, turnsDir)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          val rejects = parsed.filter(_.reason.isDefined)
+            .map(p => (p.path, p.reason.get)).toDF("path", "reason")
+          val obs = new org.apache.spark.sql.Observation()
+          // runId-scoped overwrite, like the pipeline's row quarantine: a
+          // crash-and-retry never double-appends; file-grain rejects get
+          // their own dir (different schema than the turn quarantine)
+          rejects.observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$workDir/quarantine_files/run_id=$runId")
+          nRejects = obs.get("n").asInstanceOf[Long]
+          parsed.flatMap(_.triples)
+        }
         else graft.sources.NTriplesSource.read(spark, turnsDir)
       val docs = graft.materialize.DocAssembler.assemble(
         triples.toDF().select(col("subj"), col("pred"), col("obj"),
@@ -126,7 +146,7 @@ object KgMain {
         docs.withColumn("bucket", pipeline.subjectBucket(col("subj"))), runId)
       val gen = pipeline.docTable.publishBuckets(runId, pipeline.allBucketIds)
       docs.unpersist()
-      println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n}""")
+      println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n,"rejected_files":$nRejects}""")
       spark.stop()
       return
     }

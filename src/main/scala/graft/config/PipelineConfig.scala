@@ -59,6 +59,20 @@ final case class PipelineConfig(
     // (partitionBy(bucket)); a sync touching k of B buckets rewrites only k
     // bucket directories. At 100 TB size B so one bucket ~ tens of GB.
     syncBuckets: Int = 16,
+    // bucket-KEY expression: SQL over the template slot {k} (the table's own
+    // merge key column — conv_id for supports, subj for edges/docs,
+    // entity_id for nodes), bucketed pmod(expr, syncBuckets). The default
+    // hash spreads UNIFORM change evenly (k ~ min(B, #changed convs)). When
+    // the change pattern is TEMPORAL (recent conversations change, old ones
+    // never) and the key embeds a stable time attribute, point this at it —
+    // e.g. "coalesce(try_cast(regexp_extract({k}, 'w(\\d\\d)-', 1) as int),
+    // hash({k}))" for ids like "w07-conv-0042" (try_cast: ANSI mode throws
+    // on non-matching keys otherwise; the hash fallback covers keys with no
+    // time attribute, e.g. entity ids in the node table) — so a sync's
+    // changed conversations cluster into few buckets instead of k of them.
+    // Pinned in the workDir like syncBuckets: every writer must agree or
+    // rows would be replaced in the wrong buckets.
+    bucketKeyExpr: String = "hash({k})",
     workDir: String = "/tmp/graft-work",
     // canonicalization strategy: driver union-find for broadcast-sized
     // catalogs (default); distributed large-star/small-star CC for

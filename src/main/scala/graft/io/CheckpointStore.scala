@@ -46,6 +46,48 @@ final class CheckpointStore(root: String) {
   private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T =
     SparkIo.withJobDesc(spark, s"ckpt:$desc")(body)
 
+  // ---- driver-side epoch cache: the sync path reads (success count, max
+  // watermark) per pipeline on EVERY run, and each Spark read of the tiny
+  // watermark table schedules ~2 jobs — pure fixed overhead on a no-op
+  // sync. The cache is a sidecar JSON keyed by the number of parquet data
+  // files in the watermark dir (appends create new part files, so the file
+  // count is a reliable change detector): serve from the sidecar only when
+  // the count matches, otherwise fall back to the authoritative Spark read
+  // and repair the sidecar. A crash between the parquet append and the
+  // sidecar write therefore can NEVER serve a stale epoch — the file count
+  // no longer matches and the next reader repairs from parquet.
+  private def epochCachePath(pipelineId: String) =
+    java.nio.file.Paths.get(s"$root/.wm_epoch_$pipelineId")
+
+  private def listWmFileCount(): Int = {
+    val p = java.nio.file.Paths.get(wmPath)
+    if (!java.nio.file.Files.exists(p)) return -1
+    val s = java.nio.file.Files.list(p)
+    try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
+  }
+
+  private def readEpochCache(pipelineId: String): Option[(Int, Long, Option[Timestamp])] = {
+    val f = epochCachePath(pipelineId)
+    if (!java.nio.file.Files.exists(f)) None
+    else scala.util.Try {
+      val parts = java.nio.file.Files.readString(f).trim.split(",", -1)
+      (parts(0).toInt, parts(1).toLong,
+        if (parts(2).isEmpty) None else Some(new Timestamp(parts(2).toLong)))
+    }.toOption
+  }
+
+  private def writeEpochCache(pipelineId: String, files: Int, n: Long,
+                              wm: Option[Timestamp]): Unit = {
+    val f = epochCachePath(pipelineId)
+    val tmp = f.resolveSibling(s"${f.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"$files,$n,${wm.map(_.getTime.toString).getOrElse("")}")
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def writeWatermark(spark: SparkSession, pipelineId: String, runId: String,
                      watermark: Timestamp, status: String): Unit = {
     import spark.implicits._
@@ -54,40 +96,57 @@ final class CheckpointStore(root: String) {
         .toDF("pipeline_id", "run_id", "watermark", "status")
         .write.mode("append").parquet(wmPath)
     }
+    // opportunistic cache roll-forward: valid old cache + this append ->
+    // new cache (no Spark read); invalid -> leave it, a reader repairs
+    if (status == "success") readEpochCache(pipelineId).foreach {
+      case (files, n, wm) =>
+        val now = listWmFileCount()
+        // only roll forward when this append is the ONLY change since the
+        // cached state (exactly the file the append just wrote — appends
+        // write one part file for a one-row frame)
+        if (now == files + 1)
+          writeEpochCache(pipelineId, now, n + 1,
+            Some(wm.fold(watermark)(w =>
+              if (watermark.after(w)) watermark else w)))
+    }
   }
 
   /** Highest successful watermark — the reference reads `last_update` before
     * composing the sync FILTER (Harvester.java:628-651). */
   def lastWatermark(spark: SparkSession, pipelineId: String): Option[Timestamp] =
-    try {
-      withJobDesc(spark, "watermark-read")(readWm(spark)
-        .filter(col("pipeline_id") === pipelineId && col("status") === "success")
-        .agg(max(col("watermark")))
-        .head()) match {
-          case r if r.isNullAt(0) => None
-          case r => Some(r.getTimestamp(0))
-        }
-    } catch {
-      // only "table does not exist yet" maps to None; real read errors must
-      // surface — swallowing them would silently reset the watermark to
-      // epoch and turn the next sync into a full re-harvest
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
+    syncEpoch(spark, pipelineId)._2
 
-  /** Sync EPOCH in one scan: (number of successful runs, highest successful
-    * watermark). Watermarks alone cannot number syncs (an empty sync leaves
-    * the watermark unchanged), and run ids must be unique per logical sync
-    * yet stable across crash-retries of the same one. */
-  def syncEpoch(spark: SparkSession, pipelineId: String): (Long, Option[Timestamp]) =
-    try {
-      val r = withJobDesc(spark, "epoch-read")(readWm(spark)
-        .filter(col("pipeline_id") === pipelineId && col("status") === "success")
-        .agg(count(lit(1)), max(col("watermark")))
-        .head())
-      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => (0L, None)
+  /** Sync EPOCH: (number of successful runs, highest successful watermark).
+    * Watermarks alone cannot number syncs (an empty sync leaves the
+    * watermark unchanged), and run ids must be unique per logical sync yet
+    * stable across crash-retries of the same one. Served from the
+    * file-count-validated driver cache when possible (zero Spark jobs);
+    * repaired from the authoritative parquet log otherwise. */
+  def syncEpoch(spark: SparkSession, pipelineId: String): (Long, Option[Timestamp]) = {
+    val files = listWmFileCount()
+    if (files < 0) return (0L, None) // no table yet
+    readEpochCache(pipelineId) match {
+      case Some((cachedFiles, n, wm)) if cachedFiles == files => (n, wm)
+      case _ =>
+        val (n, wm) = try {
+          val r = withJobDesc(spark, "epoch-read")(readWm(spark)
+            .filter(col("pipeline_id") === pipelineId && col("status") === "success")
+            .agg(count(lit(1)), max(col("watermark")))
+            .head())
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))
+        } catch {
+          // only "table does not exist yet" maps to empty; real read errors
+          // must surface — swallowing them would silently reset the
+          // watermark to epoch and turn the next sync into a full re-harvest
+          case _: org.apache.spark.sql.AnalysisException => (0L, None)
+        }
+        // keyed by the count LISTED BEFORE the read: a concurrent append
+        // between the two leaves a cache that fails the next validation —
+        // conservative, never stale
+        writeEpochCache(pipelineId, files, n, wm)
+        (n, wm)
     }
+  }
 
   def writeMetrics(spark: SparkSession, runId: String,
                    rows: Seq[(String, String, Long)]): Unit = {
@@ -119,7 +178,11 @@ final class CheckpointStore(root: String) {
       finally s.close()
     val rows = parts.map { f =>
       val name = f.getFileName.toString // part-00007-<uuid>... -> 7
-      val pid = name.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      // Lineage is a metric, never a gate: a file not named part-NNNNN…
+      // (alternative committer, compaction rename) records partition_id -1
+      // instead of throwing NumberFormatException and killing the sync run.
+      val pid = scala.util.Try(
+        name.stripPrefix("part-").takeWhile(_.isDigit).toInt).getOrElse(-1)
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.toUri), conf))

@@ -143,6 +143,50 @@ final class TableCommitter(rootDir: String) {
     p
   }
 
+  /** Row count of the current generation from parquet FOOTERS — driver-side
+    * metadata only, zero Spark jobs (a Spark metadata-only count still
+    * schedules ~2 jobs, pure overhead for a per-sync metric). Walks the
+    * generation's data files and sums their footer record counts; at very
+    * large file counts this is a driver loop over footers — the same
+    * metadata a Spark count reads, minus the scheduling. */
+  def currentRecordCount(spark: SparkSession): Option[Long] =
+    currentPath().map { p =>
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val s = Files.walk(Paths.get(p))
+      val files =
+        try s.iterator().asScala
+          .filter(f => Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .toSeq
+        finally s.close()
+      files.map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+    }
+
+  /** Whether the current generation was published with the bucketed layout
+    * (bucket= partition dirs; an EMPTY bucketed publish is recognised via
+    * its schema sidecar carrying the bucket column). `Some(false)` means a
+    * pre-bucketing writer built this table — bucketed writers must refuse
+    * it with a migration message instead of pinning a bucket_count that the
+    * physical layout cannot honour. Metadata-only (one dir listing + one
+    * small file read). */
+  def currentIsBucketed(alias: String = "current"): Option[Boolean] =
+    currentPath(alias).map { p =>
+      val dir = Paths.get(p)
+      bucketDirs(dir).nonEmpty || {
+        val sidecar = dir.resolve(TableCommitter.SchemaSidecar)
+        Files.exists(sidecar) &&
+          org.apache.spark.sql.types.DataType.fromJson(Files.readString(sidecar))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains(TableCommitter.BucketCol)
+      }
+    }
+
   private def bucketDirs(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) Seq.empty

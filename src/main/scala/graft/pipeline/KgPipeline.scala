@@ -85,6 +85,44 @@ final class KgPipeline(cfg: PipelineConfig) {
   private def withJobDesc[T](spark: SparkSession, desc: String)(body: => T): T =
     graft.io.SparkIo.withJobDesc(spark, desc)(body)
 
+  /** Bucket-set sidecar name (leading underscore — not data). */
+  private val BucketSidecar = "_graft_buckets"
+
+  /** Stage checkpoint whose BUCKET SET rides the stage write itself: the
+    * distinct `bucketExpr` values are observed during the parquet write
+    * (one CollectMetrics aggregate — zero extra Spark jobs) and committed
+    * as a sidecar atomically WITH the checkpoint. A resumed run reads the
+    * sidecar (still zero jobs). Only a pre-upgrade checkpoint without one
+    * pays the old per-set collect job — this fusion is what cut the no-op
+    * sync's fixed job floor (round-3 item: three driver-side bucket-set
+    * collects, each a full scheduled job over delta-sized data). */
+  private def stageWithBuckets(spark: SparkSession, runKey: String, name: String,
+                               bucketExpr: org.apache.spark.sql.Column,
+                               afterWrite: java.nio.file.Path => Unit = _ => ())
+                              (compute: => DataFrame): (DataFrame, Set[Int]) = {
+    var obs: Option[org.apache.spark.sql.Observation] = None
+    val df = stage(spark, runKey, name, afterWrite = tmp => {
+      val bs = obs.get.get("buckets").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.toString.toInt)
+      Files.writeString(tmp.resolve(BucketSidecar), bs.sorted.mkString(","))
+      afterWrite(tmp)
+    }) {
+      val o = new org.apache.spark.sql.Observation(s"$runKey-$name-buckets")
+      obs = Some(o)
+      compute.observe(o, collect_set(bucketExpr).as("buckets"))
+    }
+    val f = Paths.get(s"$stagesRoot/$runKey/$name").resolve(BucketSidecar)
+    val buckets: Set[Int] =
+      if (Files.exists(f)) {
+        val s = Files.readString(f).trim
+        if (s.isEmpty) Set.empty else s.split(",").map(_.toInt).toSet
+      } else // checkpoint predates the sidecar: one fallback collect job
+        withJobDesc(spark, s"collect:$name-buckets")(
+          df.select(bucketExpr.as("b")).distinct().collect())
+          .map(_.getInt(0)).toSet
+    (df, buckets)
+  }
+
   /** Watermark sidecar name: leading underscore keeps parquet readers from
     * treating it as data (like _SUCCESS). */
   private val WmSidecar = "_graft_watermark"
@@ -213,64 +251,14 @@ final class KgPipeline(cfg: PipelineConfig) {
     stamped.select("conv_id", "subj", "pred", "obj", "lang", "weight")
   }
 
-  /** Scored entity linking over the extraction output (north star: "entity
-    * linking scored with a broadcast-hash-join candidate lookup plus
-    * TF-IDF/Jaccard similarity"): rows whose subject/object is an
-    * [[Extractor.ambSentinel]] — a mention of an alias naming several
-    * entities — are re-mapped to the contextual winner chosen by
-    * [[graft.link.EntityLinker.link]] for that exact (conv, turn, alias).
-    * Mentions the token-level linker cannot see (multi-token ambiguous
-    * aliases) fall back to the rank-winner, so no triple is ever dropped.
-    *
-    * Plan shape: the linker's decision table is ambiguous-mention-sized; the
-    * two re-mapping joins touch only the sentinel-bearing extraction rows
-    * (clean rows bypass them entirely). The final mention dedup re-groups
-    * only mention edges — two aliases resolving to one entity within a turn
-    * must count as ONE mention, exactly as trie-time canonical resolution
-    * would have. */
+  /** Scored entity linking over the extraction output — shared with the
+    * streaming ingest; see [[graft.link.AmbiguityResolver]] (the logic
+    * lived here through round 3 and moved out verbatim for reuse). */
   private def resolveAmbiguousMentions(spark: SparkSession, raw: DataFrame,
                                        turns: Dataset[Turn],
-                                       catalog: Seq[CatalogEntry]): DataFrame = {
-    val amb = catalog.groupBy(_.alias)
-      .filter { case (_, es) => es.map(_.entityId).distinct.size > 1 }
-    if (amb.isEmpty) return raw
-    val ambAliases = amb.keySet
-    val ambCatalog = catalog.filter(e => ambAliases.contains(e.alias))
-    val fallback: Map[String, String] = amb.map { case (a, es) =>
-      Extractor.ambSentinel(a) -> es.minBy(e => (e.rank, e.entityId)).entityId
-    }
-    val fbLit = typedlit(fallback)
+                                       catalog: Seq[CatalogEntry]): DataFrame =
+    graft.link.AmbiguityResolver.resolve(raw, turns, catalog)
 
-    // per-(conv, turn, alias) contextual winner; the linker lowercases alias
-    // keys, matching ambSentinel's normalization
-    val dec = graft.link.EntityLinker.link(turns, ambCatalog)
-      .select(col("conv_id"), col("turn_idx"),
-        concat(lit(Extractor.AmbPrefix), col("alias")).as("amb"),
-        col("entity_id"))
-
-    val isAmb = col("subj").startsWith(Extractor.AmbPrefix) ||
-      col("obj").startsWith(Extractor.AmbPrefix)
-    val clean = raw.filter(!isAmb)
-    val decS = dec.toDF("c_s", "t_s", "amb_s", "res_s")
-    val decO = dec.toDF("c_o", "t_o", "amb_o", "res_o")
-    val resolved = raw.filter(isAmb)
-      .join(decS, col("conv_id") === col("c_s") &&
-        col("turn_idx") === col("t_s") && col("subj") === col("amb_s"), "left")
-      .join(decO, col("conv_id") === col("c_o") &&
-        col("turn_idx") === col("t_o") && col("obj") === col("amb_o"), "left")
-      .select(col("conv_id"), col("turn_idx"),
-        coalesce(col("res_s"), element_at(fbLit, col("subj")), col("subj")).as("subj"),
-        col("pred"),
-        coalesce(col("res_o"), element_at(fbLit, col("obj")), col("obj")).as("obj"))
-
-    val all = clean.unionByName(resolved)
-    // re-establish per-turn mention uniqueness across BOTH row classes: a
-    // clean mention and a resolved one may land on the same entity in the
-    // same turn, which trie-time resolution would have emitted once
-    val mentions = all.filter(col("pred") === Extractor.MentionsPred)
-      .dropDuplicates("conv_id", "turn_idx", "subj", "pred", "obj")
-    all.filter(col("pred") =!= Extractor.MentionsPred).unionByName(mentions)
-  }
 
   /** Conversation-level language detection: argmax function-word hit ratio
     * over `cfg.langProfiles` (ties break toward the lexicographically later
@@ -413,15 +401,30 @@ final class KgPipeline(cfg: PipelineConfig) {
     // trips the same check. The workDir pin above stays for early, clearer
     // failure before any table is touched.
     Seq(supportTable, edgeTable, nodeTable, docTable)
-      .foreach(_.pinOrVerify("bucket_count", B.toString))
+      .foreach { t =>
+        t.pinOrVerify("bucket_count", B.toString)
+        // the key EXPRESSION is part of the mapping contract exactly like
+        // the count: a writer bucketing the same keys through a different
+        // expression would replace rows in the wrong buckets
+        t.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+      }
   }
 
   /** The subject-bucket expression of this pipeline's edge/doc tables —
     * external writers (KgMain ingest-nt) MUST use this, not a re-derived
     * copy: bucket-merge correctness requires every writer to agree
     * bit-for-bit on the key-to-bucket mapping. */
-  def subjectBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(hash(c), lit(B))
+  def subjectBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // the configured key expression with the key column spliced into the
+    // {k} slot; keys here are always simple attribute references (conv_id /
+    // subj / entity_id), whose Column rendering IS the identifier — guarded,
+    // because a computed Column would not round-trip through SQL text.
+    // Default "hash({k})" is the round-3 mapping bit-for-bit.
+    val kSql = c.toString
+    require(kSql.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bucket keys must be plain columns, got: $kSql")
+    pmod(expr(cfg.bucketKeyExpr.replace("{k}", kSql)), lit(B))
+  }
 
   /** Every bucket id of this pipeline's tables (full-publish bucket set). */
   def allBucketIds: Set[Int] = allBuckets
@@ -506,11 +509,14 @@ final class KgPipeline(cfg: PipelineConfig) {
     // them (their turns stay above the replayed watermark and are picked up
     // whole by the NEXT sync). Also scans the full source once, not once per
     // consumer (semi-join restriction, replacement anti-join, bucket set).
-    val changedConvs = stage(spark, runId, "changed_convs") {
-      turns.toDF()
-        .filter(col("ts") > lit(wm))
-        .select("conv_id").distinct()
-    }
+    // the changed-conv BUCKET set rides this stage's write (sidecar) — no
+    // separate collect job later
+    val (changedConvs, changedConvBuckets) =
+      stageWithBuckets(spark, runId, "changed_convs", convBucket(col("conv_id"))) {
+        turns.toDF()
+          .filter(col("ts") > lit(wm))
+          .select("conv_id").distinct()
+      }
 
     // J3: re-extract only changed conversations (semi-join restriction)
     // any turn newer than the watermark belongs to a changed conversation by
@@ -557,20 +563,20 @@ final class KgPipeline(cfg: PipelineConfig) {
         // replace/delete exactly the same conversations — recomputing from
         // the post-crash source (or the already-published support table)
         // would diverge the support replacement from the edge/node delta.
-        val vanished =
+        val (vanished, vanishedBuckets) =
           if (cfg.syncOldData)
-            stage(spark, runId, "vanished_convs") {
+            stageWithBuckets(spark, runId, "vanished_convs",
+              convBucket(col("conv_id"))) {
               cur.select("conv_id").distinct()
                 .join(turns.select("conv_id").distinct(),
                   Seq("conv_id"), "left_anti")
             }
-          else changedConvs.limit(0)
+          else (changedConvs.limit(0), Set.empty[Int])
         val touched = changedConvs.unionByName(vanished).distinct()
 
-        // the set of physical buckets to rewrite — at most B driver-side ints
-        val changedBuckets = withJobDesc(spark, "collect:changed-buckets")(
-          touched.select(convBucket(col("conv_id")).as("b")).distinct()
-            .collect()).map(_.getInt(0)).toSet
+        // the set of physical buckets to rewrite — at most B driver-side
+        // ints, already known from the two stage sidecars (zero jobs)
+        val changedBuckets = changedConvBuckets ++ vanishedBuckets
         val curChanged = cur
           .filter(col("bucket").isin(changedBuckets.toSeq: _*)) // partition-pruned
         val keep = curChanged
@@ -595,8 +601,9 @@ final class KgPipeline(cfg: PipelineConfig) {
         // pre-publish snapshot, and a resume AFTER the publish must replay
         // the original delta — recomputing it from the mutated table would
         // yield an empty (or doubled) delta and silently lose the edge/node
-        // update
-        val deltaCk = stage(spark, runId, "edge_delta")(delta)
+        // update. The affected EDGE bucket set rides the same write.
+        val (deltaCk, affectedEdgeBuckets) =
+          stageWithBuckets(spark, runId, "edge_delta", edgeBucket)(delta)
 
         // dynamic-partition-overwrite: only the k changed buckets are
         // written; the other B-k carry over by hard link
@@ -606,7 +613,8 @@ final class KgPipeline(cfg: PipelineConfig) {
         supportTable.publishBuckets(runId, changedBuckets)
         publishHook("support")
 
-        publishDerivedIncremental(spark, runId, deltaCk, newWm)
+        publishDerivedIncremental(spark, runId, deltaCk, affectedEdgeBuckets,
+          newWm)
     }
   }
 
@@ -658,12 +666,9 @@ final class KgPipeline(cfg: PipelineConfig) {
     * its weight reaches 0, an entity when its edge refcount does. */
   private def publishDerivedIncremental(spark: SparkSession, runId: String,
                                         delta: DataFrame,
+                                        affectedEdgeBuckets: Set[Int],
                                         newWatermark: Option[Timestamp]): RunResult = {
     val keyCols = Seq("subj", "pred", "obj", "lang")
-
-    val affectedEdgeBuckets = withJobDesc(spark, "collect:edge-buckets")(
-      delta.select(edgeBucket.as("b")).distinct().collect())
-      .map(_.getInt(0)).toSet
 
     val (edgesGen, nodesGen) = edgeTable.read(spark) match {
       case None =>
@@ -695,7 +700,10 @@ final class KgPipeline(cfg: PipelineConfig) {
         // the node update.
         val deleted = curAffected.join(delta, keyCols)
           .filter(col("weight") + col("dw") <= 0)
-        val nodeDelta = stage(spark, runId, "node_delta") {
+        // the affected NODE bucket set rides the stage write (sidecar)
+        val (nodeDelta, affectedNodeBuckets) =
+          stageWithBuckets(spark, runId, "node_delta",
+            convBucket(col("entity_id"))) {
           created
             .select(explode(array(col("subj"), col("obj"))).as("entity_id"),
               lit(1L).as("dn"))
@@ -713,9 +721,6 @@ final class KgPipeline(cfg: PipelineConfig) {
 
         val ng = nodeTable.read(spark) match {
           case Some(curN) =>
-            val affectedNodeBuckets = withJobDesc(spark, "collect:node-buckets")(
-              nodeDelta.select(convBucket(col("entity_id")).as("b")).distinct()
-                .collect()).map(_.getInt(0)).toSet
             val curNA = curN
               .filter(col("bucket").isin(affectedNodeBuckets.toSeq: _*))
               .drop("bucket")
@@ -746,8 +751,9 @@ final class KgPipeline(cfg: PipelineConfig) {
     }
 
     val publishedEdges = edgeTable.read(spark).get
-    // snapshot-level triple count: parquet footer metadata scan, no data read
-    val nTriples = withJobDesc(spark, "count:edges")(publishedEdges.count())
+    // snapshot-level triple count straight from parquet footers — zero
+    // Spark jobs (a metadata-only Spark count still schedules ~2)
+    val nTriples = edgeTable.currentRecordCount(spark).getOrElse(0L)
 
     // optional document sink, incrementally: docs pivot per (subj, lang)
     // over all of a subject's edges, and edges are subject-bucketed — so the

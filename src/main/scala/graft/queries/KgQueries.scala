@@ -70,6 +70,28 @@ object KgQueries {
   private val entityCtxSql: String =
     entityCtx.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
 
+  /** MULTI-token linking dictionary (round-4: the scored path must see
+    * trie-length spans, not single tokens). Two deliberately ambiguous
+    * bigram aliases whose rank-1 candidate has the WEAKER context, so only
+    * contextual overlap can win — plus one unambiguous control. */
+  private val mtAliasEntities = Seq(
+    ("window join", "urn:ent:10001", 1), ("window join", "urn:ent:10002", 2),
+    ("order sort", "urn:ent:10003", 1), ("order sort", "urn:ent:10004", 2),
+    ("query filter", "urn:ent:10005", 1))
+
+  private val mtAliasEntitiesSql: String =
+    mtAliasEntities.map { case (a, e, r) => s"('$a','$e',$r)" }.mkString(", ")
+
+  private val mtEntityCtx = Seq(
+    ("urn:ent:10001", "join shuffle exchange broadcast plan"),
+    ("urn:ent:10002", "window frame partition row order"),
+    ("urn:ent:10003", "sort spill run external disk"),
+    ("urn:ent:10004", "order ranking stable sequence key"),
+    ("urn:ent:10005", "filter predicate pushdown scan"))
+
+  private val mtEntityCtxSql: String =
+    mtEntityCtx.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
+
   val all: Map[String, Q] = Map(
 
     // ---- stable turn ordering + cross-turn context (north-rule invariant:
@@ -259,6 +281,62 @@ object KgQueries {
         .orderBy("doc_id")
     },
 
+    // ---- entity linking over MULTI-token alias spans (round-4: the scored
+    // path sees trie-length mentions, not single tokens): bigram mention
+    // detection + context-overlap disambiguation, top-1 per (doc, alias).
+    // Overlap counts are exact ints, so the result is bit-identical in both
+    // engines. Plan shape at scale: bigram generation is a narrow per-row
+    // transform (no shuffle); dict and context tables broadcast; the only
+    // wide ops are the doc-token/bigram DISTINCTs and the map-side-
+    // combinable overlap aggregation — same shape as kg_link_jaccard.
+    "kg_link_multitoken" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS l FROM t),
+         |dtoks AS (SELECT DISTINCT doc_id, unnest(l) AS tok FROM toksl),
+         |bigrams AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS bg
+         |            FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toksl)),
+         |dict(alias, entity_id, rnk) AS (VALUES $mtAliasEntitiesSql),
+         |ctx(entity_id, ctx_text) AS (VALUES $mtEntityCtxSql),
+         |ctoks AS (SELECT DISTINCT entity_id, unnest(list_filter(string_split_regex(lower(ctx_text), '\\s+'), x -> length(x) > 0)) AS tok FROM ctx),
+         |inter AS (SELECT d.doc_id, c.entity_id, count(*) AS i
+         |          FROM dtoks d JOIN ctoks c ON d.tok = c.tok GROUP BY 1, 2),
+         |mentions AS (SELECT DISTINCT b.doc_id, dd.alias, dd.entity_id, dd.rnk
+         |             FROM bigrams b JOIN dict dd ON b.bg = dd.alias),
+         |scored AS (
+         |  SELECT m.doc_id, m.alias, m.entity_id,
+         |         CAST(coalesce(i.i, 0) AS BIGINT) AS ov,
+         |         row_number() OVER (PARTITION BY m.doc_id, m.alias
+         |           ORDER BY coalesce(i.i, 0) DESC, m.rnk, m.entity_id) AS rn
+         |  FROM mentions m LEFT JOIN inter i
+         |    ON m.doc_id = i.doc_id AND m.entity_id = i.entity_id)
+         |SELECT doc_id, alias, entity_id, ov FROM scored WHERE rn = 1
+         |ORDER BY doc_id, alias""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dict = broadcast(mtAliasEntities.toDF("alias", "entity_id", "rnk"))
+      val toksl = turns(s, d).select(col("doc_id"), TextNorm.tokensCol(col("text")).as("l"))
+      val dtoks = toksl.select(col("doc_id"), explode(col("l")).as("tok")).distinct()
+      // guard size >= 2: Spark's sequence(1, 0) would DESCEND, not be empty
+      val bigrams = toksl.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))")).as("bg"))
+        .distinct()
+      val ctoks = mtEntityCtx.toDF("entity_id", "ctx_text")
+        .select(col("entity_id"), explode(TextNorm.tokensCol(col("ctx_text"))).as("tok"))
+        .distinct()
+      val inter = dtoks.join(broadcast(ctoks), "tok")
+        .groupBy("doc_id", "entity_id").agg(count(lit(1)).as("i"))
+      val mentions = bigrams.join(dict, col("bg") === col("alias"))
+        .select("doc_id", "alias", "entity_id", "rnk").distinct()
+      val scored = mentions.join(inter, Seq("doc_id", "entity_id"), "left")
+        .withColumn("ov", coalesce(col("i"), lit(0L)))
+      val w = Window.partitionBy("doc_id", "alias")
+        .orderBy(col("ov").desc, col("rnk"), col("entity_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "alias", "entity_id", "ov")
+        .orderBy("doc_id", "alias")
+    },
+
     // ---- canonicalization: connected components over a co-occurrence graph
     // (users sharing an (event_type, day) bucket), large-star/small-star on
     // the Spark side, transitive closure via recursive CTE in the oracle
@@ -296,6 +374,9 @@ object KgQueries {
     // across engines. Plan shape at scale: each iteration is one
     // shuffle-on-dst aggregation (map-side combinable longs) + one
     // node-sized left join; nothing driver-side but the node count.
+    // The oracle casts the final rank back to BIGINT: DuckDB's sum(BIGINT)
+    // widens to HUGEINT and the driver's value hash is type-sensitive, so
+    // an un-cast projection mismatches even when the values are identical.
     "kg_pagerank" -> Q(
       """WITH n AS (SELECT count(*) AS cnt FROM documents),
         |edges AS (SELECT doc_id AS src, (doc_id * doc_id) % (SELECT cnt FROM n) AS dst
@@ -320,7 +401,8 @@ object KgQueries {
         |        LEFT JOIN (SELECT e.dst, sum((85 * p.r) // 100) AS inr
         |                   FROM edges e JOIN pr2 p ON e.src = p.id GROUP BY e.dst) s
         |          ON d.doc_id = s.dst)
-        |SELECT 'urn:doc:' || CAST(id AS VARCHAR) AS node, r AS rank_fp
+        |SELECT 'urn:doc:' || CAST(id AS VARCHAR) AS node,
+        |       CAST(r AS BIGINT) AS rank_fp
         |FROM pr3 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin) { (s, d) =>
       // cached: the count plus every iteration's node frame and edge
       // derivation read this one node-sized projection — uncached, the

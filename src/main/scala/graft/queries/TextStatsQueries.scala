@@ -10,7 +10,71 @@ import graft.text.TextNorm
   * document fingerprinting — all pure codegen'd Column expressions. */
 object TextStatsQueries {
 
+  /** Char-trigram language-ID profiles: synthetic "dialects" over the corpus
+    * vocabulary (the fixture a function-word heuristic cannot separate —
+    * same script, same tokenizer). A trigram may appear in MULTIPLE profiles
+    * ("sca" below, deliberately) and then counts toward each; the tie-break
+    * is (hits desc, lang asc), locked by LangIdNgramSpec. */
+  val triProfiles: Seq[(String, String)] = Seq(
+    "sqlish" -> Seq("tab", "que", "joi", "fil", "sca"),
+    "opsish" -> Seq("sor", "mer", "has", "gro", "sca"),
+    "datish" -> Seq("dat", "str", "vec", "row", "col"))
+    .flatMap { case (l, ts) => ts.map(l -> _) }
+
+  private val triProfilesSql: String =
+    triProfiles.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+
+  /** Char-trigram language-ID over (doc_id, text): per-(doc, lang) hit
+    * counts via a broadcast trigram-profile join, winner by (hits desc,
+    * lang asc), docs with no profile hit -> 'und'. Counts are exact ints so
+    * the result is bit-identical cross-engine. Plan shape at scale: trigram
+    * generation is a narrow per-row transform (no shuffle), the profile
+    * side broadcasts, the hit count combines map-side; the per-doc window
+    * partitions are at most #profiles rows. */
+  def langIdNgram(docs: org.apache.spark.sql.DataFrame,
+                  profiles: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(profiles.toDF("lang", "tri"))
+    val base = docs.select(col("doc_id"), lower(col("text")).as("t"))
+    // guard length >= 3: Spark's sequence(1, 0) would DESCEND, not be empty
+    val tris = base.filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+    val hits = tris.join(prof, "tri")
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    base.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   val all: Map[String, Q] = Map(
+
+    // ---- char-n-gram language-ID (round-4: the function-word heuristic in
+    // ta_langid cannot separate same-script languages; trigram profiles
+    // can). Profiles are the synthetic fixture above; 'und' for no signal.
+    "ta_langid_ngram" -> Q(
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |tris AS (SELECT doc_id, substring(t, i, 3) AS tri
+         |         FROM (SELECT doc_id, t,
+         |                      unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i
+         |               FROM d)),
+         |prof(lang, tri) AS (VALUES $triProfilesSql),
+         |hits AS (SELECT t.doc_id, p.lang, count(*) AS hits
+         |         FROM tris t JOIN prof p ON t.tri = p.tri GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, hits,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY hits DESC, lang) AS rn
+         |         FROM hits)
+         |SELECT d.doc_id AS doc_id, coalesce(b.lang, 'und') AS lang,
+         |       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+         |FROM d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      langIdNgram(Tables.documents(s, d), triProfiles).orderBy("doc_id")
+    },
 
     // ---- keyword extraction: top-3 terms per doc by tf/df weight (the
     // TF-IDF family with an exactly-comparable weight: tf and df are exact

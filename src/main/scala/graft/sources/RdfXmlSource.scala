@@ -25,11 +25,15 @@ import graft.schema.Triple
   *    fresh blanks; property ATTRIBUTES on node elements as literals
   *  - property elements: text literals with inherited `xml:lang` or
   *    `rdf:datatype`, `rdf:resource` / `rdf:nodeID` objects, nested node
-  *    elements, `rdf:li` counters, `rdf:parseType="Resource"` and
-  *    `rdf:parseType="Collection"` (first/rest/nil list)
-  *  - NOT supported (documented): `rdf:parseType="Literal"` (XML-literal
-  *    objects — the file is rejected rather than mis-parsed) and reification
-  *    attributes (`rdf:ID` on property elements is ignored)
+  *    elements, `rdf:li` counters, `rdf:parseType="Resource"`,
+  *    `rdf:parseType="Collection"` (first/rest/nil list) and
+  *    `rdf:parseType="Literal"` (XML-literal objects, typed
+  *    `rdf:XMLLiteral`; event re-serialization, not exclusive-c14n — a
+  *    prefix declared outside the literal rejects the file rather than
+  *    re-serializing unbound)
+  *  - NOT supported (documented): unknown parse types (file rejected rather
+  *    than mis-parsed) and reification attributes (`rdf:ID` on property
+  *    elements is ignored)
   *
   * Failure semantics mirror the reference: a malformed dump is skipped WHOLE
   * (`RiotException` catch, Harvester.java:1723-1725) — here per file, with
@@ -55,6 +59,30 @@ object RdfXmlSource {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseBytes(p, bytes).getOrElse(Seq.empty) }
+  }
+
+  /** Per-file parse result for the reject-surfacing read: `reason` is set
+    * exactly when the file was rejected (then `triples` is empty). */
+  final case class ParsedFile(path: String, reason: Option[String],
+                              triples: Seq[graft.schema.Triple])
+
+  /** One-parse variant that ALSO surfaces rejected files instead of
+    * dropping them silently (the reference logs each RiotException,
+    * Harvester.java:1723-1725; we go further and table them). Each file is
+    * parsed ONCE into a [[ParsedFile]] row; the caller splits triples from
+    * rejects and should `persist` the dataset when consuming both (parsing
+    * dominates the scan — two unpersisted actions would parse twice). */
+  def readParsed(spark: SparkSession, path: String): Dataset[ParsedFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        parseBytes(p, bytes) match {
+          case Right(ts) => ParsedFile(p, None, ts)
+          case Left(r)   => ParsedFile(p, Some(r), Seq.empty)
+        }
+      }
   }
 
   /** Render triples as ONE complete RDF/XML document — the export direction,
@@ -386,10 +414,76 @@ object RdfXmlSource {
         }
         if (head.isEmpty) ctx.emit(subj, pred, RdfNs + "nil")
         else ctx.emit(tail, RdfNs + "rest", RdfNs + "nil")
+      case Some("Literal") =>
+        // XML literal (W3C RDF/XML 7.2.17; the reference accepts these via
+        // Jena, Harvester.java:1711-1716): the object is the element
+        // content re-serialized as XML, typed rdf:XMLLiteral. Subset note:
+        // this is a faithful event re-serialization (elements with their
+        // OWN namespace declarations, attributes, escaped text; comments/
+        // PIs dropped), not exclusive-c14n — ancestor-inherited namespace
+        // prefixes used inside the literal without a redeclaration are out
+        // of the subset, and surface as an unbound-prefix reject rather
+        // than a silently wrong literal.
+        val sb = new java.lang.StringBuilder()
+        def qn(prefix: String, local: String): String =
+          if (prefix == null || prefix.isEmpty) local else s"$prefix:$local"
+        // prefix scopes nest with elements: a child's declaration must not
+        // leak to its siblings
+        var scopes: List[Set[String]] = Nil
+        def inScope(p: String): Boolean = scopes.exists(_.contains(p))
+        var depth = 1
+        while (depth > 0 && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              depth += 1
+              sb.append('<').append(qn(r.getPrefix, r.getLocalName))
+              var here = Set.empty[String]
+              var i = 0
+              while (i < r.getNamespaceCount) {
+                val p = Option(r.getNamespacePrefix(i)).getOrElse("")
+                here += p
+                sb.append(" xmlns").append(if (p.isEmpty) "" else ":" + p)
+                  .append("=\"").append(escAttr(r.getNamespaceURI(i)))
+                  .append('"')
+                i += 1
+              }
+              scopes = here :: scopes
+              // a prefixed name whose declaration lives OUTSIDE the literal
+              // would re-serialize unbound — reject, don't corrupt
+              val ep = Option(r.getPrefix).getOrElse("")
+              if (ep.nonEmpty && !inScope(ep))
+                throw new IllegalStateException(
+                  s"XML literal uses prefix '$ep' declared outside the " +
+                    "literal (out of the supported subset)")
+              i = 0
+              while (i < r.getAttributeCount) {
+                val ap = Option(r.getAttributePrefix(i)).getOrElse("")
+                if (ap.nonEmpty && !inScope(ap))
+                  throw new IllegalStateException(
+                    s"XML literal uses prefix '$ap' declared outside the " +
+                      "literal (out of the supported subset)")
+                sb.append(' ').append(qn(ap, r.getAttributeLocalName(i)))
+                  .append("=\"").append(escAttr(r.getAttributeValue(i)))
+                  .append('"')
+                i += 1
+              }
+              sb.append('>')
+            case XMLStreamConstants.END_ELEMENT =>
+              depth -= 1
+              if (depth > 0) {
+                sb.append("</").append(qn(r.getPrefix, r.getLocalName))
+                  .append('>')
+                scopes = scopes.tail
+              }
+            case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+              sb.append(escText(r.getText))
+            case _ => () // comments/PIs: dropped (documented subset)
+          }
+        }
+        ctx.emit(subj, pred, sb.toString, "", RdfNs + "XMLLiteral")
       case Some(other) =>
-        // parseType="Literal" (XML literals) and unknown parse types: reject
-        // the file rather than silently mis-parse — the NT path is the
-        // documented escape hatch for exotic content
+        // unknown parse types: reject the file rather than silently
+        // mis-parse — the NT path is the documented escape hatch
         throw new IllegalStateException(s"unsupported rdf:parseType=$other")
       case None if resource.isDefined =>
         val obj = resolve(base, resource.get)

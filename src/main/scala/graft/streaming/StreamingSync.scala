@@ -61,14 +61,11 @@ object StreamingSync {
       "detectLanguage is not supported by the streaming ingest path " +
         "(per-conversation detection needs cross-batch state); use the batch " +
         "sync or stamp a fixed language")
-    // same silent-divergence class: the batch pipeline resolves ambiguous
-    // aliases contextually under scoredLinking, while this path would
-    // rank-collapse them — the same logical support would land under
-    // different entity keys in streaming- vs batch-built tables
-    require(!cfg.scoredLinking,
-      "scoredLinking is not supported by the streaming ingest path " +
-        "(contextual disambiguation runs in the batch pipeline); ingest with " +
-        "rank resolution or use the batch sync")
+    // scoredLinking IS streaming-safe (round-4): contextual disambiguation
+    // is per-(conv, turn, alias) over the turn's OWN tokens, and a turn is
+    // never split across micro-batches — resolving inside foreachBatch is
+    // content-identical to batch resolution (AmbiguityResolver scaladoc).
+    // detectLanguage/coref stay refused: both need cross-batch state.
     // coref needs the conversation's FULL turn history (the antecedent
     // window looks at strictly-earlier turns); a micro-batch can split a
     // conversation, so streamed orphan resolution would silently diverge
@@ -106,12 +103,25 @@ object StreamingSync {
           "original checkpoint or start a new table — replaying from batch 0 " +
           "over an additively-merged table would double-count")
 
+    // upgrade guard BEFORE pinning: a table published by a pre-bucketing
+    // writer has no bucket= partition layout, and pinning bucket_count on
+    // it would turn the pruned read below into an opaque unresolved-column
+    // AnalysisException — fail with an explicit migration message instead
+    if (table.currentIsBucketed().contains(false))
+      throw new IllegalStateException(
+        "this table was published without the bucketed layout (no 'bucket' " +
+          "partition column): rebuild it from a fresh checkpoint with the " +
+          "bucketed streaming ingest before resuming")
     // bucket count pinned in the table's own metadata: the key-to-bucket
     // mapping is baked into every published generation, and every writer
     // (including a later run with a different config) must agree on it
     val B = cfg.syncBuckets
     table.pinOrVerify("bucket_count", B.toString)
-    val bucketOf = pmod(hash(col("conv_id")), lit(B))
+    // key expression pinned too — this writer must bucket with the exact
+    // mapping the table was built with (see PipelineConfig.bucketKeyExpr)
+    table.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+    val bucketOf =
+      pmod(expr(cfg.bucketKeyExpr.replace("{k}", "conv_id")), lit(B))
 
     var merged = 0L
     val q = turns.writeStream
@@ -125,7 +135,16 @@ object StreamingSync {
           // the observation rides the batch materialization and counts THIS
           // batch's extracted support rows (pre-merge), not the table size
           val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
-          val supports = Extractor.extract(batch, catalog, markers).toDF()
+          // under scoredLinking, extraction emits ambiguity sentinels and
+          // the shared resolver re-maps them from the batch's own turns —
+          // the same code path as the batch pipeline
+          val extracted0 = Extractor.extract(batch, catalog, markers,
+            sentinelAmbiguous = cfg.scoredLinking).toDF()
+          val extracted =
+            if (cfg.scoredLinking)
+              graft.link.AmbiguityResolver.resolve(extracted0, batch, catalog)
+            else extracted0
+          val supports = extracted
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
             .withColumn("lang", lit(cfg.language))

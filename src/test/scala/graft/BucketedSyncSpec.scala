@@ -545,4 +545,68 @@ class BucketedSyncSpec extends AnyFunSuite {
       files.foreach(f => assert(inode(f) == inode(newFiles(f.getFileName.toString))))
     }
   }
+
+  test("temporal bucket key: changes clustered in one epoch-week touch ONE " +
+       "support bucket (hash would scatter them), content == scratch") {
+    val spark = SparkTestSession.get
+    val B = 8
+    // conv ids embed a stable creation week ("w03-conv-000005"); the key
+    // expression extracts it, falling back to hash for keys without one
+    // (entity ids in the node table)
+    // try_cast, not cast: ANSI mode throws on the empty string a
+    // non-matching regexp_extract yields — the fallback must be a null
+    val keyExpr =
+      "coalesce(try_cast(regexp_extract({k}, 'w(\\\\d\\\\d)-', 1) as int), hash({k}))"
+    def weekOf(conv: String): Int = conv.drop(5).takeWhile(_.isDigit).toInt % 4 + 1
+    def rename(t: Turn): Turn =
+      t.copy(conv_id = f"w0${weekOf(t.conv_id)}%d-${t.conv_id}")
+    val t0 = fx.turns.map(rename)
+    val maxTs = t0.map(_.ts.getTime).max
+
+    // THREE different conversations change — all created in week 3, so the
+    // temporal key maps them all to bucket 3; the hash key would scatter
+    // them across ~3 buckets
+    val changed = t0.map(_.conv_id).distinct.filter(_.startsWith("w03-")).take(3)
+    assert(changed.size == 3)
+    val t1 = t0 ++ changed.zipWithIndex.map { case (c, i) =>
+      val tpl = t0.filter(_.conv_id == c).maxBy(_.turn_idx)
+      tpl.copy(turn_idx = tpl.turn_idx + 1,
+        ts = new Timestamp(maxTs + (i + 1) * 3600 * 1000L))
+    }
+
+    val cfg = PipelineConfig(workDir = freshDir(), syncBuckets = B,
+      bucketKeyExpr = keyExpr)
+    val p = new KgPipeline(cfg)
+    p.runFull(spark, turnsDs(t0), fx.catalog, fx.markers, "t0")
+    val gen0 = Paths.get(p.supportTable.currentPath().get)
+    val before = bucketDirs(gen0)
+
+    p.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+    val gen1 = Paths.get(p.supportTable.currentPath().get)
+    val after = bucketDirs(gen1)
+
+    val rewritten = after.filter { case (name, files) =>
+      before.get(name) match {
+        case None => true
+        case Some(oldFiles) =>
+          val oldI = oldFiles.map(inode)
+          files.exists(f => !oldI.contains(inode(f)))
+      }
+    }.keySet
+    assert(rewritten == Set("bucket=3"),
+      s"expected only bucket=3 rewritten, got $rewritten")
+
+    // a writer with a DIFFERENT key expression is refused (pin)
+    val bad = new KgPipeline(cfg.copy(bucketKeyExpr = "hash({k})"))
+    val e = intercept[IllegalArgumentException] {
+      bad.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t-bad")
+    }
+    assert(e.getMessage.contains("bucket_key_expr"))
+
+    // published content == from-scratch full recompute under the same key
+    val scratch = new KgPipeline(cfg.copy(workDir = freshDir()))
+    scratch.runFull(spark, turnsDs(t1), fx.catalog, fx.markers, "s")
+    assert(supportSet(p) == supportSet(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
+  }
 }

@@ -120,6 +120,51 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(edgesOf(p) == edgesOf(scratch2))
   }
 
+  test("scoredLinking: a MULTI-token ambiguous alias is flipped by context " +
+       "(round-3 gap: the token-level linker could not see it)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    // "apache spark" (TWO tokens) names the engine and a book about it;
+    // rank alone always picks the engine (rank 1 < 2) — the book
+    // conversation is only linkable through its context tokens
+    val cat = Seq(
+      CatalogEntry("urn:e:engine", "apache spark",
+        "apache spark cluster computing engine executors", 1),
+      CatalogEntry("urn:e:book", "apache spark",
+        "apache spark definitive guide book chapters", 2),
+      CatalogEntry("urn:e:venus", "venus", "venus planet solar orbit", 1))
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val turns = Seq(
+      turn("conv-book", 0,
+        "reading the definitive guide book chapters on apache spark tonight"),
+      turn("conv-engine", 0,
+        "apache spark runs cluster computing jobs across many executors"))
+
+    val p = new KgPipeline(PipelineConfig(workDir = freshDir(), scoredLinking = true))
+    p.runFull(spark, turns.toDS(), cat, Map.empty, "run-mt")
+    def linkedTo(q: KgPipeline, conv: String): Set[String] =
+      q.edgeTable.read(spark).get
+        .filter(col("subj") === s"urn:conv:$conv" &&
+          col("pred") === graft.extract.Extractor.MentionsPred)
+        .collect().map(_.getString(2)).toSet
+    assert(linkedTo(p, "conv-book") == Set("urn:e:book"))
+    assert(linkedTo(p, "conv-engine") == Set("urn:e:engine"))
+
+    // parity: the scored full run equals a scored from-scratch run after an
+    // incremental sync adds a new multi-token mention
+    val t1 = turns :+ Turn("conv-engine2", 0, "user",
+      "our cluster executors run apache spark computing", "",
+      new java.sql.Timestamp(99999L))
+    p.runSync(spark, t1.toDS(), cat, Map.empty, "sync-mt")
+    assert(linkedTo(p, "conv-engine2") == Set("urn:e:engine"))
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(),
+      scoredLinking = true))
+    scratch.runFull(spark, t1.toDS(), cat, Map.empty, "full-mt")
+    assert(edgesOf(p) == edgesOf(scratch))
+  }
+
   test("corefResolution: a subject-less marker takes its antecedent from an " +
        "earlier turn (through runFull), and sync == full under the flag") {
     val spark = SparkTestSession.get

@@ -179,7 +179,7 @@ class RdfXmlSourceSpec extends AnyFunSuite {
       Triple("http://ex.org/data/#frag", "urn:p:x", "y", "", "")))
   }
 
-  test("whole-file rejection: malformed XML, DOCTYPE (XXE), parseType=Literal") {
+  test("whole-file rejection: malformed XML, DOCTYPE (XXE), unknown parseType") {
     assert(RdfXmlSource.parseFile("f", "<rdf:RDF><unclosed>").isLeft)
     assert(RdfXmlSource.parseFile("f",
       """<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>
@@ -191,7 +191,42 @@ class RdfXmlSourceSpec extends AnyFunSuite {
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
         |         xmlns:p="urn:p:">
         |  <rdf:Description rdf:about="urn:s:1">
-        |    <p:x rdf:parseType="Literal"><b>xml</b></p:x>
+        |    <p:x rdf:parseType="Bogus"><b>xml</b></p:x>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
+  }
+
+  test("parseType=Literal: XML content becomes an rdf:XMLLiteral (round-3 " +
+       "gap closed: the reference accepts these, Harvester.java:1711-1716)") {
+    val got = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:doc rdf:parseType="Literal">a <b xmlns="urn:h" k="v">rich &amp; nested <i>bit</i></b> tail</p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(got == Seq(Triple("urn:s:1", "urn:p:doc",
+      """a <b xmlns="urn:h" k="v">rich &amp; nested <i>bit</i></b> tail""",
+      "", RdfXmlSource.RdfNs + "XMLLiteral")))
+
+    // sibling after a nested declaration: the child's prefix must NOT leak
+    val sib = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:2">
+        |    <p:doc rdf:parseType="Literal"><q:a xmlns:q="urn:q"/><r xmlns="urn:r"/></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(sib.head.obj == """<q:a xmlns:q="urn:q"></q:a><r xmlns="urn:r"></r>""")
+    assert(sib.head.objType == RdfXmlSource.RdfNs + "XMLLiteral")
+
+    // a prefix declared OUTSIDE the literal (on rdf:RDF) is out of the
+    // subset: reject the file, never emit an unbound-prefix literal
+    assert(RdfXmlSource.parseFile("f",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:" xmlns:h="urn:h">
+        |  <rdf:Description rdf:about="urn:s:3">
+        |    <p:doc rdf:parseType="Literal"><h:b>x</h:b></p:doc>
         |  </rdf:Description>
         |</rdf:RDF>""".stripMargin).isLeft)
   }
@@ -318,5 +353,49 @@ class RdfXmlSourceSpec extends AnyFunSuite {
       Triple("urn:s:2", RdfXmlSource.RdfNs + "type", "urn:p:Person", "", ""),
       Triple("urn:s:2", "urn:p:note", "pozn", "cs", "")))
     assert(viaNt == viaXml)
+  }
+
+  test("readParsed surfaces rejected files as (path, reason) rows — the " +
+       "quarantine contract of KgMain ingest-rdfxml") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rdfxml-rejects-")
+    Files.writeString(dir.resolve("good.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:9"><p:name>Zoe</p:name></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(dir.resolve("broken.rdf"), "<rdf:RDF><oops>")
+    Files.writeString(dir.resolve("xmllit.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:8">
+        |    <p:doc rdf:parseType="Bogus"><b>rich</b></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+
+    val parsed = RdfXmlSource.readParsed(spark, dir.toString).collect()
+    assert(parsed.length == 3)
+    val rejects = parsed.filter(_.reason.isDefined)
+    assert(rejects.map(p => p.path.split('/').last).toSet ==
+      Set("broken.rdf", "xmllit.rdf"))
+    assert(rejects.forall(p => p.triples.isEmpty && p.reason.get.nonEmpty))
+    val good = parsed.filter(_.reason.isEmpty)
+    assert(good.flatMap(_.triples).toSet ==
+      Set(Triple("urn:s:9", "urn:p:name", "Zoe", "", "")))
+    // the triples stream equals the silent read() (same files accepted)
+    assert(good.flatMap(_.triples).toSet ==
+      RdfXmlSource.read(spark, dir.toString).collect().toSet)
+
+    // the app's quarantine write shape round-trips through parquet
+    val out = Files.createTempDirectory("rdfxml-rejects-out-").toString
+    RdfXmlSource.readParsed(spark, dir.toString)
+      .filter(_.reason.isDefined)
+      .map(p => (p.path, p.reason.get)).toDF("path", "reason")
+      .write.mode("overwrite").parquet(s"$out/quarantine_files/run_id=r1")
+    val back = spark.read.parquet(s"$out/quarantine_files/run_id=r1")
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1)))
+    assert(back.map(_._1).toSet == Set("broken.rdf", "xmllit.rdf"))
+    assert(back.forall(_._2.nonEmpty))
   }
 }

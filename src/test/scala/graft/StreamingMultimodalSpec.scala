@@ -190,9 +190,10 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val fx = TranscriptGen.generate(nConv = 2, nEnt = 3, hotFactor = 1)
     val inDir = Files.createTempDirectory("stream-guard-in-").toString
     fx.turns.toDS().write.mode("overwrite").parquet(inDir)
+    // scoredLinking is NOT in this list since round 4: per-turn contextual
+    // scoring is batch-boundary-safe and streams through AmbiguityResolver
     for (cfg <- Seq(
         PipelineConfig(detectLanguage = true),
-        PipelineConfig(scoredLinking = true),
         // coref antecedents look at strictly-earlier turns of the SAME
         // conversation — a micro-batch boundary can hide them, so streamed
         // results would silently diverge from the batch pipeline
@@ -205,6 +206,66 @@ class StreamingMultimodalSpec extends AnyFunSuite {
           fx.catalog, fx.markers, cfg, table)
       }
     }
+  }
+
+  test("scoredLinking streams: an ambiguous alias in the stream resolves " +
+       "contextually, content == batch extraction+resolution, even with " +
+       "conversations split across micro-batches") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    // "mercury" names two entities; context must flip the planet conv away
+    // from the rank winner; plus a MULTI-token ambiguous alias
+    val cat = Seq(
+      CatalogEntry("urn:e:element", "mercury", "mercury chemical element silvery metal", 1),
+      CatalogEntry("urn:e:planet", "mercury", "mercury planet solar orbit innermost", 2),
+      CatalogEntry("urn:e:engine", "apache spark", "apache spark cluster computing engine", 1),
+      CatalogEntry("urn:e:book", "apache spark", "apache spark definitive guide book", 2))
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val turns = Seq(
+      turn("conv-planet", 0, "the innermost planet mercury has a solar orbit"),
+      turn("conv-planet", 1, "mercury is the innermost planet of the solar system"),
+      turn("conv-element", 0, "mercury is a chemical element a silvery metal"),
+      turn("conv-book", 0, "the definitive guide book covers apache spark"))
+    val inDir = Files.createTempDirectory("stream-scored-in-").toString
+    // one FLAT file per turn -> one turn per micro-batch (conv-planet's two
+    // turns land in different batches, proving batch-boundary safety)
+    turns.zipWithIndex.foreach { case (t, i) =>
+      val tmp = Files.createTempDirectory("stream-scored-one-")
+      Seq(t).toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, java.nio.file.Paths.get(inDir, s"t$i.parquet"))
+    }
+    val cfg = PipelineConfig(scoredLinking = true)
+    val table = new TableCommitter(
+      Files.createTempDirectory("stream-scored-tbl-").toString)
+    StreamingSync.ingestAvailableNow(spark, inDir,
+      Files.createTempDirectory("stream-scored-ck-").toString,
+      cat, Map.empty, cfg, table, maxFilesPerBatch = Some(1))
+    assert(table.currentGeneration("lastBatch").exists(_.toLong >= 1),
+      "expected multiple micro-batches")
+
+    val streamed = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    // batch reference: same extraction + resolution over the whole corpus
+    val batch = graft.link.AmbiguityResolver.resolve(
+        graft.extract.Extractor.extract(turns.toDS(), cat, Map.empty,
+          sentinelAmbiguous = true).toDF(), turns.toDS(), cat)
+      .groupBy("conv_id", "subj", "pred", "obj").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    assert(streamed == batch)
+    // and the contextual winners are the CONTEXT choices, not rank's
+    def linked(conv: String) = streamed.keys
+      .collect { case (c, _, _, o) if c == conv => o }.toSet
+    assert(linked("conv-planet") == Set("urn:e:planet"))
+    assert(linked("conv-element") == Set("urn:e:element"))
+    assert(linked("conv-book") == Set("urn:e:book"))
   }
 
   test("streaming windowed mention-rate aggregate runs as a real stream") {
