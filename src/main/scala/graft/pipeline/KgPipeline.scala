@@ -518,6 +518,53 @@ final class KgPipeline(cfg: PipelineConfig) {
           .select("conv_id").distinct()
       }
 
+    // the pre-sync snapshot, resolved ONCE (read() binds the physical gen
+    // path eagerly; generations are immutable, so every consumer below —
+    // vanished set, keep/replace, delta — reads the same snapshot even
+    // after the publish flips the pointer)
+    val curOpt = supportTable.read(spark)
+
+    // J4: conversations that vanished from the source entirely (their
+    // buckets must be rewritten too, or the delete would be lost).
+    // Stage-checkpointed like changedConvs: the replayed edge_delta was
+    // computed against the ORIGINAL vanished set, so a resume must
+    // replace/delete exactly the same conversations — recomputing from
+    // the post-crash source (or the already-published support table)
+    // would diverge the support replacement from the edge/node delta.
+    // Computed BEFORE the re-extract stages so a true no-op sync can exit
+    // without scheduling any of them.
+    val (vanished, vanishedBuckets) = curOpt match {
+      case Some(cur) if cfg.syncOldData =>
+        stageWithBuckets(spark, runId, "vanished_convs",
+          convBucket(col("conv_id"))) {
+          cur.select("conv_id").distinct()
+            .join(turns.select("conv_id").distinct(),
+              Seq("conv_id"), "left_anti")
+        }
+      case _ => (changedConvs.limit(0), Set.empty[Int])
+    }
+
+    // TRUE NO-OP fast path: nothing changed, nothing vanished (both known
+    // from the stage sidecars — zero extra jobs) and every derived table is
+    // healthy — record the run and stop. The empty re-extract, delta and
+    // carryover-publish machinery would cost ~15 fixed Spark jobs to move
+    // zero rows; a nightly no-op sync against a 100 TB table should be
+    // metadata-only. The derived-table guards keep the self-heal paths
+    // reachable: a table half-published by a crashed run still routes
+    // through the full machinery below. Replay-stable: the checkpointed
+    // changed set replays empty for this runId, so a crash-retry takes the
+    // same path; the watermark cannot regress (None falls back to the last
+    // recorded one inside finishRun).
+    if (curOpt.isDefined && changedConvBuckets.isEmpty &&
+        vanishedBuckets.isEmpty &&
+        edgeTable.currentGeneration().isDefined &&
+        nodeTable.currentGeneration().isDefined &&
+        (!cfg.publishDocs || docTable.currentGeneration().isDefined)) {
+      return finishRun(spark, runId, None,
+        edgeTable.currentGeneration().get, nodeTable.currentGeneration().get,
+        edgeTable.currentRecordCount(spark).getOrElse(0L))
+    }
+
     // J3: re-extract only changed conversations (semi-join restriction)
     // any turn newer than the watermark belongs to a changed conversation by
     // construction, so max(ts) over changedTurns == max over the full source
@@ -546,7 +593,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     checkpoints.writeLineageFromFooters(spark, runId, "sync_supports",
       s"$stagesRoot/$runId/sync_supports")
 
-    supportTable.read(spark) match {
+    curOpt match {
       case None =>
         // first run arrived as a sync: equivalent to a full publish
         supportTable.stagePartitioned(
@@ -556,22 +603,6 @@ final class KgPipeline(cfg: PipelineConfig) {
           supportTable.read(spark).get.drop("bucket"), newWm)
 
       case Some(cur) =>
-        // J4: conversations that vanished from the source entirely (their
-        // buckets must be rewritten too, or the delete would be lost).
-        // Stage-checkpointed like changedConvs: the replayed edge_delta was
-        // computed against the ORIGINAL vanished set, so a resume must
-        // replace/delete exactly the same conversations — recomputing from
-        // the post-crash source (or the already-published support table)
-        // would diverge the support replacement from the edge/node delta.
-        val (vanished, vanishedBuckets) =
-          if (cfg.syncOldData)
-            stageWithBuckets(spark, runId, "vanished_convs",
-              convBucket(col("conv_id"))) {
-              cur.select("conv_id").distinct()
-                .join(turns.select("conv_id").distinct(),
-                  Seq("conv_id"), "left_anti")
-            }
-          else (changedConvs.limit(0), Set.empty[Int])
         val touched = changedConvs.unionByName(vanished).distinct()
 
         // the set of physical buckets to rewrite — at most B driver-side

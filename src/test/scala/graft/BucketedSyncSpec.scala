@@ -530,20 +530,33 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(edgeSet(p) == edgeSet(scratch))
   }
 
-  test("empty sync (no changes) republishes every bucket by reference") {
+  test("empty sync (no changes) is metadata-only: no table is republished, " +
+       "the run is still recorded, and the next data-bearing sync works") {
     val spark = SparkTestSession.get
     val p = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
     p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t0")
-    val gen0 = Paths.get(p.supportTable.currentPath().get)
-    p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t1")
-    val gen1 = Paths.get(p.supportTable.currentPath().get)
-    val before = bucketDirs(gen0)
-    val after = bucketDirs(gen1)
-    assert(before.keySet == after.keySet)
-    before.foreach { case (name, files) =>
-      val newFiles = after(name).map(f => f.getFileName.toString -> f).toMap
-      files.foreach(f => assert(inode(f) == inode(newFiles(f.getFileName.toString))))
-    }
+    val sGen0 = p.supportTable.currentGeneration()
+    val eGen0 = p.edgeTable.currentGeneration()
+    val r = p.runSync(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t1")
+    // fast path: pointers untouched (stronger than republish-by-reference),
+    // triple count still reported from the standing generation
+    assert(p.supportTable.currentGeneration() == sGen0)
+    assert(p.edgeTable.currentGeneration() == eGen0)
+    assert(r.triples == p.edgeTable.read(spark).get.count())
+    // the no-op run still advances the sync epoch (auto runIds must never
+    // reuse a finished run's id) and keeps the watermark
+    assert(p.checkpoints.syncEpoch(spark, "kg")._1 == 2L)
+
+    // a later data-bearing sync over the untouched pointers == scratch
+    val maxTs = fx.turns.map(_.ts.getTime).max
+    val tpl = fx.turns.filter(_.conv_id == "conv-000007").maxBy(_.turn_idx)
+    val t2 = fx.turns :+ tpl.copy(turn_idx = tpl.turn_idx + 1,
+      ts = new Timestamp(maxTs + 3600 * 1000L))
+    p.runSync(spark, turnsDs(t2), fx.catalog, fx.markers, "t2")
+    val scratch = new KgPipeline(PipelineConfig(workDir = freshDir(), syncBuckets = 8))
+    scratch.runFull(spark, turnsDs(t2), fx.catalog, fx.markers, "s")
+    assert(supportSet(p) == supportSet(scratch))
+    assert(edgeSet(p) == edgeSet(scratch))
   }
 
   test("temporal bucket key: changes clustered in one epoch-week touch ONE " +
