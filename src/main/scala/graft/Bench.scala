@@ -207,6 +207,13 @@ object Bench {
         TranscriptGen.markerPreds, "bench-sync")
       val syncSec = (System.nanoTime() - tS0) / 1e9
       val gen1 = java.nio.file.Paths.get(p.supportTable.currentPath().get)
+      // the no-op floor: a sync with NOTHING changed takes the metadata-only
+      // fast path (empty changed/vanished sets known from the stage
+      // sidecars) — the nightly-cron-against-an-unchanged-100TB-table cost
+      val tN0 = System.nanoTime()
+      p.runSync(spark2, spark2.read.parquet(t1Dir).as[Turn], cat,
+        TranscriptGen.markerPreds, "bench-sync-noop")
+      val noopSec = (System.nanoTime() - tN0) / 1e9
       def files(g: java.nio.file.Path) = {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(g).iterator().asScala
@@ -225,6 +232,7 @@ object Bench {
       val syncStr =
         s"""{"convs":$nConvSync,"changed_convs":5,"full_sec":${fmt(fullSec)},""" +
         s""""sync_sec":${fmt(syncSec)},"speedup":${fmt(fullSec / syncSec)},""" +
+        s""""noop_sec":${fmt(noopSec)},""" +
         s""""rewritten_buckets":$rewrittenBuckets,"total_buckets":$totalBuckets,""" +
         s""""fresh_bytes":$freshBytes,"total_bytes":$totalBytes}"""
 

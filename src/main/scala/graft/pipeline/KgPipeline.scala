@@ -410,6 +410,44 @@ final class KgPipeline(cfg: PipelineConfig) {
       }
   }
 
+  /** Extraction-semantics pin: the flags that change what a support/edge
+    * ROW means (coref resolution, scored linking, language detection, the
+    * stamped language) are a property of the table CONTENTS, not of a
+    * single run — an incremental sync merging rows extracted under
+    * different flags than the standing generations would silently mix two
+    * semantics within one table (the streaming path pins the same class of
+    * flag in table metadata). Full runs rebuild every row, so they
+    * legitimately (re)pin; syncs only replace slices, so they VERIFY.
+    * Catalog/marker/normalization evolution is deliberately NOT pinned:
+    * syncing against an updated model is the reference's normal operating
+    * mode, and changed conversations re-extract whole under the new model.
+    *
+    * A full run pins at start, so a crashed full run can leave the pin
+    * ahead of the published pointers — later syncs under the OLD flags then
+    * refuse loudly until a full run completes. Loud-and-rare beats a silent
+    * mix. */
+  private val semanticsPin =
+    Paths.get(s"${cfg.workDir}/_meta_pipeline/semantics")
+  private def semanticsSig: String =
+    s"coref=${cfg.corefResolution},scored=${cfg.scoredLinking}," +
+      s"detect=${cfg.detectLanguage},lang=${cfg.language}"
+  private def pinSemantics(): Unit = {
+    Files.createDirectories(semanticsPin.getParent)
+    val tmp = semanticsPin.resolveSibling(".semantics.tmp")
+    Files.writeString(tmp, semanticsSig)
+    Files.move(tmp, semanticsPin, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+  private def verifySemantics(): Unit =
+    if (Files.exists(semanticsPin)) {
+      val pinned = Files.readString(semanticsPin).trim
+      require(pinned == semanticsSig,
+        s"sync flags ($semanticsSig) differ from the flags the standing " +
+          s"tables were built with ($pinned) — an incremental sync would " +
+          "mix row semantics within one table; run a FULL rebuild to " +
+          "change them")
+    } else pinSemantics() // pre-pin-era workDir: adopt the current flags
+
   /** The subject-bucket expression of this pipeline's edge/doc tables —
     * external writers (KgMain ingest-nt) MUST use this, not a re-derived
     * copy: bucket-merge correctness requires every writer to agree
@@ -435,6 +473,7 @@ final class KgPipeline(cfg: PipelineConfig) {
               catalog: Seq[CatalogEntry], markers: Map[String, String],
               runId: String): RunResult = {
     pinOrVerifyBucketCount()
+    pinSemantics() // full rebuilds every row: it defines the semantics
     var obsWm: Option[Timestamp] = None
     val supports = stage(spark, runId, "supports",
       afterWrite = writeWmSidecar(_, obsWm)) {
@@ -497,6 +536,7 @@ final class KgPipeline(cfg: PipelineConfig) {
               runId: String): RunResult = {
     import spark.implicits._
     pinOrVerifyBucketCount()
+    verifySemantics() // syncs replace slices: they must match the table
     val wm = checkpoints.lastWatermark(spark, cfg.pipelineId)
       .getOrElse(new Timestamp(0L))
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -52,7 +52,8 @@ object StreamingSync {
       spark: SparkSession, inputDir: String, checkpointDir: String,
       catalog: Seq[CatalogEntry], markers: Map[String, String],
       cfg: PipelineConfig, table: TableCommitter,
-      maxFilesPerBatch: Option[Int] = None): Long = {
+      maxFilesPerBatch: Option[Int] = None,
+      corefStateTable: Option[TableCommitter] = None): Long = {
     import spark.implicits._
     // the streaming path stamps cfg.language directly; silently diverging
     // from a detectLanguage batch table would split the same logical support
@@ -65,15 +66,21 @@ object StreamingSync {
     // is per-(conv, turn, alias) over the turn's OWN tokens, and a turn is
     // never split across micro-batches — resolving inside foreachBatch is
     // content-identical to batch resolution (AmbiguityResolver scaladoc).
-    // detectLanguage/coref stay refused: both need cross-batch state.
-    // coref needs the conversation's FULL turn history (the antecedent
-    // window looks at strictly-earlier turns); a micro-batch can split a
-    // conversation, so streamed orphan resolution would silently diverge
-    // from the batch pipeline, which re-extracts changed conversations whole
-    require(!cfg.corefResolution,
-      "corefResolution is not supported by the streaming ingest path " +
-        "(cross-turn antecedents need whole-conversation context); use the " +
-        "batch sync")
+    //
+    // corefResolution is streaming-safe too, via explicit cross-batch state:
+    // the only conversation history the batch antecedent window consumes is
+    // the LAST resolved mention before this batch (CorefResolver's window is
+    // last-ignoring-nulls over strictly-earlier turn_idx), so a tiny
+    // per-conversation state row — (last mention entity, its turn_idx, max
+    // turn_idx seen) — seeded into the batch as one synthetic context row
+    // reproduces the batch result exactly, PROVIDED turns of a conversation
+    // arrive in turn_idx order across batches (in-batch disorder is fine —
+    // the window sorts). Out-of-order cross-batch arrival is REFUSED loudly
+    // (the batch sync re-extracts conversations whole and handles it).
+    require(!cfg.corefResolution || corefStateTable.isDefined,
+      "corefResolution=true on the streaming path needs a corefStateTable " +
+        "(the per-conversation antecedent state lives in its own bucketed " +
+        "table, committed in lockstep with each batch)")
     val schema = implicitly[org.apache.spark.sql.Encoder[Turn]].schema
     val reader = spark.readStream.schema(schema)
     val turns = maxFilesPerBatch
@@ -120,6 +127,28 @@ object StreamingSync {
     // key expression pinned too — this writer must bucket with the exact
     // mapping the table was built with (see PipelineConfig.bucketKeyExpr)
     table.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+    // the coref flag is a LINEAGE property, not a per-run choice: batches
+    // merged without orphan resolution and batches merged with it disagree
+    // on row content for the same turns, so flipping the flag mid-table
+    // silently mixes semantics — pin it like the bucket mapping
+    table.pinOrVerify("coref_resolution", cfg.corefResolution.toString)
+    corefStateTable.foreach { st =>
+      st.pinOrVerify("bucket_count", B.toString)
+      st.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+      // state lost / wrong table: supports built by committed prior batches
+      // of a coref lineage MUST have their antecedent state alongside — an
+      // empty state table here would silently drop every cross-batch
+      // antecedent. (A mid-crash replay is fine: lastBatch is stamped only
+      // after the state publish, so a committed stamp implies the state
+      // generation exists.)
+      if (cfg.corefResolution && table.currentGeneration("lastBatch").isDefined
+          && table.currentGeneration().isDefined
+          && st.currentGeneration().isEmpty)
+        throw new IllegalStateException(
+          "corefResolution lineage has committed batches but the coref state " +
+            "table is empty — wrong/lost state table; rebuild from a fresh " +
+            "checkpoint")
+    }
     val bucketOf =
       pmod(expr(cfg.bucketKeyExpr.replace("{k}", "conv_id")), lit(B))
 
@@ -139,11 +168,20 @@ object StreamingSync {
           // the shared resolver re-maps them from the batch's own turns —
           // the same code path as the batch pipeline
           val extracted0 = Extractor.extract(batch, catalog, markers,
+            emitContext = cfg.corefResolution,
             sentinelAmbiguous = cfg.scoredLinking).toDF()
-          val extracted =
+          val linked =
             if (cfg.scoredLinking)
               graft.link.AmbiguityResolver.resolve(extracted0, batch, catalog)
             else extracted0
+          // coref AFTER scored linking, exactly like the batch pipeline:
+          // the cross-turn antecedent is the contextually-resolved entity,
+          // never an ambiguity sentinel
+          val (extracted, publishCorefState) =
+            if (cfg.corefResolution)
+              corefStep(batch, linked, corefStateTable.get, bucketOf,
+                s"stream-$ckptId-$batchId")
+            else (linked, () => ())
           val supports = extracted
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
@@ -180,6 +218,9 @@ object StreamingSync {
               combined.withColumn("bucket", bucketOf), s"stream-$ckptId-$batchId")
             table.publishBuckets(s"stream-$ckptId-$batchId", touched)
           }
+          // coref state publishes AFTER the supports and BEFORE the stamp:
+          // then every crash window replays correctly (see corefStep)
+          publishCorefState()
           // lineage id BEFORE the batch stamp: a crash between the two must
           // never leave lastBatch set with no (or a stale) lineage id — the
           // strict guard above would then brick or bypass the table
@@ -191,6 +232,127 @@ object StreamingSync {
       .start()
     q.awaitTermination()
     merged
+  }
+
+  /** Cross-batch coreference for the streaming ingest.
+    *
+    * The batch antecedent window ([[graft.extract.CorefResolver.resolve]])
+    * consumes, per orphan, only the latest context row with a strictly
+    * smaller turn_idx — so the whole conversation history compresses to one
+    * state row per conversation: (last_idx, last_ent) of the latest resolved
+    * mention plus max_idx of the latest turn seen. That row re-enters the
+    * batch as a synthetic context row and the UNCHANGED batch resolver runs
+    * over batch rows + seeds; seeds only ever contribute context (which the
+    * resolver drops from its output), so every emitted triple belongs to
+    * this batch.
+    *
+    * PARITY CONTRACT: turns of one conversation must arrive in turn_idx
+    * order ACROSS batches (in-batch disorder is fine — the window sorts).
+    * A violating batch is refused loudly: silently resolving against a
+    * future-relative-to-the-straggler state would diverge from the batch
+    * pipeline, which re-extracts conversations whole.
+    *
+    * CRASH SAFETY (state publishes after supports, before the lastBatch
+    * stamp; publishes are runId-idempotent):
+    *  - crash before the supports publish — replay recomputes from the
+    *    un-advanced state: identical output;
+    *  - crash between supports and state publish — replay recomputes from
+    *    the un-advanced state, the supports re-publish no-ops, the state
+    *    publish completes;
+    *  - crash between state publish and stamp — replay recomputes against
+    *    the ADVANCED state (wrong antecedents), but BOTH publishes no-op on
+    *    the already-published runId, so the wrong staging is discarded (and
+    *    the order guard is skipped for an already-published runId, so the
+    *    replay can never wedge on the advancement it made itself).
+    *
+    * Scale: the state table is conversation-count-sized, bucketed with the
+    * support table's pinned mapping; a batch reads and rewrites only the
+    * buckets its conversations map to (hard-link carryover for the rest).
+    *
+    * @return (batch extraction with orphans resolved and context rows
+    *         dropped, thunk publishing the advanced state) */
+  private def corefStep(batch: Dataset[Turn], extracted: DataFrame,
+                        st: TableCommitter, bucketOf: Column,
+                        runId: String): (DataFrame, () => Unit) = {
+    val s = batch.sparkSession
+    import s.implicits._
+    // per-conversation batch bounds: one pass over the (in-memory) batch;
+    // feeds the order guard, the seed join and the state update
+    val batchConvs = batch.toDF().groupBy("conv_id")
+      .agg(min(col("turn_idx")).as("b_min"), max(col("turn_idx")).as("b_max"))
+      .withColumn("bucket", bucketOf)
+      .localCheckpoint(true)
+    val touched = batchConvs.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return (extracted, () => ())
+
+    val prior = st.read(s) match {
+      case Some(cur) => cur
+        .filter(col("bucket").isin(touched.toSeq: _*)) // partition-pruned
+        .select("conv_id", "last_idx", "last_ent", "max_idx")
+      case None =>
+        Seq.empty[(String, Option[Int], Option[String], Int)]
+          .toDF("conv_id", "last_idx", "last_ent", "max_idx")
+    }
+    // state rows of THIS batch's conversations (batch-conv-sized, consumed
+    // by the guard, the seeds and the update — materialized once)
+    val priorForBatch = prior
+      .join(batchConvs.select("conv_id", "b_min", "b_max"),
+        Seq("conv_id"), "inner")
+      .localCheckpoint(true)
+
+    // replay tolerance: when THIS runId's state generation is already
+    // published (crash landed between the state publish and the lastBatch
+    // stamp), the batch's turns legitimately compare as "out of order"
+    // against the state they themselves advanced — but everything this
+    // replay computes is discarded by runId idempotence anyway, so the
+    // guard must not wedge the recovery
+    val alreadyPublished = st.publishedGeneration(runId).isDefined
+    val bad =
+      if (alreadyPublished) Array.empty[org.apache.spark.sql.Row]
+      else priorForBatch.filter(col("b_min") <= col("max_idx"))
+        .select("conv_id", "b_min", "max_idx").take(1)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"out-of-order cross-batch arrival for conversation " +
+          s"${bad.head.getString(0)}: batch turn_idx ${bad.head.getInt(1)} <= " +
+          s"already-ingested max ${bad.head.getInt(2)} — streamed coref " +
+          "would diverge from the batch pipeline; re-sync this table with " +
+          "the batch path")
+
+    val seeds = priorForBatch.filter(col("last_ent").isNotNull)
+      .select(col("conv_id"), col("last_idx").as("turn_idx"),
+        lit("__ctx__").as("subj"),
+        lit(Extractor.LastMentionPred).as("pred"),
+        col("last_ent").as("obj"))
+    val resolved =
+      graft.extract.CorefResolver.resolve(extracted.unionByName(seeds))
+
+    // the batch's own latest resolved mention per conversation (from the
+    // PRE-seed rows — seeds must not echo back into the state)
+    val batchLast = extracted
+      .filter(col("pred") === Extractor.LastMentionPred)
+      .groupBy("conv_id")
+      .agg(max(struct(col("turn_idx"), col("obj"))).as("m"))
+      .select(col("conv_id"), col("m.turn_idx").as("n_idx"),
+        col("m.obj").as("n_ent"))
+    val updates = batchConvs.select("conv_id", "b_max")
+      .join(batchLast, Seq("conv_id"), "left")
+      .join(prior, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("n_idx"), col("last_idx")).as("last_idx"),
+        coalesce(col("n_ent"), col("last_ent")).as("last_ent"),
+        greatest(col("b_max"), coalesce(col("max_idx"), lit(-1)))
+          .as("max_idx"))
+    val carry = prior
+      .join(batchConvs.select("conv_id"), Seq("conv_id"), "left_anti")
+    val newState = carry.unionByName(updates).withColumn("bucket", bucketOf)
+
+    (resolved, () => {
+      st.stagePartitioned(newState, runId)
+      st.publishBuckets(runId, touched)
+      ()
+    })
   }
 
   /** Stable identity of a checkpoint directory (created on first use;

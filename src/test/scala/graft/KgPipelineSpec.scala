@@ -240,6 +240,33 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(orbit == Set(("urn:e:planet", "urn:e:venus")))
   }
 
+  test("semantics pin: a sync under different extraction flags than the " +
+       "standing tables is refused; a full rebuild legitimately re-pins") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val small = TranscriptGen.generate(nConv = 6, nEnt = 6, hotFactor = 1)
+    val p = new KgPipeline(PipelineConfig(workDir = wd))
+    p.runFull(spark, turnsDs(small.turns), small.catalog, small.markers, "f0")
+
+    // flipping coref (or any row-semantics flag) for a SYNC must refuse:
+    // merged slices would carry different semantics than the standing rows
+    val flipped = new KgPipeline(
+      PipelineConfig(workDir = wd, corefResolution = true))
+    val e = intercept[IllegalArgumentException] {
+      flipped.runSync(spark, turnsDs(small.turns), small.catalog,
+        small.markers, "s0")
+    }
+    assert(e.getMessage.contains("FULL rebuild"))
+
+    // same flags sync fine; a full rebuild under the new flags re-pins and
+    // later syncs under them are accepted
+    p.runSync(spark, turnsDs(small.turns), small.catalog, small.markers, "s1")
+    flipped.runFull(spark, turnsDs(small.turns), small.catalog,
+      small.markers, "f1")
+    flipped.runSync(spark, turnsDs(small.turns), small.catalog,
+      small.markers, "s2")
+  }
+
   test("distributed CC canonicalization matches union-find golden components") {
     val spark = SparkTestSession.get
     import spark.implicits._

@@ -116,10 +116,10 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   /** Erase batch 0's commit record (and its Hadoop-local-FS checksum twin —
     * leaving the stale .crc behind trips Spark's concurrent-writer check) so
     * a restarted query replays the batch, as after a crash mid-commit. */
-  private def deleteCommit(ckpt: String): Unit = {
+  private def deleteCommit(ckpt: String, batchId: Long = 0L): Unit = {
     val commits = java.nio.file.Paths.get(ckpt).resolve("commits")
-    Files.delete(commits.resolve("0"))
-    Files.deleteIfExists(commits.resolve(".0.crc"))
+    Files.delete(commits.resolve(batchId.toString))
+    Files.deleteIfExists(commits.resolve(s".$batchId.crc"))
   }
 
   test("bucketed ingest survives foreachBatch replay: stamped batches skip, " +
@@ -191,12 +191,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("stream-guard-in-").toString
     fx.turns.toDS().write.mode("overwrite").parquet(inDir)
     // scoredLinking is NOT in this list since round 4: per-turn contextual
-    // scoring is batch-boundary-safe and streams through AmbiguityResolver
+    // scoring is batch-boundary-safe and streams through AmbiguityResolver.
+    // corefResolution streams too (explicit cross-batch state) but REQUIRES
+    // a state table — passing the flag without one must refuse, not
+    // silently drop every cross-batch antecedent
     for (cfg <- Seq(
         PipelineConfig(detectLanguage = true),
-        // coref antecedents look at strictly-earlier turns of the SAME
-        // conversation — a micro-batch boundary can hide them, so streamed
-        // results would silently diverge from the batch pipeline
         PipelineConfig(corefResolution = true))) {
       val table = new TableCommitter(
         Files.createTempDirectory("stream-guard-tbl-").toString)
@@ -266,6 +266,211 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(linked("conv-planet") == Set("urn:e:planet"))
     assert(linked("conv-element") == Set("urn:e:element"))
     assert(linked("conv-book") == Set("urn:e:book"))
+  }
+
+  /** One flat parquet file per turn, mtime-ordered, so maxFilesPerTrigger=1
+    * delivers exactly one turn per micro-batch IN turn order. */
+  private def writeOneFilePerTurn(inDir: String,
+                                  turns: Seq[graft.schema.Turn]): Unit = {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    turns.zipWithIndex.foreach { case (t, i) =>
+      val tmp = Files.createTempDirectory("stream-coref-one-")
+      Seq(t).toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(inDir, f"t$i%03d.parquet")
+      Files.move(part, dest)
+      // explicit mtimes: the file source orders by (mtime, path), and
+      // same-millisecond writes would otherwise leave ordering to luck
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000))
+    }
+  }
+
+  test("corefResolution streams: an orphan resolves against an antecedent " +
+       "from an EARLIER micro-batch, content == batch resolution, and a " +
+       "no-new-data restart leaves the state generation untouched") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(
+      CatalogEntry("urn:e:titan", "titan", "titan moon", 1),
+      CatalogEntry("urn:e:saturn", "saturn", "saturn planet", 1))
+    val markers = Map("orbits" -> "urn:p:orbits")
+    def turn(c: String, i: Int, text: String) =
+      Turn(c, i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val turns = Seq(
+      turn("conv-a", 0, "the hazy moon titan is large"),
+      // orphan whose antecedent (titan) lives in the PREVIOUS micro-batch
+      turn("conv-a", 1, "orbits saturn closely"),
+      // orphan in a conversation with no antecedent at all -> dropped
+      turn("conv-b", 0, "orbits saturn distantly"),
+      // second orphan two batches after the antecedent
+      turn("conv-a", 2, "orbits saturn again"))
+    val inDir = Files.createTempDirectory("stream-coref-in-").toString
+    writeOneFilePerTurn(inDir, turns)
+    val cfg = PipelineConfig(corefResolution = true)
+    val table = new TableCommitter(
+      Files.createTempDirectory("stream-coref-tbl-").toString)
+    val state = new TableCommitter(
+      Files.createTempDirectory("stream-coref-st-").toString)
+    val ckpt = Files.createTempDirectory("stream-coref-ck-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      cat, markers, cfg, table, maxFilesPerBatch = Some(1),
+      corefStateTable = Some(state))
+    assert(table.currentGeneration("lastBatch").exists(_.toLong >= 2),
+      "expected one micro-batch per turn")
+
+    val streamed = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    // batch reference: extraction + window resolution over the whole corpus
+    val batch = graft.extract.CorefResolver.resolve(
+        graft.extract.Extractor.extract(turns.toDS(), cat, markers,
+          emitContext = true).toDF())
+      .groupBy("conv_id", "subj", "pred", "obj").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    assert(streamed == batch)
+    // a two-link cross-batch chain: turn 1's orphan took turn 0's titan
+    // (previous batch); turn 2's orphan took turn 1's saturn mention (again
+    // the previous batch — the freshest antecedent, exactly as the batch
+    // window ranks them); conv-b's antecedent-less orphan contributed nothing
+    assert(streamed(("conv-a", "urn:e:titan", "urn:p:orbits", "urn:e:saturn")) == 1L)
+    assert(streamed(("conv-a", "urn:e:saturn", "urn:p:orbits", "urn:e:saturn")) == 1L)
+    assert(!streamed.keys.exists { case (c, _, p0, _) =>
+      c == "conv-b" && p0 == "urn:p:orbits" })
+
+    // the state row tracks the latest mention and the max ingested turn
+    val st = state.read(spark).get
+      .filter(org.apache.spark.sql.functions.col("conv_id") === "conv-a")
+      .select("last_idx", "last_ent", "max_idx").head()
+    assert(st.getInt(0) == 2 && st.getString(1) == "urn:e:saturn" &&
+      st.getInt(2) == 2)
+
+    // restart with same checkpoint, no new data: neither table advances
+    val (gT, gS) = (table.currentGeneration(), state.currentGeneration())
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      cat, markers, cfg, table, corefStateTable = Some(state))
+    assert(table.currentGeneration() == gT)
+    assert(state.currentGeneration() == gS)
+  }
+
+  test("corefResolution + scoredLinking stream together: the cross-batch " +
+       "antecedent is the CONTEXTUALLY linked entity, not the rank winner") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(
+      CatalogEntry("urn:e:element", "mercury", "mercury chemical element silvery metal", 1),
+      CatalogEntry("urn:e:planet", "mercury", "mercury planet solar orbit innermost", 2),
+      CatalogEntry("urn:e:venus", "venus", "venus planet solar orbit", 1))
+    val markers = Map("orbits" -> "urn:p:orbits")
+    val turns = Seq(
+      Turn("conv-p", 0, "user",
+        "the innermost planet mercury has a short orbit in the solar system",
+        "", new java.sql.Timestamp(1000L)),
+      Turn("conv-p", 1, "user", "orbits venus today", "",
+        new java.sql.Timestamp(1001L)))
+    val inDir = Files.createTempDirectory("stream-cs-in-").toString
+    writeOneFilePerTurn(inDir, turns)
+    val cfg = PipelineConfig(scoredLinking = true, corefResolution = true)
+    val table = new TableCommitter(
+      Files.createTempDirectory("stream-cs-tbl-").toString)
+    val state = new TableCommitter(
+      Files.createTempDirectory("stream-cs-st-").toString)
+    StreamingSync.ingestAvailableNow(spark, inDir,
+      Files.createTempDirectory("stream-cs-ck-").toString,
+      cat, markers, cfg, table, maxFilesPerBatch = Some(1),
+      corefStateTable = Some(state))
+    val orbit = table.read(spark).get
+      .filter(org.apache.spark.sql.functions.col("pred") === "urn:p:orbits")
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(orbit == Set(("urn:e:planet", "urn:e:venus")))
+  }
+
+  test("corefResolution survives the worst replay window: crash after BOTH " +
+       "publishes but before the stamp — the replay neither double-merges " +
+       "nor wedges on the state it advanced itself") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(
+      CatalogEntry("urn:e:titan", "titan", "titan moon", 1),
+      CatalogEntry("urn:e:saturn", "saturn", "saturn planet", 1))
+    val markers = Map("orbits" -> "urn:p:orbits")
+    val turns = Seq(
+      Turn("conv-a", 0, "user", "the moon titan is large", "",
+        new java.sql.Timestamp(1000L)),
+      Turn("conv-a", 1, "user", "orbits saturn closely", "",
+        new java.sql.Timestamp(1001L)))
+    val inDir = Files.createTempDirectory("stream-crp-in-").toString
+    writeOneFilePerTurn(inDir, turns)
+    val cfg = PipelineConfig(corefResolution = true)
+    val tblDir = Files.createTempDirectory("stream-crp-tbl-").toString
+    val table = new TableCommitter(tblDir)
+    val state = new TableCommitter(
+      Files.createTempDirectory("stream-crp-st-").toString)
+    val ckpt = Files.createTempDirectory("stream-crp-ck-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      cat, markers, cfg, table, maxFilesPerBatch = Some(1),
+      corefStateTable = Some(state))
+    def content() = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    val want = content()
+    assert(want(("conv-a", "urn:e:titan", "urn:p:orbits", "urn:e:saturn")) == 1L)
+    val stateGen = state.currentGeneration()
+
+    // simulate: batch 1 published its supports AND its state, then crashed
+    // before stamping lastBatch — erase the engine's commit record and wind
+    // the stamp back so the replay re-runs the batch against a state table
+    // the batch itself already advanced
+    deleteCommit(ckpt, 1)
+    Files.writeString(
+      java.nio.file.Paths.get(tblDir).resolve("_meta").resolve("lastBatch"), "0")
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      cat, markers, cfg, table, maxFilesPerBatch = Some(1),
+      corefStateTable = Some(state))
+    assert(content() == want, "replay double-merged or re-resolved wrongly")
+    assert(state.currentGeneration() == stateGen,
+      "replay must not publish a second state generation")
+    assert(table.currentGeneration("lastBatch").contains("1"))
+  }
+
+  test("corefResolution stream REFUSES out-of-order cross-batch arrival " +
+       "instead of silently diverging from the batch pipeline") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import graft.schema.{CatalogEntry, Turn}
+    val cat = Seq(CatalogEntry("urn:e:titan", "titan", "titan moon", 1))
+    def turn(i: Int, text: String) =
+      Turn("conv-x", i, "user", text, "", new java.sql.Timestamp(1000L + i))
+    val inDir = Files.createTempDirectory("stream-ooo-in-").toString
+    writeOneFilePerTurn(inDir, Seq(turn(5, "the moon titan shines")))
+    val cfg = PipelineConfig(corefResolution = true)
+    val table = new TableCommitter(
+      Files.createTempDirectory("stream-ooo-tbl-").toString)
+    val state = new TableCommitter(
+      Files.createTempDirectory("stream-ooo-st-").toString)
+    val ckpt = Files.createTempDirectory("stream-ooo-ck-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      cat, Map.empty, cfg, table, corefStateTable = Some(state))
+
+    // a straggler with a SMALLER turn_idx arrives in a later batch
+    Seq(turn(3, "titan again")).toDS().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val e = intercept[Exception] {
+      StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+        cat, Map.empty, cfg, table, corefStateTable = Some(state))
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("out-of-order")),
+      s"expected the out-of-order refusal, got: ${chain(e).mkString(" | ")}")
   }
 
   test("streaming windowed mention-rate aggregate runs as a real stream") {
