@@ -472,6 +472,115 @@ object KgQueries {
         .orderBy("e1", "e2")
     },
 
+    // ---- graph analytics: triangle enumeration over the co-occurrence
+    // graph, DEGREE-ORDERED (each triangle is found exactly once, as a wedge
+    // at its lowest-(degree, id) vertex, closed by a semi-join against the
+    // oriented edge set). The orientation is what survives scale: out-degree
+    // under (deg, id) ordering is bounded by ~sqrt(E) (arboricity bound), so
+    // wedge fanout per node is capped even on power-law graphs where the
+    // naive id-ordered join explodes at hub vertices. Equality joins only;
+    // the oracle's simple a<b<c formulation enumerates the identical set.
+    "kg_triangles" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT conv_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |winners AS (
+         |  SELECT alias, entity_id FROM (
+         |    SELECT alias, entity_id,
+         |           row_number() OVER (PARTITION BY alias ORDER BY rnk, entity_id) AS rn
+         |    FROM dict) WHERE rn = 1),
+         |ment AS (SELECT DISTINCT conv_id, entity_id
+         |         FROM toks JOIN winners ON toks.tok = winners.alias),
+         |edges AS (SELECT DISTINCT a.entity_id AS u, b.entity_id AS v
+         |          FROM ment a JOIN ment b
+         |            ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id)
+         |SELECT x.u AS e1, x.v AS e2, y.v AS e3
+         |FROM edges x JOIN edges y ON x.v = y.u
+         |JOIN edges z ON z.u = x.u AND z.v = y.v
+         |ORDER BY e1, e2, e3""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
+      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("alias", "entity_id"))
+      val ment = turns(s, d)
+        .select(col("conv_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .join(winners, col("tok") === col("alias"))
+        .select("conv_id", "entity_id").distinct()
+      val edges = ment.alias("a").join(ment.alias("b"),
+          col("a.conv_id") === col("b.conv_id") &&
+            col("a.entity_id") < col("b.entity_id"))
+        .select(col("a.entity_id").as("u"), col("b.entity_id").as("v"))
+        .distinct()
+        // edge set reused three times (degrees, orientation, closure):
+        // entity-pair-bounded, eagerly materialized once
+        .localCheckpoint(true)
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val oriented = withDeg.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+          when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("dhi"))
+        .localCheckpoint(true)
+      val wedges = oriented.select(col("lo").as("a"), col("hi").as("b"),
+          col("dhi").as("db"))
+        .join(oriented.select(col("lo").as("a2"), col("hi").as("c"),
+          col("dhi").as("dc")),
+          col("a") === col("a2") &&
+            struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      // the closing edge {b,c} — if present — is oriented b->c, because
+      // orientation and the wedge-leg ordering use the SAME (deg, id) key
+      val tri = wedges.join(
+        oriented.select(col("lo").as("b2"), col("hi").as("c2")),
+        col("b") === col("b2") && col("c") === col("c2"), "left_semi")
+      tri.select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+        .select(element_at(col("t"), 1).as("e1"),
+          element_at(col("t"), 2).as("e2"),
+          element_at(col("t"), 3).as("e3"))
+        .orderBy("e1", "e2", "e3")
+    },
+
+    // ---- temporal analytics: per-entity mention counts per (synthetic)
+    // week with week-over-week delta — the monitoring query over a KG that
+    // grows by streaming ingest. Counts aggregate map-side; the lag window
+    // partitions by entity (weeks-per-entity sized, never conversation
+    // sized).
+    "kg_mention_trend" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT turn_idx // 4 AS week, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |winners AS (
+         |  SELECT alias, entity_id FROM (
+         |    SELECT alias, entity_id,
+         |           row_number() OVER (PARTITION BY alias ORDER BY rnk, entity_id) AS rn
+         |    FROM dict) WHERE rn = 1),
+         |wk AS (SELECT entity_id, week, count(*) AS n
+         |       FROM toks JOIN winners ON toks.tok = winners.alias
+         |       GROUP BY 1, 2)
+         |SELECT entity_id, week, n,
+         |       n - coalesce(lag(n) OVER (PARTITION BY entity_id ORDER BY week), 0) AS delta
+         |FROM wk ORDER BY entity_id, week""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
+      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("alias", "entity_id"))
+      val wk = turns(s, d)
+        .select(floor(col("turn_idx") / 4).cast("bigint").as("week"),
+          explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .join(winners, col("tok") === col("alias"))
+        .groupBy("entity_id", "week").agg(count(lit(1)).as("n"))
+      val lw = Window.partitionBy("entity_id").orderBy("week")
+      wk.withColumn("delta",
+          col("n") - coalesce(lag(col("n"), 1).over(lw), lit(0L)))
+        .orderBy("entity_id", "week")
+    },
+
     // ---- full mini-pipeline: normalize text -> extract -> link -> emit the
     // materialized edge-table rows (subj, pred, obj, lang) — the flagship
     "kg_triples_full" -> Q(

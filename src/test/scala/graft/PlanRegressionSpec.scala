@@ -64,6 +64,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("kg_triangles: wedge build, closure semi-join and degree joins are " +
+       "all hash-based, never a cartesian product") {
+    val p = plan("kg_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "triangle closure must be a semi-join")
+  }
+
   test("kg_pagerank: per-iteration joins are hash/merge, never nested-loop") {
     val p = plan("kg_pagerank")
     assert(!p.contains("CartesianProduct"))
