@@ -16,6 +16,7 @@ import graft.sources.TranscriptGen
   *   KgMain full|sync <turnsParquetDir> <workDir> [catalogParquetDir]
   *   KgMain ingest-nt <ntDumpDir> <workDir>
   *   KgMain ingest-rdfxml <rdfXmlDumpDir> <workDir>
+  *   KgMain ingest-stream <turnsParquetDir> <workDir> [catalogParquetDir]
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -33,6 +34,7 @@ import graft.sources.TranscriptGen
   *   GRAFT_REFRESH_REF_DOCS=1   label edits also refresh referencing docs
   *   GRAFT_SYNC_OLD_DATA=1      full-set vanished-conversation reconciliation
   *   GRAFT_SYNC_BUCKETS=<n>     physical bucket count (pinned at first run)
+  *   GRAFT_STREAM_MAX_FILES=<n> (ingest-stream) cap files per micro-batch
   *
   * `ingest-nt` / `ingest-rdfxml` are the reference's dump-harvest lifecycle
   * (harvestFromDumps -> addModelToES -> publish, Harvester.java:1702-1730,
@@ -50,7 +52,7 @@ object KgMain {
       "usage: KgMain full|sync|ingest-nt|ingest-rdfxml <inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
-        mode == "ingest-rdfxml",
+        mode == "ingest-rdfxml" || mode == "ingest-stream",
       s"unknown mode: $mode")
 
     val spark = SparkSession.builder()
@@ -151,11 +153,41 @@ object KgMain {
       return
     }
 
-    val turns = spark.read.parquet(turnsDir).as[Turn]
     val catalog: Seq[CatalogEntry] =
       if (args.length >= 4)
         spark.read.parquet(args(3)).as[CatalogEntry].collect().toSeq
       else TranscriptGen.catalog(50)
+
+    if (mode == "ingest-stream") {
+      // Structured-Streaming front-end over the same transcript shape:
+      // checkpointed source offsets replace the batch sync's watermark, each
+      // micro-batch additively merges extracted supports into a bucketed
+      // table, rewriting only the touched buckets (StreamingSync scaladoc).
+      // The stream table gets its OWN committer (additive-merge lifecycle,
+      // offset-driven) — never the batch pipeline's support table, whose
+      // rows are replaced per-conversation under a watermark lifecycle;
+      // mixing the two would double-count on the first overlapping run.
+      // corefResolution wires the per-conversation antecedent state table
+      // automatically; scoredLinking needs nothing extra; detectLanguage is
+      // refused by the streaming path (see StreamingSync).
+      val tbl = new graft.io.TableCommitter(s"$workDir/tables/stream_supports")
+      val state =
+        if (cfg.corefResolution)
+          Some(new graft.io.TableCommitter(
+            s"$workDir/tables/stream_coref_state"))
+        else None
+      val merged = graft.streaming.StreamingSync.ingestAvailableNow(
+        spark, turnsDir, s"$workDir/stream_checkpoint",
+        catalog, TranscriptGen.markerPreds, cfg, tbl,
+        maxFilesPerBatch = sys.env.get("GRAFT_STREAM_MAX_FILES").map(_.toInt),
+        corefStateTable = state)
+      val gen = tbl.currentGeneration().getOrElse("<none>")
+      println(s"""{"run_id":"$runId","mode":"$mode","supports_gen":"$gen","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
+      spark.stop()
+      return
+    }
+
+    val turns = spark.read.parquet(turnsDir).as[Turn]
 
     val result =
       if (mode == "full")
