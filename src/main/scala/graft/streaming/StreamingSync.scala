@@ -53,7 +53,9 @@ object StreamingSync {
       catalog: Seq[CatalogEntry], markers: Map[String, String],
       cfg: PipelineConfig, table: TableCommitter,
       maxFilesPerBatch: Option[Int] = None,
-      corefStateTable: Option[TableCommitter] = None): Long = {
+      corefStateTable: Option[TableCommitter] = None,
+      edgeTable: Option[TableCommitter] = None,
+      nodeTable: Option[TableCommitter] = None): Long = {
     import spark.implicits._
     // the streaming path stamps cfg.language directly; silently diverging
     // from a detectLanguage batch table would split the same logical support
@@ -149,6 +151,26 @@ object StreamingSync {
             "table is empty — wrong/lost state table; rebuild from a fresh " +
             "checkpoint")
     }
+    // derived-table propagation (edges/nodes, like the batch pipeline's
+    // publishDerived*): node refcounts derive from edge-key creation, so
+    // the two tables are wired together or not at all
+    require(edgeTable.isDefined == nodeTable.isDefined,
+      "edgeTable and nodeTable must be wired together (node refcounts are " +
+        "derived from edge-key creation events)")
+    Seq(edgeTable, nodeTable).flatten.foreach { t =>
+      t.pinOrVerify("bucket_count", B.toString)
+      t.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+      // a lineage with committed batches whose derived tables are empty was
+      // ingested WITHOUT propagation — late enabling would silently miss
+      // every earlier batch's edges
+      if (table.currentGeneration("lastBatch").isDefined &&
+          table.currentGeneration().isDefined &&
+          t.currentGeneration().isEmpty)
+        throw new IllegalStateException(
+          "derived-table propagation enabled over a stream lineage with " +
+            "committed batches but an empty edge/node table — earlier " +
+            "batches were never propagated; rebuild from a fresh checkpoint")
+    }
     val bucketOf =
       pmod(expr(cfg.bucketKeyExpr.replace("{k}", "conv_id")), lit(B))
 
@@ -218,6 +240,16 @@ object StreamingSync {
               combined.withColumn("bucket", bucketOf), s"stream-$ckptId-$batchId")
             table.publishBuckets(s"stream-$ckptId-$batchId", touched)
           }
+          // derived tables publish AFTER the supports and BEFORE the coref
+          // state: recomputation inputs publish last, so a replay that sees
+          // an advanced input always finds every consumer already published
+          // (its wrong re-staging is discarded by runId idempotence)
+          (edgeTable, nodeTable) match {
+            case (Some(e), Some(n)) =>
+              derivedStep(s, supports, e, n, B, cfg.bucketKeyExpr,
+                s"stream-$ckptId-$batchId")
+            case _ =>
+          }
           // coref state publishes AFTER the supports and BEFORE the stamp:
           // then every crash window replays correctly (see corefStep)
           publishCorefState()
@@ -233,6 +265,98 @@ object StreamingSync {
     q.awaitTermination()
     merged
   }
+
+  /** Additive derived-table propagation: the streaming analogue of the
+    * batch pipeline's edge/node publish (KgPipeline.publishDerived*), per
+    * micro-batch and O(batch).
+    *
+    * Edge weights are sums of support weights, so the batch's support delta
+    * aggregates straight into the edge table (pruned read of the touched
+    * subj-buckets, bucket-granular publish). Node refcounts count DISTINCT
+    * edge keys per entity, so they advance only on edge keys this batch
+    * CREATES — detected with an anti-join against the PRE-batch edge
+    * generation. On a replay whose edge publish already landed that is the
+    * published generation's PARENT ([[preBatchRead]]); reading the advanced
+    * generation instead would find zero "new" keys and publish a wrong
+    * (empty-delta) node merge in the crash window where the node publish is
+    * still pending. The stream is append-only (weights only grow), so there
+    * is no retirement path here — deletes belong to the batch sync.
+    *
+    * Crash safety: edges publish before nodes, both before the coref state
+    * and the lastBatch stamp; publishes are runId-idempotent. Replay
+    * windows: before edge publish — clean recompute; between edge and node
+    * publish — parent-generation read reproduces the original new-key set,
+    * edge re-publish no-ops, node publish completes; after node publish —
+    * both no-op and the re-staging is discarded. */
+  private def derivedStep(s: SparkSession, supports: DataFrame,
+                          eTbl: TableCommitter, nTbl: TableCommitter,
+                          B: Int, keyExpr: String, runId: String): Unit = {
+    val edgeBucket = pmod(expr(keyExpr.replace("{k}", "subj")), lit(B))
+    val nodeBucket = pmod(expr(keyExpr.replace("{k}", "entity_id")), lit(B))
+    val eKeys = Seq("subj", "pred", "obj", "lang")
+    val eDelta = supports
+      .groupBy(eKeys.map(col): _*).agg(sum(col("weight")).as("weight"))
+      .withColumn("bucket", edgeBucket)
+      // batch-edge-sized; feeds the bucket set, the merge AND the new-key
+      // anti-join — materialized once
+      .localCheckpoint(true)
+    val eTouched = eDelta.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (eTouched.isEmpty) return
+    val pre = preBatchRead(s, eTbl, runId)
+      .map(_.filter(col("bucket").isin(eTouched.toSeq: _*)) // pruned
+        .select((eKeys :+ "weight").map(col): _*)
+        .localCheckpoint(true)) // consumed by the merge and the anti-join
+    val combinedE = pre match {
+      case Some(cur) => cur.unionByName(eDelta.drop("bucket"))
+        .groupBy(eKeys.map(col): _*).agg(sum(col("weight")).as("weight"))
+      case None => eDelta.drop("bucket")
+    }
+    eTbl.stagePartitioned(combinedE.withColumn("bucket", edgeBucket), runId)
+    eTbl.publishBuckets(runId, eTouched)
+
+    val newKeys = pre match {
+      case Some(cur) =>
+        eDelta.join(cur.select(eKeys.map(col): _*), eKeys, "left_anti")
+      case None => eDelta
+    }
+    val nDelta = newKeys
+      .select(explode(array(col("subj"), col("obj"))).as("entity_id"))
+      .groupBy("entity_id").agg(count(lit(1)).as("refs"))
+      .withColumn("bucket", nodeBucket)
+      .localCheckpoint(true)
+    val nTouched = nDelta.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (nTouched.isEmpty) return // every delta key already existed
+    val combinedN = nTbl.read(s) match {
+      case Some(cur) => cur
+        .filter(col("bucket").isin(nTouched.toSeq: _*)) // pruned
+        .select(col("entity_id"), col("refs"))
+        .unionByName(nDelta.drop("bucket"))
+        .groupBy("entity_id").agg(sum(col("refs")).as("refs"))
+      case None => nDelta.drop("bucket")
+    }
+    nTbl.stagePartitioned(combinedN.withColumn("bucket", nodeBucket), runId)
+    nTbl.publishBuckets(runId, nTouched)
+  }
+
+  /** The table as it stood BEFORE this runId's publish: the current
+    * generation normally; the published generation's PARENT when this
+    * runId already published (the crash-replay window). Fails loudly if
+    * retention expired the parent mid-replay — treating it as empty would
+    * re-derive deltas the table already absorbed. */
+  private def preBatchRead(s: SparkSession, tbl: TableCommitter,
+                           runId: String): Option[DataFrame] =
+    tbl.publishedGeneration(runId) match {
+      case None => tbl.read(s)
+      case Some(gen) =>
+        val n = gen.stripPrefix("gen-").toLong
+        if (n == 0) None
+        else Some(tbl.readGeneration(s, s"gen-${n - 1}").getOrElse(sys.error(
+          s"replaying $runId needs the pre-batch snapshot gen-${n - 1}, " +
+            "but retention expired it — raise retention or rebuild from a " +
+            "fresh checkpoint")))
+    }
 
   /** Cross-batch coreference for the streaming ingest.
     *

@@ -289,6 +289,82 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming derived tables: edge weights and node refcounts accumulate " +
+       "across micro-batches to the batch-full aggregation; a replay after " +
+       "all publishes is a content no-op") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = TranscriptGen.generate(nConv = 10, nEnt = 10, hotFactor = 2)
+    val inDir = Files.createTempDirectory("stream-dt-in-").toString
+    fx.turns.toDS().repartition(3).write.mode("overwrite").parquet(inDir)
+    val tblDir = Files.createTempDirectory("stream-dt-tbl-").toString
+    val table = new TableCommitter(tblDir)
+    val eTbl = new TableCommitter(Files.createTempDirectory("stream-dt-e-").toString)
+    val nTbl = new TableCommitter(Files.createTempDirectory("stream-dt-n-").toString)
+    val ckpt = Files.createTempDirectory("stream-dt-ck-").toString
+    val cfg = PipelineConfig()
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, cfg, table, maxFilesPerBatch = Some(1),
+      edgeTable = Some(eTbl), nodeTable = Some(nTbl))
+    assert(table.currentGeneration("lastBatch").exists(_.toLong >= 1),
+      "expected multiple micro-batches")
+
+    // batch reference: conv-level support weights sum across conversations
+    // to a plain per-key count, exactly what the batch pipeline's edge
+    // aggregation computes over its supports
+    val extractedAll = graft.extract.Extractor
+      .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
+    val edgesRef = extractedAll
+      .groupBy("subj", "pred", "obj").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), cfg.language) -> r.getLong(3))
+      .toMap
+    def edgeContent() = eTbl.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    assert(edgeContent() == edgesRef)
+
+    // node refcounts: per entity, occurrences over DISTINCT edge keys
+    val nodesRef = edgesRef.keys.toSeq
+      .flatMap { case (s0, _, o0, _) => Seq(s0, o0) }
+      .groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    def nodeContent() = nTbl.read(spark).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodeContent() == nodesRef)
+
+    // replay of the last batch with everything already published: contents
+    // and generations must not move (runId idempotence + parent-generation
+    // snapshot for the new-key detection)
+    val lastBatch = table.currentGeneration("lastBatch").get.toLong
+    val (gE, gN) = (eTbl.currentGeneration(), nTbl.currentGeneration())
+    deleteCommit(ckpt, lastBatch)
+    Files.writeString(java.nio.file.Paths.get(tblDir)
+      .resolve("_meta").resolve("lastBatch"), (lastBatch - 1).toString)
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, cfg, table, maxFilesPerBatch = Some(1),
+      edgeTable = Some(eTbl), nodeTable = Some(nTbl))
+    assert(edgeContent() == edgesRef, "replay double-merged edge weights")
+    assert(nodeContent() == nodesRef, "replay double-counted node refs")
+    assert(eTbl.currentGeneration() == gE)
+    assert(nTbl.currentGeneration() == gN)
+    assert(table.currentGeneration("lastBatch").contains(lastBatch.toString))
+
+    // late enabling over a lineage ingested WITHOUT propagation is refused
+    val t2 = new TableCommitter(Files.createTempDirectory("stream-dt-t2-").toString)
+    val ck2 = Files.createTempDirectory("stream-dt-ck2-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ck2,
+      fx.catalog, fx.markers, cfg, t2)
+    val e2 = intercept[IllegalStateException] {
+      StreamingSync.ingestAvailableNow(spark, inDir, ck2,
+        fx.catalog, fx.markers, cfg, t2,
+        edgeTable = Some(new TableCommitter(
+          Files.createTempDirectory("stream-dt-e2-").toString)),
+        nodeTable = Some(new TableCommitter(
+          Files.createTempDirectory("stream-dt-n2-").toString)))
+    }
+    assert(e2.getMessage.contains("never propagated"))
+  }
+
   test("corefResolution streams: an orphan resolves against an antecedent " +
        "from an EARLIER micro-batch, content == batch resolution, and a " +
        "no-new-data restart leaves the state generation untouched") {
