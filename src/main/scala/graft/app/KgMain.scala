@@ -180,12 +180,16 @@ object KgMain {
       // edges + nodes propagate additively per micro-batch (derivedStep)
       val eTbl = new graft.io.TableCommitter(s"$workDir/tables/stream_edges")
       val nTbl = new graft.io.TableCommitter(s"$workDir/tables/stream_nodes")
+      val dTbl =
+        if (cfg.publishDocs)
+          Some(new graft.io.TableCommitter(s"$workDir/tables/stream_docs"))
+        else None
       val merged = graft.streaming.StreamingSync.ingestAvailableNow(
         spark, turnsDir, s"$workDir/stream_checkpoint",
         catalog, TranscriptGen.markerPreds, cfg, tbl,
         maxFilesPerBatch = sys.env.get("GRAFT_STREAM_MAX_FILES").map(_.toInt),
         corefStateTable = state,
-        edgeTable = Some(eTbl), nodeTable = Some(nTbl))
+        edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = dTbl)
       val gen = tbl.currentGeneration().getOrElse("<none>")
       println(s"""{"run_id":"$runId","mode":"$mode","supports_gen":"$gen","edges_gen":"${eTbl.currentGeneration().getOrElse("<none>")}","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
       spark.stop()

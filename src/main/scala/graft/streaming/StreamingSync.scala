@@ -55,7 +55,8 @@ object StreamingSync {
       maxFilesPerBatch: Option[Int] = None,
       corefStateTable: Option[TableCommitter] = None,
       edgeTable: Option[TableCommitter] = None,
-      nodeTable: Option[TableCommitter] = None): Long = {
+      nodeTable: Option[TableCommitter] = None,
+      docTable: Option[TableCommitter] = None): Long = {
     import spark.implicits._
     // the streaming path stamps cfg.language directly; silently diverging
     // from a detectLanguage batch table would split the same logical support
@@ -157,7 +158,17 @@ object StreamingSync {
     require(edgeTable.isDefined == nodeTable.isDefined,
       "edgeTable and nodeTable must be wired together (node refcounts are " +
         "derived from edge-key creation events)")
-    Seq(edgeTable, nodeTable).flatten.foreach { t =>
+    require(docTable.isEmpty || edgeTable.isDefined,
+      "docTable needs the edgeTable (docs rebuild from the post-merge edge " +
+        "slice)")
+    // obj-side widening scans the whole edge table per refresh — a
+    // per-NIGHT cost the batch sync documents and accepts, but a
+    // per-MICRO-BATCH full scan breaks the O(batch) ingest contract
+    require(docTable.isEmpty || !cfg.refreshReferencingDocs,
+      "refreshReferencingDocs is not supported by the streaming doc sink " +
+        "(it widens every micro-batch to an O(table) edge scan); run the " +
+        "batch sync for label-freshness refreshes")
+    Seq(edgeTable, nodeTable, docTable).flatten.foreach { t =>
       t.pinOrVerify("bucket_count", B.toString)
       t.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
       // a lineage with committed batches whose derived tables are empty was
@@ -246,8 +257,8 @@ object StreamingSync {
           // (its wrong re-staging is discarded by runId idempotence)
           (edgeTable, nodeTable) match {
             case (Some(e), Some(n)) =>
-              derivedStep(s, supports, e, n, B, cfg.bucketKeyExpr,
-                s"stream-$ckptId-$batchId")
+              derivedStep(s, supports, e, n, docTable, cfg, B,
+                cfg.bucketKeyExpr, s"stream-$ckptId-$batchId")
             case _ =>
           }
           // coref state publishes AFTER the supports and BEFORE the stamp:
@@ -290,6 +301,7 @@ object StreamingSync {
     * both no-op and the re-staging is discarded. */
   private def derivedStep(s: SparkSession, supports: DataFrame,
                           eTbl: TableCommitter, nTbl: TableCommitter,
+                          docTbl: Option[TableCommitter], cfg: PipelineConfig,
                           B: Int, keyExpr: String, runId: String): Unit = {
     val edgeBucket = pmod(expr(keyExpr.replace("{k}", "subj")), lit(B))
     val nodeBucket = pmod(expr(keyExpr.replace("{k}", "entity_id")), lit(B))
@@ -338,6 +350,48 @@ object StreamingSync {
     }
     nTbl.stagePartitioned(combinedN.withColumn("bucket", nodeBucket), runId)
     nTbl.publishBuckets(runId, nTouched)
+
+    // optional doc sink, per micro-batch (the batch sync's incremental doc
+    // rebuild at batch granularity): docs pivot per (subj, lang) over ALL
+    // of a subject's edges, and edges are subject-bucketed — rebuild docs
+    // for the batch's changed subjects from their pruned POST-merge edge
+    // slice, keep every other doc in those buckets, hard-link the rest.
+    // Label lookups (uriDescription) are slice-obj-restricted and
+    // bucket-pruned exactly like the batch path (labels of URI u live under
+    // subject u); a label arriving in a LATER batch does not refresh docs
+    // already rendered — the same staleness as the batch sync and the
+    // reference (unchanged resources are not re-indexed). Replay-safe with
+    // NO snapshot gymnastics: the doc input is the post-merge edge
+    // generation, which is what every replay window reads too (later
+    // batches have not run), and a published doc runId no-ops.
+    docTbl.foreach { dTbl =>
+      val changedSubj = eDelta.select("subj").distinct().localCheckpoint(true)
+      val postEdges = eTbl.read(s).get
+      val slice = postEdges
+        .filter(col("bucket").isin(eTouched.toSeq: _*)) // pruned
+        .join(changedSubj, Seq("subj"), "left_semi")
+        .select("subj", "pred", "obj", "lang")
+      val sliceObjs = slice.select(col("obj").as("subj")).distinct()
+        .localCheckpoint(true)
+      val objBuckets = sliceObjs
+        .select(pmod(expr(keyExpr.replace("{k}", "subj")), lit(B)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val labelSrc = postEdges
+        .filter(col("bucket").isin(objBuckets.toSeq: _*)) // pruned
+        .join(sliceObjs, Seq("subj"), "left_semi")
+        .select("subj", "pred", "obj", "lang")
+      val rebuilt = graft.materialize.DocAssembler.assemble(
+        slice, cfg, labelSource = Some(labelSrc))
+      val combinedD = dTbl.read(s) match {
+        case Some(curD) => rebuilt.unionByName(curD
+          .filter(col("bucket").isin(eTouched.toSeq: _*)) // pruned
+          .drop("bucket")
+          .join(changedSubj, Seq("subj"), "left_anti"))
+        case None => rebuilt
+      }
+      dTbl.stagePartitioned(combinedD.withColumn("bucket", edgeBucket), runId)
+      dTbl.publishBuckets(runId, eTouched)
+    }
   }
 
   /** The table as it stood BEFORE this runId's publish: the current

@@ -301,11 +301,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val table = new TableCommitter(tblDir)
     val eTbl = new TableCommitter(Files.createTempDirectory("stream-dt-e-").toString)
     val nTbl = new TableCommitter(Files.createTempDirectory("stream-dt-n-").toString)
+    val dTbl = new TableCommitter(Files.createTempDirectory("stream-dt-d-").toString)
     val ckpt = Files.createTempDirectory("stream-dt-ck-").toString
     val cfg = PipelineConfig()
     StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
       fx.catalog, fx.markers, cfg, table, maxFilesPerBatch = Some(1),
-      edgeTable = Some(eTbl), nodeTable = Some(nTbl))
+      edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = Some(dTbl))
     assert(table.currentGeneration("lastBatch").exists(_.toLong >= 1),
       "expected multiple micro-batches")
 
@@ -332,21 +333,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(nodeContent() == nodesRef)
 
+    // docs: per-subject rebuild from the post-merge edge slice converges to
+    // the batch pipeline's full doc build over the final edge set
+    val edgesRefDf = extractedAll.groupBy("subj", "pred", "obj").count()
+      .select(org.apache.spark.sql.functions.col("subj"),
+        org.apache.spark.sql.functions.col("pred"),
+        org.apache.spark.sql.functions.col("obj"),
+        org.apache.spark.sql.functions.lit(cfg.language).as("lang"))
+    // map-typed doc column: canonicalize key order before comparing (Row
+    // rendering iterates map keys in storage order, which is plan-dependent)
+    def docRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "subj", "lang", "doc").collect().map { r =>
+        (r.getString(0), r.getString(1), r.getString(2),
+          r.getMap[String, scala.collection.Seq[String]](3).toSeq
+            .map { case (k, v) => (k, v.toList) }.sortBy(_._1).toList)
+      }.toSet
+    val docsRef =
+      docRows(graft.materialize.DocAssembler.assemble(edgesRefDf, cfg))
+    def docContent() = docRows(dTbl.read(spark).get)
+    assert(docContent() == docsRef)
+
     // replay of the last batch with everything already published: contents
     // and generations must not move (runId idempotence + parent-generation
     // snapshot for the new-key detection)
     val lastBatch = table.currentGeneration("lastBatch").get.toLong
-    val (gE, gN) = (eTbl.currentGeneration(), nTbl.currentGeneration())
+    val (gE, gN, gD) = (eTbl.currentGeneration(), nTbl.currentGeneration(),
+      dTbl.currentGeneration())
     deleteCommit(ckpt, lastBatch)
     Files.writeString(java.nio.file.Paths.get(tblDir)
       .resolve("_meta").resolve("lastBatch"), (lastBatch - 1).toString)
     StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
       fx.catalog, fx.markers, cfg, table, maxFilesPerBatch = Some(1),
-      edgeTable = Some(eTbl), nodeTable = Some(nTbl))
+      edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = Some(dTbl))
     assert(edgeContent() == edgesRef, "replay double-merged edge weights")
     assert(nodeContent() == nodesRef, "replay double-counted node refs")
+    assert(docContent() == docsRef, "replay corrupted the doc rebuild")
     assert(eTbl.currentGeneration() == gE)
     assert(nTbl.currentGeneration() == gN)
+    assert(dTbl.currentGeneration() == gD)
     assert(table.currentGeneration("lastBatch").contains(lastBatch.toString))
 
     // late enabling over a lineage ingested WITHOUT propagation is refused
