@@ -106,4 +106,22 @@ final case class PipelineConfig(
     refreshReferencingDocs: Boolean = false,
     // integer-coded support shuffle (identity-normalization fast path):
     // exchanges (conv_id, 3 ints) instead of four URI strings
-    encodedShuffle: Boolean = true)
+    encodedShuffle: Boolean = true) {
+
+  /** Signature of the flags that change what a published ROW means (not
+    * how fast it is computed) — pinned per table lineage by both the batch
+    * pipeline (full pins, sync verifies) and the streaming ingest, so two
+    * row semantics can never mix inside one table. Catalog/marker/
+    * normalization evolution is deliberately NOT part of it: syncing
+    * against an updated model is the reference's normal operating mode. */
+  def semanticsSig: String =
+    s"coref=$corefResolution,scored=$scoredLinking," +
+      s"detect=$detectLanguage,lang=$language"
+}
+
+object PipelineConfig {
+  /** The bucket-key expression every pre-configurable-key table was built
+    * with — adopting any OTHER expression onto a table that predates the
+    * pin would replace rows in the wrong buckets (see pinOrVerify callers). */
+  val DefaultBucketKeyExpr = "hash({k})"
+}

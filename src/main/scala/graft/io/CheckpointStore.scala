@@ -67,13 +67,22 @@ final class CheckpointStore(root: String) {
     finally s.close()
   }
 
+  // Watermarks serialize FULL-precision (epoch seconds + nanos, two
+  // fields): parquet timestamps are microsecond-precision and the sync
+  // filter is `ts > wm`, so a cache that rounded to milliseconds would
+  // re-include the max-ts conversation on every cached run — the "no
+  // changes" night would rewrite its buckets forever, and the changed set
+  // would depend on whether the cache hit. A pre-upgrade cache (single
+  // milliseconds field) fails this parse and repairs from parquet.
   private def readEpochCache(pipelineId: String): Option[(Int, Long, Option[Timestamp])] = {
     val f = epochCachePath(pipelineId)
     if (!java.nio.file.Files.exists(f)) None
     else scala.util.Try {
       val parts = java.nio.file.Files.readString(f).trim.split(",", -1)
       (parts(0).toInt, parts(1).toLong,
-        if (parts(2).isEmpty) None else Some(new Timestamp(parts(2).toLong)))
+        if (parts(2).isEmpty) None
+        else Some(Timestamp.from(java.time.Instant.ofEpochSecond(
+          parts(2).toLong, parts(3).toLong))))
     }.toOption
   }
 
@@ -81,8 +90,10 @@ final class CheckpointStore(root: String) {
                               wm: Option[Timestamp]): Unit = {
     val f = epochCachePath(pipelineId)
     val tmp = f.resolveSibling(s"${f.getFileName}.${java.util.UUID.randomUUID()}.tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"$files,$n,${wm.map(_.getTime.toString).getOrElse("")}")
+    val wmStr = wm.map { w =>
+      val i = w.toInstant; s"${i.getEpochSecond},${i.getNano}"
+    }.getOrElse(",")
+    java.nio.file.Files.writeString(tmp, s"$files,$n,$wmStr")
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

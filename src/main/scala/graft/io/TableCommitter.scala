@@ -145,27 +145,46 @@ final class TableCommitter(rootDir: String) {
 
   /** Row count of the current generation from parquet FOOTERS — driver-side
     * metadata only, zero Spark jobs (a Spark metadata-only count still
-    * schedules ~2 jobs, pure overhead for a per-sync metric). Walks the
-    * generation's data files and sums their footer record counts; at very
-    * large file counts this is a driver loop over footers — the same
-    * metadata a Spark count reads, minus the scheduling. */
+    * schedules ~2 jobs, pure overhead for a per-sync metric).
+    *
+    * Generations are immutable, so the first computation is cached in a
+    * count sidecar inside the generation dir: every later sync against the
+    * same generation (the nightly no-op case) reads ONE tiny file instead
+    * of re-walking the table — at the 100 TB design point a per-run serial
+    * footer walk over ~10^5-10^6 part files would dominate the "metadata
+    * only" no-op. The cold computation itself fans the footer opens across
+    * the driver's cores (footers are independent remote reads; the latency,
+    * not the CPU, is the cost). Sidecar writes are atomic and best-effort —
+    * a lost write only means the next caller recomputes. */
   def currentRecordCount(spark: SparkSession): Option[Long] =
     currentPath().map { p =>
       import scala.jdk.CollectionConverters._
-      val conf = spark.sessionState.newHadoopConf()
-      val s = Files.walk(Paths.get(p))
-      val files =
-        try s.iterator().asScala
-          .filter(f => Files.isRegularFile(f) &&
-            f.getFileName.toString.endsWith(".parquet"))
-          .toSeq
-        finally s.close()
-      files.map { f =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toUri), conf))
-        try rdr.getRecordCount finally rdr.close()
-      }.sum
+      val dir = Paths.get(p)
+      val sidecar = dir.resolve(TableCommitter.CountSidecar)
+      scala.util.Try(Files.readString(sidecar).trim.toLong).getOrElse {
+        val conf = spark.sessionState.newHadoopConf()
+        val s = Files.walk(dir)
+        val files =
+          try s.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet"))
+            .toSeq
+          finally s.close()
+        val n = files.asJava.parallelStream().mapToLong { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try rdr.getRecordCount finally rdr.close()
+        }.sum()
+        scala.util.Try {
+          val tmp = dir.resolve(
+            s".${TableCommitter.CountSidecar}.${java.util.UUID.randomUUID()}.tmp")
+          Files.writeString(tmp, n.toString)
+          Files.move(tmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        n
+      }
     }
 
   /** Whether the current generation was published with the bucketed layout
@@ -412,6 +431,31 @@ final class TableCommitter(rootDir: String) {
         "rebuild into a fresh table to change it")
   }
 
+  /** Value of a table pin if any writer has pinned it — lets callers
+    * distinguish "never pinned" (adoption about to happen) from "pinned to
+    * X" before calling [[pinOrVerify]]; see [[pinKeyExprOrVerify]]. */
+  def pinned(key: String): Option[String] = {
+    val f = meta.resolve("pins").resolve(key)
+    if (Files.exists(f)) Some(Files.readString(f).trim) else None
+  }
+
+  /** Pin the bucket-key expression with an ADOPTION guard: a table built
+    * BEFORE the expression was pinnable has generations but no pin — its
+    * physical layout is the default hash mapping, so the only expression a
+    * first pin may adopt onto it is `default`. Blessing any other mapping
+    * onto an existing layout would make the next incremental publish
+    * replace rows in the wrong buckets and hard-link stale duplicates
+    * forward, silently. */
+  def pinKeyExprOrVerify(expr: String, default: String): Unit = {
+    if (currentGeneration().isDefined && pinned("bucket_key_expr").isEmpty &&
+        expr != default)
+      throw new IllegalStateException(
+        s"bucketKeyExpr=$expr on a table built before the key expression " +
+          "was pinned (its layout is the default hash mapping) — changing " +
+          "the mapping requires a fresh workDir (or a full rebuild into one)")
+    pinOrVerify("bucket_key_expr", expr)
+  }
+
   /** Point an alias at an existing generation (blue/green switch, K6). */
   def setPointer(alias: String, gen: String): Unit = {
     // the meta dir also holds the run-record DIRECTORY and dot-prefixed
@@ -525,4 +569,9 @@ object TableCommitter {
     * generation) — lets publishedGeneration heal a run record lost to a
     * crash between the generation move and recordRun. */
   val RunMarker = "_graft_run"
+
+  /** Per-generation record-count cache (leading underscore: ignored by
+    * parquet readers). Written lazily by [[TableCommitter.currentRecordCount]]
+    * — generations are immutable, so the count can never go stale. */
+  val CountSidecar = "_graft_count"
 }

@@ -405,8 +405,10 @@ final class KgPipeline(cfg: PipelineConfig) {
         t.pinOrVerify("bucket_count", B.toString)
         // the key EXPRESSION is part of the mapping contract exactly like
         // the count: a writer bucketing the same keys through a different
-        // expression would replace rows in the wrong buckets
-        t.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+        // expression would replace rows in the wrong buckets. Adoption onto
+        // a pre-pin table is guarded (TableCommitter.pinKeyExprOrVerify).
+        t.pinKeyExprOrVerify(cfg.bucketKeyExpr,
+          graft.config.PipelineConfig.DefaultBucketKeyExpr)
       }
   }
 
@@ -428,9 +430,7 @@ final class KgPipeline(cfg: PipelineConfig) {
     * mix. */
   private val semanticsPin =
     Paths.get(s"${cfg.workDir}/_meta_pipeline/semantics")
-  private def semanticsSig: String =
-    s"coref=${cfg.corefResolution},scored=${cfg.scoredLinking}," +
-      s"detect=${cfg.detectLanguage},lang=${cfg.language}"
+  private def semanticsSig: String = cfg.semanticsSig
   private def pinSemantics(): Unit = {
     Files.createDirectories(semanticsPin.getParent)
     val tmp = semanticsPin.resolveSibling(".semantics.tmp")

@@ -455,6 +455,18 @@ object RdfXmlSource {
                 throw new IllegalStateException(
                   s"XML literal uses prefix '$ep' declared outside the " +
                     "literal (out of the supported subset)")
+              // same for the DEFAULT namespace: an unprefixed element that
+              // is namespaced (getNamespaceURI non-empty) but whose xmlns
+              // declaration sits outside the captured content would
+              // re-serialize with NO xmlns — silently dropping it out of
+              // its namespace (the canonical case: xmlns=xhtml declared on
+              // the property element, <p> inside the literal)
+              if (ep.isEmpty && Option(r.getNamespaceURI).exists(_.nonEmpty)
+                  && !inScope(""))
+                throw new IllegalStateException(
+                  "XML literal element inherits a default namespace " +
+                    "declared outside the literal (out of the supported " +
+                    "subset)")
               i = 0
               while (i < r.getAttributeCount) {
                 val ap = Option(r.getAttributePrefix(i)).getOrElse("")

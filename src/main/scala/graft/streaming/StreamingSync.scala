@@ -128,16 +128,25 @@ object StreamingSync {
     val B = cfg.syncBuckets
     table.pinOrVerify("bucket_count", B.toString)
     // key expression pinned too — this writer must bucket with the exact
-    // mapping the table was built with (see PipelineConfig.bucketKeyExpr)
-    table.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
-    // the coref flag is a LINEAGE property, not a per-run choice: batches
-    // merged without orphan resolution and batches merged with it disagree
-    // on row content for the same turns, so flipping the flag mid-table
-    // silently mixes semantics — pin it like the bucket mapping
+    // mapping the table was built with (see PipelineConfig.bucketKeyExpr);
+    // adoption onto a pre-pin table is guarded
+    table.pinKeyExprOrVerify(cfg.bucketKeyExpr,
+      PipelineConfig.DefaultBucketKeyExpr)
+    // row SEMANTICS are a LINEAGE property, not a per-run choice: batches
+    // merged under different extraction semantics (coref resolution, scored
+    // vs rank-collapsed linking, the stamped language) disagree on row
+    // content/keys for the same turns, so flipping any of these mid-table
+    // silently mixes two semantics in one additive merge — pin the full
+    // signature like the bucket mapping (the batch pipeline pins the same
+    // signature per workDir; PipelineConfig.semanticsSig is shared so the
+    // two paths can never drift apart on what counts as "semantics")
+    table.pinOrVerify("semantics", cfg.semanticsSig)
+    // kept for pre-round-4 lineages whose tables carry only this pin
     table.pinOrVerify("coref_resolution", cfg.corefResolution.toString)
     corefStateTable.foreach { st =>
       st.pinOrVerify("bucket_count", B.toString)
-      st.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+      st.pinKeyExprOrVerify(cfg.bucketKeyExpr,
+        PipelineConfig.DefaultBucketKeyExpr)
       // state lost / wrong table: supports built by committed prior batches
       // of a coref lineage MUST have their antecedent state alongside — an
       // empty state table here would silently drop every cross-batch
@@ -170,7 +179,8 @@ object StreamingSync {
         "batch sync for label-freshness refreshes")
     Seq(edgeTable, nodeTable, docTable).flatten.foreach { t =>
       t.pinOrVerify("bucket_count", B.toString)
-      t.pinOrVerify("bucket_key_expr", cfg.bucketKeyExpr)
+      t.pinKeyExprOrVerify(cfg.bucketKeyExpr,
+        PipelineConfig.DefaultBucketKeyExpr)
       // a lineage with committed batches whose derived tables are empty was
       // ingested WITHOUT propagation — late enabling would silently miss
       // every earlier batch's edges
@@ -185,6 +195,20 @@ object StreamingSync {
     val bucketOf =
       pmod(expr(cfg.bucketKeyExpr.replace("{k}", "conv_id")), lit(B))
 
+    // canonicalization parity with the batch path (KgPipeline
+    // .computeSupports): under scoredLinking a shared alias is ambiguity to
+    // resolve per mention (identity canon); otherwise mentions emit at
+    // canonical-cluster granularity via the alias-connected components of
+    // the catalog. The catalog is already driver-resident here, so the CC
+    // map is computed ONCE up front and rides the extraction kernel's
+    // broadcast dictionary into every micro-batch — a stream ingested
+    // without it would key the same logical mention by raw entity id while
+    // the batch sync keys it canonically: two divergent tables from one
+    // corpus.
+    val canon: Map[String, String] =
+      if (cfg.scoredLinking) Map.empty
+      else graft.sources.TranscriptGen.components(catalog)
+
     var merged = 0L
     val q = turns.writeStream
       .trigger(Trigger.AvailableNow())
@@ -194,27 +218,46 @@ object StreamingSync {
           table.currentGeneration("lastBatch").exists(_.toLong >= batchId)
         if (!replayed) {
           val s = batch.sparkSession
+          // K2 parity with the batch sync (KgPipeline.quarantined):
+          // structurally-bad rows divert to the runId-scoped quarantine
+          // table instead of flowing into the additive merge. Overwrite +
+          // runId scoping keeps a crash-replay from double-appending.
+          val good =
+            if (!cfg.quarantineBadRows) batch
+            else {
+              val (g, bad) = graft.io.Quarantine.split(
+                batch.toDF(), graft.io.Quarantine.turnChecks)
+              bad.write.mode("overwrite").parquet(
+                s"${cfg.workDir}/quarantine/run_id=stream-$ckptId-$batchId")
+              g.as[Turn]
+            }
           // the observation rides the batch materialization and counts THIS
           // batch's extracted support rows (pre-merge), not the table size
           val obs = new org.apache.spark.sql.Observation(s"ingest-$batchId")
           // under scoredLinking, extraction emits ambiguity sentinels and
           // the shared resolver re-maps them from the batch's own turns —
           // the same code path as the batch pipeline
-          val extracted0 = Extractor.extract(batch, catalog, markers,
-            emitContext = cfg.corefResolution,
+          val extracted0 = Extractor.extract(good, catalog, markers,
+            emitContext = cfg.corefResolution, canon = canon,
             sentinelAmbiguous = cfg.scoredLinking).toDF()
           val linked =
             if (cfg.scoredLinking)
-              graft.link.AmbiguityResolver.resolve(extracted0, batch, catalog)
+              graft.link.AmbiguityResolver.resolve(extracted0, good, catalog)
             else extracted0
           // coref AFTER scored linking, exactly like the batch pipeline:
           // the cross-turn antecedent is the contextually-resolved entity,
           // never an ambiguity sentinel
-          val (extracted, publishCorefState) =
+          val (resolved, publishCorefState) =
             if (cfg.corefResolution)
-              corefStep(batch, linked, corefStateTable.get, bucketOf,
+              corefStep(good, linked, corefStateTable.get, bucketOf,
                 s"stream-$ckptId-$batchId")
             else (linked, () => ())
+          // config-driven normalization (P1 proplist / A4 normProp / A3
+          // normObj / P2 value maps) — same stage order as the batch path:
+          // extract -> scored linking -> coref -> normalize. A river config
+          // honored by batch sync but ignored here would let blacklisted
+          // predicates flow into the stream tables.
+          val extracted = Extractor.normalize(resolved, cfg)
           val supports = extracted
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))

@@ -622,4 +622,37 @@ class BucketedSyncSpec extends AnyFunSuite {
     assert(supportSet(p) == supportSet(scratch))
     assert(edgeSet(p) == edgeSet(scratch))
   }
+
+  test("bucket-key ADOPTION guard: a pre-pin table (generations, no pin) " +
+       "refuses a non-default key expression; the default may adopt") {
+    val spark = SparkTestSession.get
+    val cfg = PipelineConfig(workDir = freshDir(), syncBuckets = 8)
+    val p = new KgPipeline(cfg)
+    p.runFull(spark, turnsDs(fx.turns), fx.catalog, fx.markers, "t0")
+    // simulate a workDir built BEFORE the key expression was pinnable:
+    // generations exist, bucket_key_expr pins do not
+    Files.walk(Paths.get(cfg.workDir)).iterator().asScala
+      .filter(_.getFileName.toString == "bucket_key_expr")
+      .toList.foreach(Files.delete)
+    // a changed conversation so the sync is NOT a metadata-only no-op
+    val maxTs = fx.turns.map(_.ts.getTime).max
+    val tpl = fx.turns.maxBy(_.turn_idx)
+    val t1 = fx.turns :+ tpl.copy(turn_idx = tpl.turn_idx + 1,
+      ts = new Timestamp(maxTs + 3600 * 1000L))
+    // the first pin may only adopt the DEFAULT mapping — the physical
+    // layout IS the default hash mapping, and blessing anything else would
+    // let the sync replace rows in the wrong buckets and hard-link stale
+    // duplicates forward with no error
+    val bad = new KgPipeline(cfg.copy(bucketKeyExpr =
+      "coalesce(try_cast(regexp_extract({k}, 'w(\\\\d\\\\d)-', 1) as int), hash({k}))"))
+    val e = intercept[IllegalStateException] {
+      bad.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t-bad")
+    }
+    assert(e.getMessage.contains("built before"))
+    // adopting the default is legitimate: sync proceeds and re-pins
+    val p2 = new KgPipeline(cfg)
+    p2.runSync(spark, turnsDs(t1), fx.catalog, fx.markers, "t1")
+    assert(p2.supportTable.pinned("bucket_key_expr")
+      .contains(PipelineConfig.DefaultBucketKeyExpr))
+  }
 }

@@ -231,6 +231,44 @@ class RdfXmlSourceSpec extends AnyFunSuite {
         |</rdf:RDF>""".stripMargin).isLeft)
   }
 
+  test("parseType=Literal: a DEFAULT namespace inherited from outside the " +
+       "literal is rejected like an out-of-scope prefix, never dropped") {
+    // the canonical XHTML-literal shape: xmlns sits on the PROPERTY element
+    // (outside the captured content), the inner <p> is unprefixed — a naive
+    // re-serialization emits <p>hello</p> with no xmlns, silently moving
+    // the element out of the XHTML namespace
+    assert(RdfXmlSource.parseFile("f",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:1">
+        |    <p:doc rdf:parseType="Literal" xmlns="http://www.w3.org/1999/xhtml"><p>hello</p></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).isLeft)
+
+    // default namespace declared INSIDE the literal: in the subset — the
+    // declaration re-serializes with the element, descendants inherit it
+    val ok = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:2">
+        |    <p:doc rdf:parseType="Literal"><div xmlns="http://www.w3.org/1999/xhtml"><p>hello</p></div></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(ok.head.obj ==
+      """<div xmlns="http://www.w3.org/1999/xhtml"><p>hello</p></div>""")
+
+    // an unprefixed element in NO namespace (no default ns in effect
+    // anywhere) is fine — there is nothing to drop
+    val plain = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:3">
+        |    <p:doc rdf:parseType="Literal"><p>hello</p></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(plain.head.obj == "<p>hello</p>")
+  }
+
   test("render/parse round-trip holds over 5000 randomized triples") {
     val rnd = new scala.util.Random(91724)
     // XML-representable specials: markup chars, quotes, CR/LF/TAB, unicode

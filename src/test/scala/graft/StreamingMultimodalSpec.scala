@@ -30,9 +30,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "expected multiple micro-batches")
 
     // additive merge: weights equal the single-batch extraction EXACTLY,
-    // even when a conversation's turns were split across micro-batches
+    // even when a conversation's turns were split across micro-batches.
+    // Canon parity: the stream extracts at canonical-cluster granularity
+    // exactly like the batch pipeline, so the reference must too (the
+    // fixture's shared aliases make an un-canonicalized reference diverge).
     val batch = graft.extract.Extractor
-      .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
+      .extract(fx.turns.toDS(), fx.catalog, fx.markers,
+        canon = TranscriptGen.components(fx.catalog)).toDF()
       .groupBy("conv_id", "subj", "pred", "obj").count()
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
@@ -102,7 +106,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
     // content parity: streamed == batch extraction over (original + extra)
     val batch = graft.extract.Extractor
-      .extract((fx.turns ++ extra).toDS(), fx.catalog, fx.markers).toDF()
+      .extract((fx.turns ++ extra).toDS(), fx.catalog, fx.markers,
+        canon = TranscriptGen.components(fx.catalog)).toDF()
       .groupBy("conv_id", "subj", "pred", "obj").count()
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
@@ -314,7 +319,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // to a plain per-key count, exactly what the batch pipeline's edge
     // aggregation computes over its supports
     val extractedAll = graft.extract.Extractor
-      .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
+      .extract(fx.turns.toDS(), fx.catalog, fx.markers,
+        canon = TranscriptGen.components(fx.catalog)).toDF()
     val edgesRef = extractedAll
       .groupBy("subj", "pred", "obj").count()
       .collect()
@@ -571,6 +577,62 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
     assert(chain(e).exists(m => m != null && m.contains("out-of-order")),
       s"expected the out-of-order refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
+  test("streaming ingest parity closure: river-config normalization applies, " +
+       "bad rows quarantine, and flipping scoredLinking mid-lineage is refused") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fx = TranscriptGen.generate(nConv = 8, nEnt = 10, hotFactor = 2)
+    // a structurally-bad row: null text fails the input contract
+    val bad = fx.turns.head.copy(turn_idx = 9999, text = null)
+    val inDir = Files.createTempDirectory("stream-n-in-").toString
+    (fx.turns :+ bad).toDS().coalesce(1).write.mode("overwrite").parquet(inDir)
+    val work = Files.createTempDirectory("stream-n-wd-").toString
+    // a river config the batch sync honors: blacklist one marker predicate
+    val cfg = PipelineConfig(workDir = work,
+      listType = "black", proplist = Set("urn:p:collab"))
+    // the blacklist must be load-bearing: the raw extraction emits the pred
+    assert(graft.extract.Extractor
+      .extract(fx.turns.toDS(), fx.catalog, fx.markers).toDF()
+      .filter(col("pred") === "urn:p:collab").count() > 0)
+    val table = new TableCommitter(
+      Files.createTempDirectory("stream-n-tbl-").toString)
+    val ckpt = Files.createTempDirectory("stream-n-ckpt-").toString
+    StreamingSync.ingestAvailableNow(spark, inDir, ckpt,
+      fx.catalog, fx.markers, cfg, table)
+
+    // parity reference: the batch stage order over the good rows — extract
+    // at canonical granularity, then normalize under the same config
+    val ref = graft.extract.Extractor.normalize(
+        graft.extract.Extractor.extract(fx.turns.toDS(), fx.catalog,
+          fx.markers, canon = TranscriptGen.components(fx.catalog)).toDF(),
+        cfg)
+      .groupBy("conv_id", "subj", "pred", "obj").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(4))
+      .toMap
+    val streamed = table.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(5))
+      .toMap
+    assert(streamed == ref)
+    assert(!streamed.keys.exists(_._3 == "urn:p:collab"),
+      "blacklisted predicate must not reach the stream table")
+
+    // the bad row landed in the quarantine table with its reason
+    val q = spark.read.parquet(s"$work/quarantine")
+    assert(q.count() == 1)
+    assert(q.select("quarantine_reason").head().getString(0) == "null_text")
+
+    // semantics are a LINEAGE property, shared signature with the batch
+    // path: flipping scoredLinking over the same table is refused at pin
+    // time, before any batch runs
+    val e = intercept[IllegalArgumentException] {
+      StreamingSync.ingestAvailableNow(spark, inDir, ckpt, fx.catalog,
+        fx.markers, cfg.copy(scoredLinking = true), table)
+    }
+    assert(e.getMessage.contains("semantics"))
   }
 
   test("streaming windowed mention-rate aggregate runs as a real stream") {

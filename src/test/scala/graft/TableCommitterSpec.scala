@@ -199,4 +199,53 @@ class TableCommitterSpec extends AnyFunSuite {
     t.setPointer("serve", "gen-1")
     assert(t.read(spark, "serve").get.head().getString(0) == "green")
   }
+
+  test("currentRecordCount caches per immutable generation (one tiny file " +
+       "on the nightly no-op path, never a per-run footer walk)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    t.stage((1 to 7).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(3), "r1")
+    t.publish("r1")
+    assert(t.currentRecordCount(spark).contains(7L))
+    // the count landed in the generation's sidecar...
+    val sidecar = java.nio.file.Paths.get(t.currentPath().get)
+      .resolve(TableCommitter.CountSidecar)
+    assert(Files.readString(sidecar).trim == "7")
+    // ...and later calls SERVE it (generations are immutable, so this can
+    // never go stale; proven here by planting a marker value)
+    Files.writeString(sidecar, "99")
+    assert(t.currentRecordCount(spark).contains(99L))
+    // a new generation has no sidecar: recompute from footers, re-cache
+    t.stage((1 to 4).map(i => (i, s"v$i")).toDF("k", "v"), "r2")
+    t.publish("r2")
+    assert(t.currentRecordCount(spark).contains(4L))
+    assert(Files.readString(java.nio.file.Paths.get(t.currentPath().get)
+      .resolve(TableCommitter.CountSidecar)).trim == "4")
+  }
+
+  test("pinned/pinKeyExprOrVerify: adoption of a non-default key expression " +
+       "onto a pre-pin table with generations is refused") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val t = fresh()
+    assert(t.pinned("bucket_key_expr").isEmpty)
+    // empty table: first writer may pin anything (the layout is being built
+    // under the pinned mapping right now)
+    t.pinKeyExprOrVerify("epoch_week({k})", "hash({k})")
+    assert(t.pinned("bucket_key_expr").contains("epoch_week({k})"))
+
+    // a table with GENERATIONS but no pin was physically laid out by a
+    // pre-pin writer (default mapping): only the default may be adopted
+    val old = fresh()
+    old.stage(Seq(Tuple1("x")).toDF("v"), "r1"); old.publish("r1")
+    val e = intercept[IllegalStateException](
+      old.pinKeyExprOrVerify("epoch_week({k})", "hash({k})"))
+    assert(e.getMessage.contains("built before"))
+    old.pinKeyExprOrVerify("hash({k})", "hash({k})") // default: legitimate
+    // once pinned, a different expression is the ordinary pin mismatch
+    intercept[IllegalArgumentException](
+      old.pinKeyExprOrVerify("epoch_week({k})", "hash({k})"))
+  }
 }
