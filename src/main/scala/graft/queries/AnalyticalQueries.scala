@@ -146,6 +146,45 @@ object AnalyticalQueries {
         .orderBy("event_type")
     },
 
+    // ---- range join via interval bucketing: events matched to OVERLAPPING
+    // value tiers. The naive formulation is a theta-join (value BETWEEN lo
+    // AND hi), which Spark can only execute as a nested-loop — fine for a
+    // broadcast dim, fatal when both sides are large. The scale path used
+    // here: expand each tier to its covering fixed-width buckets (a few
+    // hundred rows, still broadcast), join on floor(value/w) EQUALITY, and
+    // re-check the exact bounds as a residual filter. The join stays a
+    // broadcast HASH join (plan-locked) and the same shape works
+    // large-to-large with a shuffle hash join on the bucket key.
+    "j7_range_bucket_join" -> Q(
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('micro', 0.0, 2.5), ('small', 2.5, 10.0), ('mid', 5.0, 50.0),
+        |  ('large', 50.0, 250.0), ('huge', 250.0, 1000.0), ('all', 0.0, 1000.0)),
+        |j AS (SELECT t.tier, e.value
+        |      FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi)
+        |SELECT tier, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY tier ORDER BY tier""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = 2.5
+      val tiers = Seq(
+        ("micro", 0.0, 2.5), ("small", 2.5, 10.0), ("mid", 5.0, 50.0),
+        ("large", 50.0, 250.0), ("huge", 250.0, 1000.0), ("all", 0.0, 1000.0))
+      // expand [lo, hi) to covering bucket indices; hi exclusive, so a
+      // boundary-aligned hi contributes no extra bucket (ceil(hi/w) - 1)
+      val expanded = broadcast(tiers.toDF("tier", "lo", "hi")
+        .select(col("tier"), col("lo"), col("hi"),
+          explode(sequence(
+            floor(col("lo") / w).cast("int"),
+            (ceil(col("hi") / w) - 1).cast("int"))).as("bucket")))
+      Tables.events(s, d)
+        .select(col("value"), floor(col("value") / w).cast("int").as("bucket"))
+        .join(expanded, "bucket")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("tier")
+    },
+
     // ---- approximate distinct (HLL++): engine-specific sketch, so no
     // cross-engine oracle — the driver records rows-only; the <2% error
     // bound vs exact is asserted in ApproxSpec

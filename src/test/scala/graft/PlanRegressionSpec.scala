@@ -78,6 +78,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kg_label_prop / kg_kcore / kg_bfs_hops: every per-iteration join is " +
+       "hash-based, never a nested loop") {
+    for (q <- Seq("kg_label_prop", "kg_kcore", "kg_bfs_hops")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join")
+    }
+  }
+
+  test("j7_range_bucket_join: interval bucketing keeps the range join a " +
+       "broadcast HASH join — the theta formulation would be a nested loop") {
+    val p = plan("j7_range_bucket_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ta_stratified_sample: scan prunes to (doc_id, lang) — payload text " +
        "is never read; rate map broadcasts") {
     val p = plan("ta_stratified_sample")
