@@ -208,6 +208,46 @@ object TextStatsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- repetition signals (Gopher/C4-style quality filters): duplicate
+    // word-bigram fraction and top-token dominance, per document. Computed
+    // entirely with higher-order array functions over the token list — a
+    // NARROW per-row stage, no shuffle at any corpus size (the alternative
+    // explode+groupBy formulation costs two exchanges; per-row cost here is
+    // O(n·distinct), the right trade for chunk-bounded training documents).
+    // Exact-int numerators/denominators, single double ops — bit-exact.
+    "ta_repetition_ratio" -> Q(
+      """WITH toksl AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, len(l) AS n_words,
+        |         CASE WHEN len(l) >= 2
+        |              THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+        |              ELSE [] END AS bgs,
+        |         list_max(list_transform(list_distinct(l), t -> len(list_filter(l, x -> x = t)))) AS top_c
+        |  FROM toksl)
+        |SELECT doc_id, n_words, len(bgs) AS n_bigrams,
+        |       CASE WHEN len(bgs) > 0
+        |            THEN 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) ELSE 0.0 END AS dup_bigram_frac,
+        |       CAST(top_c AS DOUBLE) / n_words AS top_tok_frac
+        |FROM st WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextNorm.tokensCol(col("text")).as("l"))
+        .withColumn("bgs", when(size(col("l")) >= 2, expr(
+            "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("top_c", expr(
+          "array_max(transform(array_distinct(l), t -> size(filter(l, x -> x = t))))"))
+        .select(col("doc_id"), size(col("l")).as("n_words"),
+          size(col("bgs")).as("n_bigrams"),
+          when(size(col("bgs")) > 0,
+            lit(1.0) - size(array_distinct(col("bgs"))).cast("double") / size(col("bgs")))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"),
+          (col("top_c").cast("double") / size(col("l"))).as("top_tok_frac"))
+        .filter(col("n_words") > 0)
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint: content-defined key = md5 over the sorted
     // distinct token set (word-order-insensitive near-dup key)
     "ta_fingerprint" -> Q(
