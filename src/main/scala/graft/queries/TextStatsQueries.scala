@@ -38,10 +38,17 @@ object TextStatsQueries {
     import spark.implicits._
     val prof = broadcast(profiles.toDF("lang", "tri"))
     val base = docs.select(col("doc_id"), lower(col("text")).as("t"))
-    // guard length >= 3: Spark's sequence(1, 0) would DESCEND, not be empty
+    // guard length >= 3: Spark's sequence(1, 0) would DESCEND, not be empty.
+    // The IN-list filter runs INSIDE the narrow per-row transform, so only
+    // profile-relevant trigrams are ever exploded — the join+agg downstream
+    // sees the hit rows (a few per doc), not every char position of the
+    // corpus. Semantics unchanged: positions still overlap, and a trigram
+    // in several profiles still counts toward each via the join.
+    val inList = profiles.map(_._2).distinct.map(t => s"'$t'").mkString(",")
     val tris = base.filter(length(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+        "filter(transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)), " +
+          s"x -> x IN ($inList))")).as("tri"))
     val hits = tris.join(prof, "tri")
       .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
