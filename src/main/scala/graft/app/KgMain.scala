@@ -49,7 +49,8 @@ import graft.sources.TranscriptGen
 object KgMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: KgMain full|sync|ingest-nt|ingest-rdfxml <inputDir> <workDir> [catalogParquetDir]")
+      "usage: KgMain full|sync|ingest-nt|ingest-rdfxml|ingest-stream " +
+        "<inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
         mode == "ingest-rdfxml" || mode == "ingest-stream",

@@ -124,4 +124,20 @@ object PipelineConfig {
     * with — adopting any OTHER expression onto a table that predates the
     * pin would replace rows in the wrong buckets (see pinOrVerify callers). */
   val DefaultBucketKeyExpr = "hash({k})"
+
+  /** THE key-to-bucket mapping. Bucket-merge correctness requires every
+    * writer of a table — batch pipeline, streaming ingest, external
+    * ingesters — to agree on this mapping BIT-FOR-BIT, so it exists exactly
+    * once: re-deriving the pmod/splice at a call site risks silently
+    * desynchronizing one writer while the pinned expression STRING still
+    * matches. `key` must be a plain column name (a computed expression
+    * would not round-trip through the {k} SQL-text splice). */
+  def bucketCol(keyExpr: String, key: String, buckets: Int)
+      : org.apache.spark.sql.Column = {
+    require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bucket keys must be plain columns, got: $key")
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.expr(keyExpr.replace("{k}", key)),
+      org.apache.spark.sql.functions.lit(buckets))
+  }
 }

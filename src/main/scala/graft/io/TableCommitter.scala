@@ -456,6 +456,21 @@ final class TableCommitter(rootDir: String) {
     pinOrVerify("bucket_key_expr", expr)
   }
 
+  /** Pin the row-semantics signature with the same ADOPTION guard as
+    * [[pinKeyExprOrVerify]]: a table that has generations but no semantics
+    * pin predates the pin, and what its rows MEAN is unknowable from here —
+    * blessing the current flags onto it would let later writes additively
+    * merge rows of a second semantics into it with no error, the exact
+    * failure the pin exists to prevent. Refuse loudly instead. */
+  def pinSemanticsOrVerify(sig: String): Unit = {
+    if (currentGeneration().isDefined && pinned("semantics").isEmpty)
+      throw new IllegalStateException(
+        "table has published generations but no semantics pin (it was " +
+          "built before row semantics were pinned) — rebuild it from a " +
+          "fresh checkpoint / full run so the pin records what its rows mean")
+    pinOrVerify("semantics", sig)
+  }
+
   /** Point an alias at an existing generation (blue/green switch, K6). */
   def setPointer(alias: String, gen: String): Unit = {
     // the meta dir also holds the run-record DIRECTORY and dot-prefixed

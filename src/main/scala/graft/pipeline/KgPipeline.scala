@@ -446,22 +446,28 @@ final class KgPipeline(cfg: PipelineConfig) {
           s"tables were built with ($pinned) — an incremental sync would " +
           "mix row semantics within one table; run a FULL rebuild to " +
           "change them")
-    } else pinSemantics() // pre-pin-era workDir: adopt the current flags
+    } else if (supportTable.currentGeneration().isDefined) {
+      // pre-pin-era workDir WITH published rows: what those rows mean is
+      // unknowable (the flags predate the pin), so adopting the CURRENT
+      // flags could bless a different semantics onto them and let this
+      // sync merge mixed-meaning slices — the exact failure the pin
+      // exists to prevent. Same adoption guard as pinKeyExprOrVerify.
+      throw new IllegalStateException(
+        "workDir has published tables but no semantics pin (built before " +
+          "row semantics were pinned) — run a FULL rebuild to establish it")
+    } else pinSemantics() // fresh workDir: adopt the current flags
 
   /** The subject-bucket expression of this pipeline's edge/doc tables —
     * external writers (KgMain ingest-nt) MUST use this, not a re-derived
     * copy: bucket-merge correctness requires every writer to agree
     * bit-for-bit on the key-to-bucket mapping. */
   def subjectBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    // the configured key expression with the key column spliced into the
-    // {k} slot; keys here are always simple attribute references (conv_id /
-    // subj / entity_id), whose Column rendering IS the identifier — guarded,
-    // because a computed Column would not round-trip through SQL text.
-    // Default "hash({k})" is the round-3 mapping bit-for-bit.
-    val kSql = c.toString
-    require(kSql.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"bucket keys must be plain columns, got: $kSql")
-    pmod(expr(cfg.bucketKeyExpr.replace("{k}", kSql)), lit(B))
+    // keys here are always simple attribute references (conv_id / subj /
+    // entity_id), whose Column rendering IS the identifier — the shared
+    // mapping helper guards that, because a computed Column would not
+    // round-trip through SQL text. Default "hash({k})" is the round-3
+    // mapping bit-for-bit.
+    graft.config.PipelineConfig.bucketCol(cfg.bucketKeyExpr, c.toString, B)
   }
 
   /** Every bucket id of this pipeline's tables (full-publish bucket set). */

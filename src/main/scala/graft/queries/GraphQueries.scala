@@ -42,23 +42,31 @@ object GraphQueries {
       |ed AS (SELECT u, v FROM e0 WHERE u <> v),
       |sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed)""".stripMargin
 
-  /** Directed + symmetrized edge frames, eagerly materialized: every
-    * iterative consumer re-reads them, and at any scale the re-derivation
-    * (scan + union + distinct) would otherwise replay per iteration. */
-  private def edgeFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Directed edge frame, eagerly materialized: every iterative consumer
+    * re-reads it, and at any scale the re-derivation (scan + union +
+    * distinct) would otherwise replay per iteration. Only the frame a query
+    * actually iterates over is materialized — the BFS query must not pay
+    * for the symmetrization it never reads. */
+  private def directedEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     // node count: the one bounded driver-side scalar (same contract as
     // kg_pagerank's count())
     val cnt = docs.count()
-    val gen = docs.select(col("doc_id").as("u"),
+    docs.select(col("doc_id").as("u"),
         ((col("doc_id") * col("doc_id") + 7) % cnt).as("v"))
       .unionAll(docs.select(col("doc_id").as("u"),
         ((col("doc_id") * 3 + 11) % cnt).as("v")))
       .distinct()
-    val ed = gen.filter(col("u") =!= col("v")).localCheckpoint(true)
-    val sym = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint(true)
+  }
+
+  /** Symmetrized (undirected) edge frame over [[directedEdges]], eagerly
+    * materialized for the same per-iteration reuse reason. */
+  private def symmetrizedEdges(s: SparkSession, d: String): DataFrame = {
+    val ed = directedEdges(s, d)
+    ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
-    (ed, sym)
   }
 
   val all: Map[String, Q] = Map(
@@ -82,7 +90,7 @@ object GraphQueries {
          |l3 AS (SELECT u AS id, lbl FROM (
          |  SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY cn DESC, lbl) AS rn FROM c3) WHERE rn = 1)
          |SELECT id, lbl AS community FROM l3 ORDER BY id""".stripMargin) { (s, d) =>
-      val (_, sym) = edgeFrames(s, d)
+      val sym = symmetrizedEdges(s, d)
       var labels = sym.select(col("u").as("id"), col("u").as("lbl")).distinct()
       for (_ <- 1 to 3) {
         val cnts = sym.join(labels.withColumnRenamed("id", "v"), "v")
@@ -112,7 +120,7 @@ object GraphQueries {
          |k3 AS (SELECT u FROM d3 WHERE d >= 3),
          |e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
          |SELECT u AS id, count(*) AS deg FROM e3 GROUP BY u ORDER BY id""".stripMargin) { (s, d) =>
-      val (_, sym) = edgeFrames(s, d)
+      val sym = symmetrizedEdges(s, d)
       var e = sym
       for (_ <- 1 to 3) {
         val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -139,7 +147,7 @@ object GraphQueries {
          |c3 AS (SELECT e.v AS id, min(b.h) + 1 AS h FROM ed e JOIN b2 b ON e.u = b.id GROUP BY e.v),
          |b3 AS (SELECT id, min(h) AS h FROM (SELECT * FROM b2 UNION ALL SELECT * FROM c3) GROUP BY id)
          |SELECT id, h AS hops FROM b3 ORDER BY id""".stripMargin) { (s, d) =>
-      val (ed, _) = edgeFrames(s, d)
+      val ed = directedEdges(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"))
       var dist = docs.filter(col("doc_id") % 53 === 1)
         .select(col("doc_id").as("id"), lit(0L).as("h"))

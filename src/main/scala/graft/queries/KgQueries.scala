@@ -92,6 +92,16 @@ object KgQueries {
   private val mtEntityCtxSql: String =
     mtEntityCtx.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
 
+  /** Rank-1 winner per alias (first-match-wins, W3), broadcast — shared by
+    * every query that links at alias granularity without per-doc context. */
+  private def rankWinners(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
+    broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("alias", "entity_id"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- stable turn ordering + cross-turn context (north-rule invariant:
@@ -315,10 +325,8 @@ object KgQueries {
       val dict = broadcast(mtAliasEntities.toDF("alias", "entity_id", "rnk"))
       val toksl = turns(s, d).select(col("doc_id"), TextNorm.tokensCol(col("text")).as("l"))
       val dtoks = toksl.select(col("doc_id"), explode(col("l")).as("tok")).distinct()
-      // guard size >= 2: Spark's sequence(1, 0) would DESCEND, not be empty
-      val bigrams = toksl.filter(size(col("l")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))")).as("bg"))
+      val bigrams = toksl
+        .select(col("doc_id"), explode(TextNorm.bigramsCol(col("l"))).as("bg"))
         .distinct()
       val ctoks = mtEntityCtx.toDF("entity_id", "ctx_text")
         .select(col("entity_id"), explode(TextNorm.tokensCol(col("ctx_text"))).as("tok"))
@@ -455,11 +463,7 @@ object KgQueries {
          |FROM ment a JOIN ment b
          |  ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
          |GROUP BY 1, 2 ORDER BY e1, e2""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
-      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("alias", "entity_id"))
+      val winners = rankWinners(s)
       val ment = turns(s, d)
         .select(col("conv_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
         .join(winners, col("tok") === col("alias"))
@@ -498,11 +502,7 @@ object KgQueries {
          |FROM edges x JOIN edges y ON x.v = y.u
          |JOIN edges z ON z.u = x.u AND z.v = y.v
          |ORDER BY e1, e2, e3""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
-      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("alias", "entity_id"))
+      val winners = rankWinners(s)
       val ment = turns(s, d)
         .select(col("conv_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
         .join(winners, col("tok") === col("alias"))
@@ -565,11 +565,7 @@ object KgQueries {
          |SELECT entity_id, week, n,
          |       n - coalesce(lag(n) OVER (PARTITION BY entity_id ORDER BY week), 0) AS delta
          |FROM wk ORDER BY entity_id, week""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val w = Window.partitionBy("alias").orderBy(col("rnk"), col("entity_id"))
-      val winners = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("alias", "entity_id"))
+      val winners = rankWinners(s)
       val wk = turns(s, d)
         .select(floor(col("turn_idx") / 4).cast("bigint").as("week"),
           explode(TextNorm.tokensCol(col("text"))).as("tok"))

@@ -39,16 +39,21 @@ object TextStatsQueries {
     val prof = broadcast(profiles.toDF("lang", "tri"))
     val base = docs.select(col("doc_id"), lower(col("text")).as("t"))
     // guard length >= 3: Spark's sequence(1, 0) would DESCEND, not be empty.
-    // The IN-list filter runs INSIDE the narrow per-row transform, so only
-    // profile-relevant trigrams are ever exploded — the join+agg downstream
-    // sees the hit rows (a few per doc), not every char position of the
-    // corpus. Semantics unchanged: positions still overlap, and a trigram
-    // in several profiles still counts toward each via the join.
-    val inList = profiles.map(_._2).distinct.map(t => s"'$t'").mkString(",")
+    // The membership filter runs INSIDE the narrow per-row transform, so
+    // only profile-relevant trigrams are ever exploded — the join+agg
+    // downstream see the hit rows (a few per doc), not every char position
+    // of the corpus. Semantics unchanged: positions still overlap, and a
+    // trigram in several profiles still counts toward each via the join.
+    // Column-API lambdas (not a spliced expr string): profile trigrams are
+    // data, and quoting them into SQL text would break on apostrophes
+    // ("l'a" is a perfectly good French trigram).
+    val triSet = typedlit(profiles.map(_._2).distinct)
     val tris = base.filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "filter(transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)), " +
-          s"x -> x IN ($inList))")).as("tri"))
+      .select(col("doc_id"), explode(
+        filter(
+          transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3))),
+          x => array_contains(triSet, x))).as("tri"))
     val hits = tris.join(prof, "tri")
       .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
@@ -240,9 +245,7 @@ object TextStatsQueries {
         |FROM st WHERE n_words > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextNorm.tokensCol(col("text")).as("l"))
-        .withColumn("bgs", when(size(col("l")) >= 2, expr(
-            "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))"))
-          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("bgs", TextNorm.bigramsCol(col("l")))
         .withColumn("top_c", expr(
           "array_max(transform(array_distinct(l), t -> size(filter(l, x -> x = t))))"))
         .select(col("doc_id"), size(col("l")).as("n_words"),

@@ -430,7 +430,11 @@ object RdfXmlSource {
         // prefix scopes nest with elements: a child's declaration must not
         // leak to its siblings
         var scopes: List[Set[String]] = Nil
-        def inScope(p: String): Boolean = scopes.exists(_.contains(p))
+        // 'xml' (xml:lang, xml:space) is implicitly bound by Namespaces in
+        // XML §3 — it never appears in an xmlns declaration yet
+        // re-serializes correctly without one, so it is always in scope
+        def inScope(p: String): Boolean =
+          p == "xml" || scopes.exists(_.contains(p))
         var depth = 1
         while (depth > 0 && r.hasNext) {
           r.next() match {

@@ -139,8 +139,12 @@ object StreamingSync {
     // silently mixes two semantics in one additive merge — pin the full
     // signature like the bucket mapping (the batch pipeline pins the same
     // signature per workDir; PipelineConfig.semanticsSig is shared so the
-    // two paths can never drift apart on what counts as "semantics")
-    table.pinOrVerify("semantics", cfg.semanticsSig)
+    // two paths can never drift apart on what counts as "semantics").
+    // ADOPTION-GUARDED: a pre-pin table with published generations refuses
+    // rather than adopting the current flags — its rows' semantics are
+    // unknowable, and adoption would bless a possibly-different signature
+    // onto them (the upgrade hole mirror-imaged from pinKeyExprOrVerify)
+    table.pinSemanticsOrVerify(cfg.semanticsSig)
     // kept for pre-round-4 lineages whose tables carry only this pin
     table.pinOrVerify("coref_resolution", cfg.corefResolution.toString)
     corefStateTable.foreach { st =>
@@ -193,7 +197,7 @@ object StreamingSync {
             "batches were never propagated; rebuild from a fresh checkpoint")
     }
     val bucketOf =
-      pmod(expr(cfg.bucketKeyExpr.replace("{k}", "conv_id")), lit(B))
+      PipelineConfig.bucketCol(cfg.bucketKeyExpr, "conv_id", B)
 
     // canonicalization parity with the batch path (KgPipeline
     // .computeSupports): under scoredLinking a shared alias is ambiguity to
@@ -346,8 +350,8 @@ object StreamingSync {
                           eTbl: TableCommitter, nTbl: TableCommitter,
                           docTbl: Option[TableCommitter], cfg: PipelineConfig,
                           B: Int, keyExpr: String, runId: String): Unit = {
-    val edgeBucket = pmod(expr(keyExpr.replace("{k}", "subj")), lit(B))
-    val nodeBucket = pmod(expr(keyExpr.replace("{k}", "entity_id")), lit(B))
+    val edgeBucket = PipelineConfig.bucketCol(keyExpr, "subj", B)
+    val nodeBucket = PipelineConfig.bucketCol(keyExpr, "entity_id", B)
     val eKeys = Seq("subj", "pred", "obj", "lang")
     val eDelta = supports
       .groupBy(eKeys.map(col): _*).agg(sum(col("weight")).as("weight"))
@@ -417,7 +421,7 @@ object StreamingSync {
       val sliceObjs = slice.select(col("obj").as("subj")).distinct()
         .localCheckpoint(true)
       val objBuckets = sliceObjs
-        .select(pmod(expr(keyExpr.replace("{k}", "subj")), lit(B)).as("b"))
+        .select(PipelineConfig.bucketCol(keyExpr, "subj", B).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val labelSrc = postEdges
         .filter(col("bucket").isin(objBuckets.toSeq: _*)) // pruned

@@ -110,4 +110,14 @@ object TextNorm {
   /** Whitespace tokenizer shared by extraction / scoring / dedup paths. */
   def tokensCol(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Adjacent-token bigrams ("a b") of a token array — shared by the
+    * multi-token linking and repetition-signal paths so the span semantics
+    * can never drift between them. Guards size >= 2 itself: Spark's
+    * sequence(1, 0) would DESCEND, not be empty. */
+  def bigramsCol(l: Column): Column =
+    when(size(l) >= 2,
+      transform(sequence(lit(1), size(l) - 1),
+        i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
+      .otherwise(expr("cast(array() as array<string>)"))
 }

@@ -450,6 +450,26 @@ class KgPipelineSpec extends AnyFunSuite {
       ("p_black", "fine")))
   }
 
+  test("sync on a pre-pin workDir WITH published tables refuses to adopt " +
+       "the current flags (their rows' semantics are unknowable)") {
+    val spark = SparkTestSession.get
+    val wd = freshDir()
+    val small = TranscriptGen.generate(nConv = 3, nEnt = 5, hotFactor = 1)
+    val p = new KgPipeline(PipelineConfig(workDir = wd))
+    p.runFull(spark, turnsDs(small.turns), small.catalog, small.markers, "r1")
+    // simulate a workDir published by pre-semantics-pin code
+    Files.delete(java.nio.file.Paths.get(s"$wd/_meta_pipeline/semantics"))
+    val e = intercept[IllegalStateException](
+      p.runSync(spark, turnsDs(small.turns), small.catalog, small.markers,
+        "sync-prepin"))
+    assert(e.getMessage.contains("semantics pin"))
+    // a FULL run re-establishes the pin (it rebuilds every row), after
+    // which syncs under the same flags proceed
+    p.runFull(spark, turnsDs(small.turns), small.catalog, small.markers, "r2")
+    p.runSync(spark, turnsDs(small.turns), small.catalog, small.markers,
+      "sync-repinned")
+  }
+
   test("fillMissing adds defaults only for absent (subject, predicate)") {
     val spark = SparkTestSession.get
     import spark.implicits._

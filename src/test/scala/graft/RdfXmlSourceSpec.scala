@@ -220,6 +220,19 @@ class RdfXmlSourceSpec extends AnyFunSuite {
     assert(sib.head.obj == """<q:a xmlns:q="urn:q"></q:a><r xmlns="urn:r"></r>""")
     assert(sib.head.objType == RdfXmlSource.RdfNs + "XMLLiteral")
 
+    // the 'xml' prefix (xml:lang, xml:space) is implicitly bound by
+    // Namespaces in XML §3 — it never appears in an xmlns declaration and
+    // must NOT trip the out-of-scope-prefix reject (XHTML literals carry
+    // xml:lang routinely)
+    val xl = parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:p="urn:p:">
+        |  <rdf:Description rdf:about="urn:s:3">
+        |    <p:doc rdf:parseType="Literal">a <b xml:lang="en" xml:space="preserve">kept</b></p:doc>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    assert(xl.head.obj == """a <b xml:lang="en" xml:space="preserve">kept</b>""")
+
     // a prefix declared OUTSIDE the literal (on rdf:RDF) is out of the
     // subset: reject the file, never emit an unbound-prefix literal
     assert(RdfXmlSource.parseFile("f",

@@ -248,4 +248,25 @@ class TableCommitterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       old.pinKeyExprOrVerify("epoch_week({k})", "hash({k})"))
   }
+
+  test("pinSemanticsOrVerify: adoption onto a pre-pin table with " +
+       "generations is refused — its rows' semantics are unknowable") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // empty table: first writer adopts (the rows are about to be built
+    // under exactly this signature)
+    val t = fresh()
+    t.pinSemanticsOrVerify("coref=false,scored=true")
+    t.pinSemanticsOrVerify("coref=false,scored=true") // same sig verifies
+    intercept[IllegalArgumentException](
+      t.pinSemanticsOrVerify("coref=true,scored=true")) // flip: pin mismatch
+
+    // generations but no pin: ANY signature is refused — unlike the bucket
+    // key there is no knowable default the legacy rows must have had
+    val old = fresh()
+    old.stage(Seq(Tuple1("x")).toDF("v"), "r1"); old.publish("r1")
+    val e = intercept[IllegalStateException](
+      old.pinSemanticsOrVerify("coref=false,scored=false"))
+    assert(e.getMessage.contains("semantics pin"))
+  }
 }
