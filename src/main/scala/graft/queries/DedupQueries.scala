@@ -55,6 +55,37 @@ object DedupQueries {
       .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
   }
 
+  /** 32-bit SimHash signature per doc, shared by dd_simhash and the
+    * duplicate-cluster derivation (dd_dup_clusters) so the signature
+    * semantics can never drift between them. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+      .distinct()
+    val js = broadcast((0 until 32).toDF("j"))
+    val bits = toks.crossJoin(js)
+      .groupBy("doc_id", "j")
+      .agg(sum(when(md5(col("tok").cast("binary")).substr(col("j") + 1, lit(1))
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("sgn"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** The matching DuckDB CTE chain: yields `sim(doc_id, simhash)`. */
+  private val simhashCtesSql =
+    """toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
+      |              FROM documents),
+      |js AS (SELECT unnest(range(32)) AS j),
+      |bits AS (SELECT doc_id, j,
+      |           SUM(CASE WHEN substr(md5(tok), CAST(j + 1 AS INT), 1)
+      |                IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
+      |         FROM toks CROSS JOIN js WHERE length(tok) > 0 GROUP BY doc_id, j),
+      |sim AS (SELECT doc_id,
+      |       CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id)""".stripMargin
+
   /** Native codegen'd dot product (graft.functions.DotProduct): a tight
     * left-to-right loop inside whole-stage codegen — bit-identical to a
     * sequential fold and to the DuckDB oracle's list_dot_product, and ~10x
@@ -199,28 +230,59 @@ object DedupQueries {
     // ---- SimHash: 32-bit signature from per-token md5 hex-digit high bits;
     // identical signatures = near-dup bucket
     "dd_simhash" -> Q(
-      """WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
-        |              FROM documents),
-        |js AS (SELECT unnest(range(32)) AS j),
-        |bits AS (SELECT doc_id, j,
-        |           SUM(CASE WHEN substr(md5(tok), CAST(j + 1 AS INT), 1)
-        |                IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS sgn
-        |         FROM toks CROSS JOIN js WHERE length(tok) > 0 GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |       CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
-        .distinct()
-      val js = broadcast((0 until 32).toDF("j"))
-      val bits = toks.crossJoin(js)
-        .groupBy("doc_id", "j")
-        .agg(sum(when(md5(col("tok").cast("binary")).substr(col("j") + 1, lit(1))
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("sgn"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
-          .otherwise(0L)).as("simhash"))
+      s"""WITH $simhashCtesSql
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashDf(s, d).orderBy("doc_id")
+    },
+
+    // ---- duplicate CLUSTERS: the end of the dedup story — near-dup
+    // RELATIONS (order-insensitive fingerprint equality + SimHash signature
+    // equality) unioned into an edge set and closed transitively with the
+    // same large-star/small-star connected-components operator the KG
+    // canonicalization uses, yielding one cluster id (= min member) per
+    // duplicated doc. A doc bridging a fingerprint group and a SimHash
+    // group merges them — exactly what per-relation GROUP BYs cannot do.
+    // Scale shape: each relation contributes STAR edges (doc -> group min),
+    // so the edge count is node-bounded, never group-quadratic; CC is
+    // O(log n) rounds of shuffle-agg + join (ConnectedComponents scaladoc).
+    "dd_dup_clusters" -> Q(
+      s"""WITH RECURSIVE $simhashCtesSql,
+         |fp AS (SELECT doc_id, md5(coalesce(array_to_string(list_sort(list_distinct(
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))), ' '), '')) AS k
+         |       FROM documents),
+         |fpg AS (SELECT k, min(doc_id) AS m FROM fp GROUP BY k HAVING count(*) > 1),
+         |simg AS (SELECT simhash, min(doc_id) AS m FROM sim GROUP BY simhash HAVING count(*) > 1),
+         |edges AS (
+         |  SELECT f.doc_id AS u, g.m AS v FROM fp f JOIN fpg g ON f.k = g.k WHERE f.doc_id <> g.m
+         |  UNION
+         |  SELECT s.doc_id AS u, g.m AS v FROM sim s JOIN simg g ON s.simhash = g.simhash WHERE s.doc_id <> g.m),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+         |nodes AS (SELECT DISTINCT u AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster,
+         |       count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // star edges of one equality relation keyed by `k`: doc -> group min
+      def stars(keyed: DataFrame): DataFrame = {
+        val g = keyed.groupBy("k")
+          .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+        keyed.join(g, "k").filter(col("doc_id") =!= col("m"))
+          .select(col("doc_id").as("src"), col("m").as("dst"))
+      }
+      val fp = Tables.documents(s, d).select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          TextNorm.tokensCol(col("text")))), " ").cast("binary")).as("k"))
+      val sim = simhashDf(s, d).withColumnRenamed("simhash", "k")
+      val edges = stars(fp).unionAll(stars(sim)).distinct()
+      val comp = graft.canon.ConnectedComponents.run(edges)
+      comp.select(col("id").as("doc_id"), col("component").as("cluster"),
+          count(lit(1)).over(Window.partitionBy("component")).as("cluster_size"))
         .orderBy("doc_id")
     },
 
