@@ -69,6 +69,55 @@ object GraphQueries {
       .distinct().localCheckpoint(true)
   }
 
+  /** Synchronous label propagation over a symmetric edge frame (u, v):
+    * each round, every node takes the most frequent label among its
+    * neighbors, ties to the smallest label. Returns (id, lbl). The argmax
+    * is a max over (count, -label) structs — one map-side-combinable agg,
+    * not a row_number window, so no per-node sort and no second wide
+    * exchange of raw neighbor rows. Differentially tested against a
+    * brute-force reference on random graphs (GraphQueriesSpec). */
+  def labelPropagate(sym: DataFrame, rounds: Int): DataFrame = {
+    var labels = sym.select(col("u").as("id"), col("u").as("lbl")).distinct()
+    for (_ <- 1 to rounds) {
+      val cnts = sym.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("cn"))
+      // argmax by (cn DESC, lbl ASC) == max of the (cn, -lbl) struct
+      labels = cnts.groupBy("u")
+        .agg(max(struct(col("cn"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("id"), (-col("m.nl")).as("lbl"))
+    }
+    labels
+  }
+
+  /** k-core peeling over a symmetric edge frame (u, v) for a fixed number
+    * of rounds; returns the surviving edge set. Per round: one degree agg
+    * + two LEFT SEMI joins against the (distinct) keeper set — never a
+    * row-multiplying inner join against a non-unique side. */
+  def kcorePeel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = sym
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+    }
+    e
+  }
+
+  /** Multi-source BFS over a directed edge frame (u, v): hop distance from
+    * `seeds` (id, h=0) up to `hops`. The frontier frame stays node-bounded
+    * because distances merge through min() every round. Returns (id, h). */
+  def bfsHops(ed: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    var dist = seeds
+    for (_ <- 1 to hops) {
+      val next = ed.join(dist.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg((min(col("h")) + 1).as("h"))
+      dist = dist.unionAll(next).groupBy("id").agg(min(col("h")).as("h"))
+    }
+    dist
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- community detection: synchronous label propagation, 3 rounds.
@@ -90,17 +139,8 @@ object GraphQueries {
          |l3 AS (SELECT u AS id, lbl FROM (
          |  SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY cn DESC, lbl) AS rn FROM c3) WHERE rn = 1)
          |SELECT id, lbl AS community FROM l3 ORDER BY id""".stripMargin) { (s, d) =>
-      val sym = symmetrizedEdges(s, d)
-      var labels = sym.select(col("u").as("id"), col("u").as("lbl")).distinct()
-      for (_ <- 1 to 3) {
-        val cnts = sym.join(labels.withColumnRenamed("id", "v"), "v")
-          .groupBy("u", "lbl").agg(count(lit(1)).as("cn"))
-        // argmax by (cn DESC, lbl ASC) == max of the (cn, -lbl) struct
-        labels = cnts.groupBy("u")
-          .agg(max(struct(col("cn"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("u").as("id"), (-col("m.nl")).as("lbl"))
-      }
-      labels.select(col("id"), col("lbl").as("community")).orderBy("id")
+      labelPropagate(symmetrizedEdges(s, d), rounds = 3)
+        .select(col("id"), col("lbl").as("community")).orderBy("id")
     },
 
     // ---- k-core decomposition: peel nodes of degree < 3 for 3 rounds and
@@ -120,16 +160,8 @@ object GraphQueries {
          |k3 AS (SELECT u FROM d3 WHERE d >= 3),
          |e3 AS (SELECT e.u, e.v FROM e2 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
          |SELECT u AS id, count(*) AS deg FROM e3 GROUP BY u ORDER BY id""".stripMargin) { (s, d) =>
-      val sym = symmetrizedEdges(s, d)
-      var e = sym
-      for (_ <- 1 to 3) {
-        val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 3).select("u")
-        e = e.join(keep, Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .select("u", "v")
-      }
-      e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg")).orderBy("id")
+      kcorePeel(symmetrizedEdges(s, d), k = 3, rounds = 3)
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg")).orderBy("id")
     },
 
     // ---- multi-source BFS, 3 hops over the DIRECTED edge set: hop
@@ -149,14 +181,10 @@ object GraphQueries {
          |SELECT id, h AS hops FROM b3 ORDER BY id""".stripMargin) { (s, d) =>
       val ed = directedEdges(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      var dist = docs.filter(col("doc_id") % 53 === 1)
+      val seeds = docs.filter(col("doc_id") % 53 === 1)
         .select(col("doc_id").as("id"), lit(0L).as("h"))
-      for (_ <- 1 to 3) {
-        val next = ed.join(dist.withColumnRenamed("id", "u"), "u")
-          .groupBy(col("v").as("id")).agg((min(col("h")) + 1).as("h"))
-        dist = dist.unionAll(next).groupBy("id").agg(min(col("h")).as("h"))
-      }
-      dist.select(col("id"), col("h").as("hops")).orderBy("id")
+      bfsHops(ed, seeds, hops = 3)
+        .select(col("id"), col("h").as("hops")).orderBy("id")
     }
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GraphQueries
+
+/** Differential tests for the iterative graph operators: the Catalyst
+  * formulations (argmax-by-struct label propagation, semi-join k-core
+  * peeling, min-merge BFS) vs brute-force single-threaded references on
+  * seeded random graphs. The driver's DuckDB oracles pin one fixed corpus;
+  * these sweep many shapes — in particular tie-heavy label distributions,
+  * where the max(struct(count, -label)) trick must agree exactly with the
+  * row_number-by-(count DESC, label ASC) definition. */
+class GraphQueriesSpec extends AnyFunSuite {
+
+  private def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    // dedup + drop self loops; keep both generated directions as given
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (u, v) => u != v }.distinct
+  }
+
+  private def sym(es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (es ++ es.map(_.swap)).distinct
+
+  private def toDf(es: Seq[(Long, Long)]) = {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    es.toDF("u", "v").repartition(5)
+  }
+
+  // ---- brute-force references --------------------------------------------
+
+  private def refLabelProp(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds)
+      lbl = nbrs.map { case (u, vs) =>
+        val counts = vs.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        // most frequent, ties to the smallest label
+        u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    lbl
+  }
+
+  private def refKcore(es: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Seq[(Long, Long)] = {
+    var e = es
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).map { case (u, xs) => (u, xs.size) }
+      val keep = deg.collect { case (u, d) if d >= k => u }.toSet
+      e = e.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    e
+  }
+
+  private def refBfs(es: Seq[(Long, Long)], seeds: Seq[Long],
+                     hops: Int): Map[Long, Long] = {
+    val out = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to hops) {
+      val next = dist.toSeq.flatMap { case (u, h) =>
+        out.getOrElse(u, Nil).map(_ -> (h + 1)) }
+      dist = (dist.toSeq ++ next).groupBy(_._1)
+        .map { case (id, hs) => id -> hs.map(_._2).min }
+    }
+    dist
+  }
+
+  // ---- sweeps -------------------------------------------------------------
+
+  private val shapes = Seq( // (seed, nodes, directed-edge draws)
+    (1, 8, 12), (2, 20, 40), (3, 40, 60), (4, 15, 120), (5, 30, 30))
+
+  test("label propagation == brute force on random graphs (incl. tie-heavy)") {
+    for ((seed, n, m) <- shapes; rounds <- Seq(1, 3)) {
+      val s = sym(randomGraph(seed, n, m))
+      val got = GraphQueries.labelPropagate(toDf(s), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refLabelProp(s, rounds),
+        s"labelProp mismatch at seed=$seed n=$n m=$m rounds=$rounds")
+    }
+  }
+
+  test("k-core peeling == brute force on random graphs") {
+    for ((seed, n, m) <- shapes; k <- Seq(2, 3)) {
+      val s = sym(randomGraph(seed, n, m))
+      val got = GraphQueries.kcorePeel(toDf(s), k, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == refKcore(s, k, rounds = 3).toSet,
+        s"kcore mismatch at seed=$seed n=$n m=$m k=$k")
+    }
+  }
+
+  test("multi-source BFS == brute force on random DIRECTED graphs") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    for ((seed, n, m) <- shapes) {
+      val es = randomGraph(seed, n, m)
+      val seedNodes = (0L until n.toLong).filter(_ % 5 == 1)
+      val seedsDf = seedNodes.map(id => (id, 0L)).toDF("id", "h")
+      val got = GraphQueries.bfsHops(toDf(es), seedsDf, hops = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refBfs(es, seedNodes, hops = 3),
+        s"bfs mismatch at seed=$seed n=$n m=$m")
+    }
+  }
+}
