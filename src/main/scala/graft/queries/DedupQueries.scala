@@ -276,8 +276,7 @@ object DedupQueries {
           .select(col("doc_id").as("src"), col("m").as("dst"))
       }
       val fp = Tables.documents(s, d).select(col("doc_id"),
-        md5(array_join(array_sort(array_distinct(
-          TextNorm.tokensCol(col("text")))), " ").cast("binary")).as("k"))
+        TextNorm.fingerprintCol(col("text")).as("k"))
       val sim = simhashDf(s, d).withColumnRenamed("simhash", "k")
       val edges = stars(fp).unionAll(stars(sim)).distinct()
       val comp = graft.canon.ConnectedComponents.run(edges)

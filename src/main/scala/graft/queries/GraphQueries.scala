@@ -47,24 +47,29 @@ object GraphQueries {
     * distinct) would otherwise replay per iteration. Only the frame a query
     * actually iterates over is materialized — the BFS query must not pay
     * for the symmetrization it never reads. */
-  private def directedEdges(s: SparkSession, d: String): DataFrame = {
+  private def directedEdges(s: SparkSession, d: String,
+                            materialize: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     // node count: the one bounded driver-side scalar (same contract as
     // kg_pagerank's count())
     val cnt = docs.count()
-    docs.select(col("doc_id").as("u"),
+    val ed = docs.select(col("doc_id").as("u"),
         ((col("doc_id") * col("doc_id") + 7) % cnt).as("v"))
       .unionAll(docs.select(col("doc_id").as("u"),
         ((col("doc_id") * 3 + 11) % cnt).as("v")))
       .distinct()
       .filter(col("u") =!= col("v"))
-      .localCheckpoint(true)
+    if (materialize) ed.localCheckpoint(true) else ed
   }
 
   /** Symmetrized (undirected) edge frame over [[directedEdges]], eagerly
-    * materialized for the same per-iteration reuse reason. */
+    * materialized for the same per-iteration reuse reason. The directed
+    * frame is consumed exactly once here (both union branches fold into
+    * one plan), so only the SYMMETRIZED result is checkpointed — a
+    * materialized intermediate would cost an extra job plus pinned
+    * storage that no consumer reads. */
   private def symmetrizedEdges(s: SparkSession, d: String): DataFrame = {
-    val ed = directedEdges(s, d)
+    val ed = directedEdges(s, d, materialize = false)
     ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
   }

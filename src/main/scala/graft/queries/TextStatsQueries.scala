@@ -267,8 +267,7 @@ object TextStatsQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          md5(array_join(array_sort(array_distinct(
-            TextNorm.tokensCol(col("text")))), " ").cast("binary")).as("fp"))
+          TextNorm.fingerprintCol(col("text")).as("fp"))
         .orderBy("doc_id")
     },
 
@@ -308,8 +307,7 @@ object TextStatsQueries {
         size(filter(toks, t => t.isin("the", "a"))).as("n_stop"),
         length(regexp_replace(col("text"), " ", "")).as("n_alpha"),
         md5(col("text").cast("binary")).as("h"),
-        md5(array_join(array_sort(array_distinct(toks)), " ")
-          .cast("binary")).as("fp"))
+        TextNorm.fingerprintCol(col("text")).as("fp"))
       val gated = stats.filter(
         col("n_words") >= 5 &&
           col("n_stop").cast("double") / col("n_words") > 0.05 &&

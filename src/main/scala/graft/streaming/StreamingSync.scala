@@ -145,7 +145,10 @@ object StreamingSync {
     // unknowable, and adoption would bless a possibly-different signature
     // onto them (the upgrade hole mirror-imaged from pinKeyExprOrVerify)
     table.pinSemanticsOrVerify(cfg.semanticsSig)
-    // kept for pre-round-4 lineages whose tables carry only this pin
+    // legacy pin, still written for forward compatibility of the metadata
+    // layout; NOTE the adoption guard above supersedes it for published
+    // pre-semantics-pin tables (they are refused outright, so this line
+    // never acts as their compatibility path — a rebuild is required)
     table.pinOrVerify("coref_resolution", cfg.corefResolution.toString)
     corefStateTable.foreach { st =>
       st.pinOrVerify("bucket_count", B.toString)

@@ -111,6 +111,18 @@ object TextNorm {
   def tokensCol(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set — THE near-dup key, shared by ta_fingerprint,
+    * ta_curation_pipeline and dd_dup_clusters (cluster membership is
+    * defined by equality on this key, so it exists exactly once). NULL
+    * text hashes like empty text, matching the oracles'
+    * md5(coalesce(..., '')) — an un-coalesced md5 would be NULL and
+    * silently drop the doc from every equality join. */
+  def fingerprintCol(text: Column): Column =
+    md5(coalesce(
+      array_join(array_sort(array_distinct(tokensCol(text))), " "),
+      lit("")).cast("binary"))
+
   /** Adjacent-token bigrams ("a b") of a token array — shared by the
     * multi-token linking and repetition-signal paths so the span semantics
     * can never drift between them. Guards size >= 2 itself: Spark's
