@@ -57,20 +57,31 @@ object DedupQueries {
 
   /** 32-bit SimHash signature per doc, shared by dd_simhash and the
     * duplicate-cluster derivation (dd_dup_clusters) so the signature
-    * semantics can never drift between them. */
+    * semantics can never drift between them.
+    *
+    * ONE shuffle, no row inflation: per-doc token dedup is row-local
+    * (array_distinct — a doc's tokens never span rows), md5 is computed
+    * once per token, and the 32 bit-position sums are 32 parallel
+    * map-side-combinable aggregates over the token rows. The textbook
+    * (token x bit) crossJoin formulation — which the DuckDB oracle keeps,
+    * values are identical — inflates the exchange 32x and needs two more
+    * shuffles (global token distinct + per-(doc, j) combine); at sf0.1
+    * that was ~10M shuffled rows vs ~300k here. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
-      .distinct()
-    val js = broadcast((0 until 32).toDF("j"))
-    val bits = toks.crossJoin(js)
-      .groupBy("doc_id", "j")
-      .agg(sum(when(md5(col("tok").cast("binary")).substr(col("j") + 1, lit(1))
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("sgn"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextNorm.tokensCol(col("text")))).as("tok"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+    val sgnCols = (0 until 32).map { j =>
+      sum(when(col("h").substr(j + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    toks.groupBy("doc_id").agg(sgnCols.head, sgnCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** The matching DuckDB CTE chain: yields `sim(doc_id, simhash)`. */
