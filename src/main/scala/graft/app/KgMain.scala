@@ -192,7 +192,11 @@ object KgMain {
         corefStateTable = state,
         edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = dTbl)
       val gen = tbl.currentGeneration().getOrElse("<none>")
-      println(s"""{"run_id":"$runId","mode":"$mode","supports_gen":"$gen","edges_gen":"${eTbl.currentGeneration().getOrElse("<none>")}","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
+      // streaming publishes are keyed stream-<ckptId>-<batchId>, not by this
+      // app invocation — report the LINEAGE id (what _meta/runs records
+      // actually carry), not a minted run_id nothing on disk matches
+      val lineage = tbl.currentGeneration("lastBatchCkpt").getOrElse("<none>")
+      println(s"""{"lineage":"$lineage","mode":"$mode","supports_gen":"$gen","edges_gen":"${eTbl.currentGeneration().getOrElse("<none>")}","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
       spark.stop()
       return
     }

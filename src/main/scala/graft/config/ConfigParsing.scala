@@ -20,9 +20,16 @@ object ConfigParsing {
   private val mapper = new ObjectMapper()
 
   /** F6: bracket-list parsing `"[a,b,c]"` -> Seq("a","b","c")
-    * (Harvester.rdfUris, Harvester.java:210-214 — substring + split). */
+    * (Harvester.rdfUris, Harvester.java:210-214 — substring + split).
+    * The reference substrings BLINDLY, which mangles a bare unbracketed
+    * value ("http://x" would become "ttp://"); silently corrupted
+    * predicates are strictly worse than bug-compatibility here, so a
+    * value without the bracket form is split as-is. */
   def parseBracketList(s: String): Seq[String] = {
-    val inner = s.substring(1, s.length - 1)
+    val t = s.trim
+    val inner =
+      if (t.startsWith("[") && t.endsWith("]")) t.substring(1, t.length - 1)
+      else t
     if (inner.trim.isEmpty) Seq.empty
     else inner.split(",").toSeq.map(_.trim)
   }

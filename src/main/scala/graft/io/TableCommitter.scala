@@ -66,7 +66,6 @@ final class TableCommitter(rootDir: String) {
   private def writeSchemaSidecar(df: DataFrame, stagedAt: String): Unit =
     SparkIo.writeSchemaSidecar(df.schema, Paths.get(stagedAt))
 
-  /** All published generations, oldest first. */
   /** Every alias pointer and the generation it references (control-plane
     * inspection surface — KgAdmin renders this; keeping the pointer-file
     * layout private to this class). */
@@ -91,6 +90,7 @@ final class TableCommitter(rootDir: String) {
     if (gen.matches("gen-\\d+") && Files.isDirectory(p)) Some(p) else None
   }
 
+  /** All published generations, oldest first. */
   def generations(): Seq[String] =
     if (!Files.exists(root)) Seq.empty
     else {
@@ -476,7 +476,8 @@ final class TableCommitter(rootDir: String) {
     // the meta dir also holds the run-record DIRECTORY and dot-prefixed
     // temp files: an alias colliding with either would clobber run records
     // (Files.move onto _meta/runs) or fight the .alias.tmp convention
-    require(alias.matches("[A-Za-z0-9][A-Za-z0-9_-]*") && alias != "runs",
+    require(alias.matches("[A-Za-z0-9][A-Za-z0-9_-]*") &&
+      alias != "runs" && alias != "pins",
       s"invalid alias name '$alias'")
     Files.createDirectories(meta)
     val tmp = meta.resolve(s".$alias.tmp")

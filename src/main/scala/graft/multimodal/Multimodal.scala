@@ -113,7 +113,9 @@ object Multimodal {
     * every k-th video frame) — pure Column ops over the binary column
     * (Substring supports BinaryType), no kernel needed. Null/empty payloads
     * sample to an empty frame list (sequence(1, 0) would throw). */
-  def frameSample(withPayload: DataFrame, k: Int): DataFrame =
+  def frameSample(withPayload: DataFrame, k: Int): DataFrame = {
+    // fail here, not per-row inside Spark's sequence() step validation
+    require(k >= 1, s"frame-sample stride must be >= 1, got $k")
     withPayload.select(
       col("doc_id"),
       when(coalesce(length(col("payload")), lit(0)) === 0,
@@ -121,4 +123,5 @@ object Multimodal {
         .otherwise(
           transform(sequence(lit(1), length(col("payload")), lit(k)),
             i => col("payload").substr(i, lit(1)))).as("frames"))
+  }
 }

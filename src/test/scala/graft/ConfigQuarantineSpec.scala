@@ -59,6 +59,12 @@ class ConfigQuarantineSpec extends AnyFunSuite {
     // F6 bracket list (Harvester.java:210-214)
     assert(ConfigParsing.parseBracketList("[a,b,c]") == Seq("a", "b", "c"))
     assert(ConfigParsing.parseBracketList("[]") == Seq.empty)
+    // a BARE value must not be substring-mangled (the reference's blind
+    // substring would turn "http://x#p" into "ttp://x#")
+    assert(ConfigParsing.parseBracketList("http://x#prefLabel")
+      == Seq("http://x#prefLabel"))
+    assert(ConfigParsing.parseBracketList("a, b") == Seq("a", "b"))
+    assert(ConfigParsing.parseBracketList("") == Seq.empty)
     // F5 IDN endpoint (Harvester.java:222-235)
     assert(ConfigParsing.normalizeEndpoint("https://slovník.example/sparql")
       == "https://xn--slovnk-7va.example/sparql")

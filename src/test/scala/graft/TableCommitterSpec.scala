@@ -198,6 +198,11 @@ class TableCommitterSpec extends AnyFunSuite {
     assert(t.read(spark).get.head().getString(0) == "green")
     t.setPointer("serve", "gen-1")
     assert(t.read(spark, "serve").get.head().getString(0) == "green")
+    // alias names colliding with the meta-dir layout are refused: "runs"
+    // (run records) and "pins" (pin directory) — a pointer file REPLACE_
+    // EXISTING onto either would clobber table metadata
+    intercept[IllegalArgumentException](t.setPointer("runs", "gen-0"))
+    intercept[IllegalArgumentException](t.setPointer("pins", "gen-0"))
   }
 
   test("currentRecordCount caches per immutable generation (one tiny file " +
