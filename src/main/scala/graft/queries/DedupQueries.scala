@@ -104,6 +104,63 @@ object DedupQueries {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot(a, b)
 
+  /** LOCAL substring-overlap near-dup (Manber-style "0 mod p" fingerprint
+    * selection; Manber 1994, and the windowed variant in Schleimer/
+    * Wilkerson/Aiken's winnowing, SIGMOD 2003): two docs are related when
+    * they share >= `minShared` selected token-5-gram fingerprints — i.e.
+    * a copied PASSAGE — even when their global shingle-set Jaccard is far
+    * below any near-dup threshold. The bag-of-shingles family
+    * (dd_ngram_jaccard / dd_minhash_lsh / dd_simhash) cannot see this:
+    * a 40-token quote inside two otherwise-different 400-token docs is
+    * ~10% Jaccard but a certain local duplicate.
+    *
+    * Scale shape, in stage order:
+    *  1. 5-gram + hash is a narrow map (one md5 per position, the
+    *     MinHash 28-bit digest-prefix idiom);
+    *  2. `h % p = 0` SELECTION runs BEFORE any exchange, cutting the
+    *     shuffled volume to ~1/p of token positions (selection is content-
+    *     keyed, so the same passage selects the same fingerprints in every
+    *     doc — no alignment needed);
+    *  3. the stop-fingerprint cap (df <= maxDf) bounds the pair join's
+    *     hottest key: boilerplate shared by hundreds of docs can never
+    *     certify a pairwise overlap, and without the cap it makes the
+    *     equality join quadratic in its hottest fingerprint — the same
+    *     reason the LSH path filters band floods;
+    *  4. pairs = fingerprint-equality join (never all-pairs) + one
+    *     map-side-combinable count per (a, b).
+    * At 100 TB, p trades recall floor (shortest detectable overlap
+    * ~ p + w tokens) against shuffle volume; winnowing's window-minimum
+    * selection adds a max-gap guarantee at the cost of a positional
+    * window — the 0-mod-p form keeps selection row-local and engine-exact.
+    */
+  def winnowOverlap(docs: DataFrame, p: Int = 8, maxDf: Int = 50,
+                    minShared: Int = 3): DataFrame = {
+    val l = TextNorm.tokensCol(col("text"))
+    val grams = docs.select(col("doc_id"), l.as("l"))
+      .filter(size(col("l")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("l")) - 5),
+        i => concat_ws(" ", (1 to 5).map(j => element_at(col("l"), i + j)): _*)))
+        .as("s"))
+    val sel = grams
+      .select(col("doc_id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10)
+          .cast("long").as("h"))
+      .filter(col("h") % p === 0)
+      .distinct()
+    val keep = sel.join(
+      sel.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf), "h")
+      .select("doc_id", "h")
+    val x = keep.select(col("doc_id").as("a"), col("h"))
+    val y = keep.select(col("doc_id").as("b"), col("h"))
+    x.join(y, "h").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("a", "b", "shared")
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- exact dedup: content-hash groupBy, keep min id per group
@@ -294,6 +351,25 @@ object DedupQueries {
       comp.select(col("id").as("doc_id"), col("component").as("cluster"),
           count(lit(1)).over(Window.partitionBy("component")).as("cluster_size"))
         .orderBy("doc_id")
+    },
+
+    // ---- LOCAL substring overlap (copied passages): 0-mod-p selected
+    // token-5-gram fingerprints, stop-fingerprint cap, pair count — see
+    // winnowOverlap's scaladoc for the algorithm and the scale shape
+    "dd_winnow_overlap" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |              FROM documents),
+        |g AS (SELECT DISTINCT doc_id, l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5] AS s
+        |      FROM (SELECT doc_id, l, unnest(range(len(l)-4)) AS i FROM toks WHERE len(l) >= 5)),
+        |sel AS (SELECT DISTINCT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+        |        FROM g WHERE CAST(CONCAT('0x', substr(md5(s), 1, 7)) AS BIGINT) % 8 = 0),
+        |freq AS (SELECT h, count(*) AS df FROM sel GROUP BY h),
+        |keep AS (SELECT sel.doc_id, sel.h FROM sel JOIN freq USING (h) WHERE freq.df <= 50)
+        |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |FROM keep x JOIN keep y ON x.h = y.h AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      winnowOverlap(Tables.documents(s, d))
     },
 
     // ---- embedding-cosine near-dup: brute-force pair join (baseline);

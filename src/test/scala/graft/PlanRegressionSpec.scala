@@ -46,6 +46,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd_winnow_overlap: fingerprint pair join is hash-based, never a " +
+       "cartesian product; 0-mod-p selection runs below every shuffle") {
+    val p = plan("dd_winnow_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the % p = 0 selection must run map-side so only ~1/p of token
+    // positions are ever shuffled: the FilterExec carrying it must have no
+    // Exchange BELOW it in the physical tree
+    val spark = SparkTestSession.get
+    val wrapped = SparkEntry.queries("dd_winnow_overlap")(spark, sf)
+      .queryExecution.executedPlan
+    // AQE wraps the real tree; collect() does not descend through it
+    val phys = wrapped match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val selFilters = phys.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("% 8") => f
+    }
+    assert(selFilters.nonEmpty, "0-mod-p selection filter missing from the plan")
+    selFilters.foreach { f =>
+      val shufflesBelow = f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shufflesBelow.isEmpty,
+        "selection filter sits above a shuffle — positions are exchanged " +
+          "before being down-selected")
+    }
+  }
+
   test("dd_minhash_lsh: banded candidate join and verification are hash joins, " +
        "never a cartesian product") {
     val p = plan("dd_minhash_lsh")
