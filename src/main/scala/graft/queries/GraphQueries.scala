@@ -123,6 +123,56 @@ object GraphQueries {
     dist
   }
 
+  /** Common-neighbor link prediction over a symmetric edge frame (u, v):
+    * for node pairs NOT already connected, the shared-neighbor count `cn`,
+    * neighbor-set Jaccard, and a fixed-point resource-allocation index
+    * `ra_fp` = sum over shared neighbors w of (1000000 div deg(w)) — the
+    * RA sum is kept in pure integers because the textbook float
+    * sum(1/deg) is addition-order-dependent and so never cross-engine
+    * exact. `maxHubDeg` caps the wedge join's hottest key BEFORE the
+    * pair join: a degree-D hub would otherwise emit D^2/2 wedges (the
+    * same stop-key bound as dd_winnow_overlap's df cap and the LSH band
+    * flood filter); capped hubs certify nothing, while Jaccard
+    * denominators still use UNCAPPED true degrees. Returns
+    * (a, b, cn, ra_fp, jac). */
+  def linkPredict(sym: DataFrame, maxHubDeg: Int, minCn: Int): DataFrame = {
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    // cap prunes the wedge centers BEFORE the quadratic self-join
+    val sc = sym.join(deg.filter(col("d") <= maxHubDeg), "u")
+      .select(col("u").as("w"), col("v"), col("d").as("dw"))
+    val x = sc.select(col("w"), col("v").as("a"), col("dw"))
+    val y = sc.select(col("w"), col("v").as("b"))
+    val cns = x.join(y, "w").filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div dw")).as("ra_fp"))
+      .filter(col("cn") >= minCn)
+    // sym is symmetric, so one directed probe decides edge existence
+    val nw = cns.join(sym.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    nw.join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .withColumn("jac",
+        col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+      .select("a", "b", "cn", "ra_fp", "jac")
+      .orderBy("a", "b")
+  }
+
+  /** Fixed-round Bellman-Ford over a directed weighted edge frame
+    * (u, v, w: integer): dist(v) <- min(dist(v), dist(u) + w) each round,
+    * from `seeds` (id, dist=0). Same per-round envelope as [[bfsHops]]
+    * (one hash join + one min-combine agg, node-bounded state) — weights
+    * change nothing about the shuffle shape, only the merge value.
+    * Returns (id, dist). */
+  def bellmanFord(ew: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds
+    for (_ <- 1 to rounds) {
+      val relax = ew.join(dist.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg(min(col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relax).groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- community detection: synchronous label propagation, 3 rounds.
@@ -190,6 +240,52 @@ object GraphQueries {
         .select(col("doc_id").as("id"), lit(0L).as("h"))
       bfsHops(ed, seeds, hops = 3)
         .select(col("id"), col("h").as("hops")).orderBy("id")
+    },
+
+    // ---- link prediction: common-neighbor count, integer fixed-point
+    // resource-allocation index, neighbor-set Jaccard — for pairs NOT yet
+    // connected, hub wedges capped at deg <= 32 — see linkPredict's
+    // scaladoc for the scale bound
+    "kg_link_predict" -> Q(
+      s"""WITH $edgesSql,
+         |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+         |sc AS (SELECT s.u AS w, s.v, g.d AS dw
+         |       FROM sym s JOIN deg g ON s.u = g.u WHERE g.d <= 32),
+         |cns AS (SELECT x.v AS a, y.v AS b, count(*) AS cn,
+         |               CAST(sum(1000000 // x.dw) AS BIGINT) AS ra_fp
+         |        FROM sc x JOIN sc y ON x.w = y.w AND x.v < y.v
+         |        GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nw AS (SELECT * FROM cns WHERE NOT EXISTS
+         |        (SELECT 1 FROM sym WHERE sym.u = cns.a AND sym.v = cns.b))
+         |SELECT a, b, cn, ra_fp, CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jac
+         |FROM nw JOIN deg da ON nw.a = da.u JOIN deg db ON nw.b = db.u
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      linkPredict(symmetrizedEdges(s, d), maxHubDeg = 32, minCn = 2)
+    },
+
+    // ---- weighted shortest paths: 4 Bellman-Ford rounds over the directed
+    // edge set with deterministic integer weights w = (u + v) % 7 + 1,
+    // seeded like kg_bfs_hops; per round one hash join + one min-combine
+    "kg_weighted_paths" -> Q(
+      s"""WITH $edgesSql,
+         |ew AS (SELECT u, v, (u + v) % 7 + 1 AS w FROM ed),
+         |b0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist FROM documents WHERE doc_id % 53 = 1),
+         |c1 AS (SELECT e.v AS id, min(b.dist + e.w) AS dist FROM ew e JOIN b0 b ON e.u = b.id GROUP BY e.v),
+         |b1 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM b0 UNION ALL SELECT * FROM c1) GROUP BY id),
+         |c2 AS (SELECT e.v AS id, min(b.dist + e.w) AS dist FROM ew e JOIN b1 b ON e.u = b.id GROUP BY e.v),
+         |b2 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM b1 UNION ALL SELECT * FROM c2) GROUP BY id),
+         |c3 AS (SELECT e.v AS id, min(b.dist + e.w) AS dist FROM ew e JOIN b2 b ON e.u = b.id GROUP BY e.v),
+         |b3 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM b2 UNION ALL SELECT * FROM c3) GROUP BY id),
+         |c4 AS (SELECT e.v AS id, min(b.dist + e.w) AS dist FROM ew e JOIN b3 b ON e.u = b.id GROUP BY e.v),
+         |b4 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM b3 UNION ALL SELECT * FROM c4) GROUP BY id)
+         |SELECT id, dist FROM b4 ORDER BY id""".stripMargin) { (s, d) =>
+      val ew = directedEdges(s, d)
+        .withColumn("w", (col("u") + col("v")) % 7 + 1)
+      val seeds = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 53 === 1)
+        .select(col("doc_id").as("id"), lit(0L).as("dist"))
+      bellmanFord(ew, seeds, rounds = 4)
+        .select("id", "dist").orderBy("id")
     }
   )
 }

@@ -105,4 +105,69 @@ class GraphQueriesSpec extends AnyFunSuite {
         s"bfs mismatch at seed=$seed n=$n m=$m")
     }
   }
+
+  /** (a, b) -> (cn, ra_fp, jac-numerator-check) over non-edges only. */
+  private def refLinkPredict(es: Seq[(Long, Long)], maxHubDeg: Int,
+                             minCn: Int): Map[(Long, Long), (Long, Long, Double)] = {
+    val nbrs = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val deg = nbrs.map { case (u, vs) => u -> vs.size.toLong }
+    val edgeSet = es.toSet
+    val wedges = for {
+      (w, vs) <- nbrs.toSeq if deg(w) <= maxHubDeg
+      a <- vs; b <- vs if a < b
+    } yield ((a, b), 1000000L / deg(w))
+    wedges.groupBy(_._1).collect {
+      case ((a, b), rs) if rs.size >= minCn && !edgeSet((a, b)) =>
+        val cn = rs.size.toLong
+        (a, b) -> (cn, rs.map(_._2).sum,
+          cn.toDouble / (deg(a) + deg(b) - cn))
+    }
+  }
+
+  test("link prediction == brute force; hub-capped wedges certify nothing") {
+    for ((seed, n, m) <- shapes; cap <- Seq(3, 32)) {
+      val s = sym(randomGraph(seed, n, m))
+      val got = GraphQueries.linkPredict(toDf(s), maxHubDeg = cap, minCn = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(got == refLinkPredict(s, cap, minCn = 2),
+        s"linkPredict mismatch at seed=$seed n=$n m=$m cap=$cap")
+    }
+    // a star hub over the cap: no pair may be certified through it
+    val star = sym((1L to 40L).map(i => (0L, i)))
+    assert(GraphQueries.linkPredict(toDf(star), maxHubDeg = 32, minCn = 1)
+      .collect().isEmpty, "over-cap hub must certify no pairs")
+  }
+
+  private def refBellman(es: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                         rounds: Int): Map[Long, Long] = {
+    val out = es.groupBy(_._1)
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relax = dist.toSeq.flatMap { case (u, du) =>
+        out.getOrElse(u, Nil).map { case (_, v, w) => v -> (du + w) } }
+      dist = (dist.toSeq ++ relax).groupBy(_._1)
+        .map { case (id, ds) => id -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  test("Bellman-Ford == brute force on random weighted DIRECTED graphs") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    for ((seed, n, m) <- shapes) {
+      val rnd = new scala.util.Random(seed + 100)
+      val es = randomGraph(seed, n, m)
+        .map { case (u, v) => (u, v, rnd.nextInt(9).toLong + 1) }
+      val seedNodes = (0L until n.toLong).filter(_ % 5 == 1)
+      val seedsDf = seedNodes.map(id => (id, 0L)).toDF("id", "dist")
+      val got = GraphQueries
+        .bellmanFord(es.toDF("u", "v", "w").repartition(5), seedsDf, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == refBellman(es, seedNodes, rounds = 4),
+        s"bellmanFord mismatch at seed=$seed n=$n m=$m")
+    }
+  }
 }

@@ -78,6 +78,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("kg_link_predict / kg_weighted_paths: wedge self-join, edge anti-join " +
+       "and per-round relaxation are all hash-based, never a nested loop") {
+    for (q <- Seq("kg_link_predict", "kg_weighted_paths")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+  }
+
   test("dd_minhash_lsh: banded candidate join and verification are hash joins, " +
        "never a cartesian product") {
     val p = plan("dd_minhash_lsh")
