@@ -20,7 +20,7 @@ object KgQueries {
 
   /** Deterministic transcript view over documents:
     * conv_id = conv-%04d(doc_id mod 50), turn_idx = doc_id div 50. */
-  private def turns(s: SparkSession, d: String): DataFrame =
+  private[queries] def turns(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       concat(lit("conv-"), lpad((col("doc_id") % 50).cast("string"), 4, "0")).as("conv_id"),
       floor(col("doc_id") / 50).cast("bigint").as("turn_idx"),
@@ -29,7 +29,7 @@ object KgQueries {
         .otherwise("tool").as("role"),
       col("doc_id"), col("text"), col("lang"))
 
-  private val turnsSql: String =
+  private[queries] val turnsSql: String =
     """SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
       |       doc_id // 50 AS turn_idx,
       |       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the curation operators, beyond the driver's
+  * value-exact DuckDB oracles: redaction completeness, decontamination
+  * flagging, SFT pair ordering/roles, packing contiguity and token
+  * conservation, and overlap-chunk coverage. All run against the sf0.001
+  * corpus through the registered queries — the same code path the driver
+  * drives. */
+class CurationQueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.queries(name)(SparkTestSession.get, sf)
+
+  test("pii redaction: planted PII is counted per derivation class and the redacted text has no residual matches") {
+    val spark = SparkTestSession.get
+    val rows = q("ta_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = (id % 5) match {
+        case 0 => (1L, 0L, 0L)
+        case 1 => (0L, 1L, 0L)
+        case 2 => (0L, 0L, 1L)
+        case _ => (0L, 0L, 0L)
+      }
+      assert((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
+        r.getAs[Long]("n_phone")) === expected, s"doc $id")
+    }
+    // residual check: rebuild one redacted text with the same expressions
+    // and assert the patterns are gone while placeholders are present.
+    import spark.implicits._
+    val t = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+      .select(concat(col("text"), lit(" contact user0@example.com now"),
+        lit(" from host 10.0.1.2 port 443"), lit(" call +1 555 0042")).as("t"))
+      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit("<EMAIL>")),
+        lit("[0-9]{1,3}(\\.[0-9]{1,3}){3}"), lit("<IP>")),
+        lit("\\+[0-9][0-9 ]*[0-9]"), lit("<PHONE>")).as("red"))
+    val red = t.head().getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"))
+    assert(!red.matches(".*[0-9]{1,3}(\\.[0-9]{1,3}){3}.*"))
+  }
+
+  test("decontamination: flagged docs really contain a benchmark trigram; kept docs contain none") {
+    val spark = SparkTestSession.get
+    val bench = Set("key agg row", "scan slow fast", "batch window spark",
+      "data query small", "zebra qux corge")
+    val flags = q("ta_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("")).toMap
+    assert(flags.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tris = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val contaminated = (tris intersect bench).nonEmpty
+      assert(flags(id) === !contaminated, s"doc $id")
+    }
+    // the fixture must exercise both branches
+    assert(flags.values.exists(identity) && flags.values.exists(!_))
+  }
+
+  test("sft pairs: prompt strictly precedes response, roles are user/assistant, and the nearest prior user turn wins") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val pairs = q("ta_sft_pairs").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("prompt_idx") < r.getAs[Long]("response_idx"))
+    }
+    // recompute roles from the derivation: role = f(doc_id), doc_id =
+    // conv*1 + turn_idx*50 given conv_id = doc_id%50, turn_idx = doc_id/50
+    def role(conv: Int, idx: Long): String = ((conv + idx * 50) % 3) match {
+      case 0 => "user"; case 1 => "assistant"; case _ => "tool"
+    }
+    pairs.foreach { r =>
+      val conv = r.getAs[String]("conv_id").stripPrefix("conv-").toInt
+      assert(role(conv, r.getAs[Long]("prompt_idx")) === "user")
+      assert(role(conv, r.getAs[Long]("response_idx")) === "assistant")
+      // nearest: no user turn strictly between prompt and response
+      val between = (r.getAs[Long]("prompt_idx") + 1)
+        .until(r.getAs[Long]("response_idx"))
+        .filter(i => role(conv, i) == "user")
+      assert(between.isEmpty, s"closer user turn exists for $r")
+    }
+  }
+
+  test("sequence packing: token totals are conserved, chunks are contiguous, and chunk ids follow the prefix-sum definition") {
+    val spark = SparkTestSession.get
+    val packed = q("ta_seq_pack").collect()
+      .groupBy(_.getAs[String]("conv_id"))
+    val turns = Tables.documents(spark, sf)
+      .select(
+        concat(lit("conv-"), lpad((col("doc_id") % 50).cast("string"), 4, "0"))
+          .as("conv_id"),
+        floor(col("doc_id") / 50).cast("long").as("turn_idx"),
+        size(graft.text.TextNorm.tokensCol(coalesce(col("text"), lit(""))))
+          .cast("long").as("ntok"))
+      .collect().groupBy(_.getAs[String]("conv_id"))
+    assert(packed.keySet === turns.keySet)
+    packed.foreach { case (conv, chunks) =>
+      val ts = turns(conv).sortBy(_.getAs[Long]("turn_idx"))
+      // conservation
+      assert(chunks.map(_.getAs[Long]("tok_total")).sum ===
+        ts.map(_.getAs[Long]("ntok")).sum)
+      assert(chunks.map(_.getAs[Long]("n_turns")).sum === ts.length.toLong)
+      // chunk id from exclusive prefix sum, budget 120
+      var cum = 0L
+      val expected = ts.map { t =>
+        val c = cum / 120; cum += t.getAs[Long]("ntok"); c
+      }
+      val fromQuery = chunks.sortBy(_.getAs[Long]("chunk_id"))
+        .flatMap(ch => Seq.fill(ch.getAs[Long]("n_turns").toInt)(
+          ch.getAs[Long]("chunk_id")))
+      assert(fromQuery.toSeq === expected.toSeq, s"conv $conv")
+    }
+  }
+
+  test("overlap chunking: stride-8 windows of 12 cover every token and agree with the token array") {
+    val spark = SparkTestSession.get
+    val chunks = q("ta_chunk_overlap").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    docs.foreach { case (id, toks) =>
+      val n = toks.length.toLong
+      val cs = chunks.getOrElse(id, Array.empty[Row])
+        .sortBy(_.getAs[Long]("chunk_idx"))
+      if (n == 0) assert(cs.isEmpty)
+      else {
+        val expectedCount = 1 + (math.max(n - 12, 0) + 7) / 8
+        assert(cs.length.toLong === expectedCount, s"doc $id")
+        cs.zipWithIndex.foreach { case (c, i) =>
+          assert(c.getAs[Long]("start_pos") === i * 8L + 1)
+          assert(c.getAs[Long]("n_toks") === math.min(12L, n - i * 8L))
+          assert(c.getAs[String]("head_tok") === toks(i * 8))
+        }
+        // coverage: last chunk reaches the final token
+        val last = cs.last
+        assert(last.getAs[Long]("start_pos") + last.getAs[Long]("n_toks") - 1 === n)
+      }
+    }
+  }
+}

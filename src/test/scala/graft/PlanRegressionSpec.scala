@@ -168,6 +168,61 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("ta_pii_redact / ta_chunk_overlap: pure per-row transforms — no hash " +
+       "shuffle anywhere (only the presentation sort's range exchange)") {
+    for (q <- Seq("ta_pii_redact", "ta_chunk_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("Arguments: hashpartitioning"),
+        s"$q shuffles a narrow transform")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q reads more than (doc_id, text)")
+    }
+  }
+
+  test("ta_sft_pairs / ta_tool_transitions / ta_seq_pack: conv-keyed window " +
+       "and joins stay hash-based, never a nested loop") {
+    for (q <- Seq("ta_sft_pairs", "ta_tool_transitions", "ta_seq_pack")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+    // packing: the post-window groupBy keys (conv_id, chunk_id) are
+    // satisfied by the window's conv_id partitioning — Catalyst must not
+    // insert a second aggregate exchange
+    // formatted mode lists each Exchange's partitioning on its detail line
+    val p = plan("ta_seq_pack")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"ta_seq_pack has $hashEx hash exchanges, want 1:\n$p")
+  }
+
+  test("ta_decontaminate: benchmark membership filters inside the narrow " +
+       "transform — the exploded stream is hit-only before any shuffle") {
+    val p = plan("ta_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    // the explode input must already carry the array_contains filter
+    assert(p.contains("array_contains"), "membership filter missing")
+    val spark = SparkTestSession.get
+    val wrapped = SparkEntry.queries("ta_decontaminate")(spark, sf)
+      .queryExecution.executedPlan
+    val phys = wrapped match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val gens = phys.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, "no explode in the plan")
+    gens.foreach { g =>
+      assert(g.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty, "explode sits above a shuffle")
+      assert(g.generator.toString.contains("array_contains") ||
+        g.child.toString.contains("array_contains"),
+        "explode input is not membership-filtered")
+    }
+  }
+
   test("extraction stage is narrow: no Exchange below the mapPartitions kernel") {
     val spark = SparkTestSession.get
     import spark.implicits._
