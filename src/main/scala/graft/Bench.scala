@@ -11,11 +11,11 @@ import graft.sources.TranscriptGen
 
 /** Per-round benchmark: (1) every registered query at SPARK_GRAFT_SF_DIR;
   * (2) the KG extraction pipeline on a deterministic synthetic transcript
-  * corpus at multiple parallelism levels — local[1] vs local[4] (the N->4N
-  * pair) and local[32] (peak) on identical parquet input, each in a fresh
-  * child JVM — reporting triples/sec at each plus the N->4N scaling
-  * efficiency (the sandbox evidence for the north rule's two-cluster-size
-  * criterion; see BASELINE.md targets).
+  * corpus at multiple parallelism levels — local[1] vs local[4] and
+  * local[8] vs local[32] (two independent N->4N pairs) on identical parquet
+  * input, each in a fresh child JVM — reporting triples/sec at each plus
+  * both N->4N scaling efficiencies (the sandbox evidence for the north
+  * rule's two-cluster-size criterion; see BASELINE.md targets).
   *
   * Prints ONE JSON line: {"metric","value","unit","queries","sf","kg"}.
   */
@@ -156,18 +156,23 @@ object Bench {
     // taken unconditionally (a one-sided retry that only fires on a bad
     // ratio could only ever improve the reported efficiency)
     val samplesPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "2").toInt
-    val (t1, t4, t32, nTurns, nTriples) =
-      if (skipScaling) (1.0, 1.0, 1.0, 0L, 0L)
+    val (t1, t4, t8, t32, nTurns, nTriples) =
+      if (skipScaling) (1.0, 1.0, 1.0, 1.0, 0L, 0L)
       else {
         val (t1a, turns, triples) = scalingChild(1, turnsDir)
         val m1 = (Seq(t1a) ++
           (2 to samplesPerLevel).map(_ => scalingChild(1, turnsDir)._1)).min
         val m4 = (1 to samplesPerLevel).map(_ => scalingChild(4, turnsDir)._1).min
+        val m8 = (1 to samplesPerLevel).map(_ => scalingChild(8, turnsDir)._1).min
         val m32 = (1 to samplesPerLevel).map(_ => scalingChild(32, turnsDir)._1).min
-        (m1, m4, m32, turns, triples)
+        (m1, m4, m8, m32, turns, triples)
       }
 
+    // two independent N->4N evidence pairs: 1->4 (bus unsaturated, isolates
+    // framework scaling) and 8->32 (the high end, includes the single-box
+    // bandwidth ceiling a real 4N-executor cluster would not share)
     val eff14 = (t1 / t4) / 4.0
+    val eff832 = (t8 / t32) / 4.0
     val eff432 = (t4 / t32) / 8.0
 
     // ---- part 4: incremental-sync proportionality — a sync touching a
@@ -336,12 +341,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val kg = s"""{"turns":$nTurns,"triples":$nTriples,""" +
-      s""""sec_local1":${fmt(t1)},"sec_local4":${fmt(t4)},"sec_local32":${fmt(t32)},""" +
+      s""""sec_local1":${fmt(t1)},"sec_local4":${fmt(t4)},""" +
+      s""""sec_local8":${fmt(t8)},"sec_local32":${fmt(t32)},""" +
       s""""triples_per_sec_local1":${fmt(nTriples / t1)},""" +
       s""""triples_per_sec_local4":${fmt(nTriples / t4)},""" +
+      s""""triples_per_sec_local8":${fmt(nTriples / t8)},""" +
       s""""triples_per_sec_local32":${fmt(nTriples / t32)},""" +
       s""""turns_per_sec_local32":${fmt(nTurns / t32)},""" +
       s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
+      s""""scaling_efficiency_8_to_32":${fmt(eff832)},""" +
       s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson,"stream":$streamJson,"ingest":$ingestJson}""")
   }

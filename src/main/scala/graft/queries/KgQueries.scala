@@ -615,6 +615,104 @@ object KgQueries {
           col("lang"))
         .distinct()
         .orderBy("subj", "pred", "obj", "lang")
+    },
+
+    // ---- KG quality: functional-predicate cardinality violations. A
+    // functional predicate admits ONE object per subject; subjects carrying
+    // several distinct objects are conflicts a curator must resolve (the
+    // graph analogue of the reference's one-prefLabel-per-URI assumption,
+    // ESNormalizer.java:410-457). Map-side-combinable distinct-count per
+    // (subj, pred); values flattened a2-style for exact cross-engine
+    // compare. At scale: one shuffle on the (subj, pred) key, output
+    // bounded by the violating groups only.
+    "kg_conflicts" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |preds(term, pred) AS (VALUES $termPredsSql),
+         |triples AS (SELECT DISTINCT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, pred, tok AS obj
+         |            FROM toks JOIN preds ON toks.tok = preds.term
+         |            WHERE pred IN ('urn:p:tech', 'urn:p:artifact'))
+         |SELECT subj, pred, count(DISTINCT obj) AS n_vals,
+         |       array_to_string(list_sort(list(DISTINCT obj)), ',') AS vals
+         |FROM triples GROUP BY subj, pred HAVING count(DISTINCT obj) > 1
+         |ORDER BY subj, pred""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val functional = Seq("urn:p:tech", "urn:p:artifact")
+      val preds = broadcast(termPreds.toDF("term", "pred"))
+      turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+        .join(preds, col("tok") === col("term"))
+        .filter(col("pred").isin(functional: _*))
+        .groupBy(
+          concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
+          col("pred"))
+        .agg(countDistinct(col("tok")).as("n_vals"),
+          array_join(array_sort(collect_set(col("tok"))), ",").as("vals"))
+        .filter(col("n_vals") > 1)
+        .orderBy("subj", "pred")
+    },
+
+    // ---- deterministic negative sampling for KG-embedding training: each
+    // positive (doc, entity) link spawns K corrupted candidates via an
+    // arithmetic hash into the entity universe (no RNG — reproducible and
+    // engine-agnostic), then an anti-join drops candidates that are true
+    // edges. Plan shape at scale: candidate generation is narrow per-edge
+    // work, the entity index broadcasts, and the anti-join shuffles on the
+    // same (doc, entity) key as the positives — the standard KGE corrupt-
+    // triple prep with no quadratic step.
+    "kg_negative_samples" -> Q {
+      val ents = aliasEntities.map(_._2).distinct.sorted.zipWithIndex
+        .map { case (e, i) => (e, i + 1) }
+      val uniSql = ents.map { case (e, i) => s"('$e',$i)" }.mkString(", ")
+      val n = ents.size
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |ranked AS (
+         |  SELECT doc_id, alias, entity_id,
+         |         row_number() OVER (PARTITION BY doc_id, alias ORDER BY rnk, entity_id) AS rn
+         |  FROM toks JOIN dict ON toks.tok = dict.alias),
+         |pos AS (SELECT DISTINCT doc_id, entity_id FROM ranked WHERE rn = 1),
+         |uni(neg_entity_id, idx) AS (VALUES $uniSql),
+         |cand AS (
+         |  SELECT p.doc_id, p.entity_id, CAST(k.k AS BIGINT) AS k,
+         |         ((p.doc_id * 31 + k.k * 17 + CAST(substr(p.entity_id, 9) AS BIGINT)) % $n) + 1 AS idx
+         |  FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS k) k),
+         |neg AS (SELECT c.doc_id, c.entity_id, c.k, u.neg_entity_id
+         |        FROM cand c JOIN uni u ON c.idx = u.idx)
+         |SELECT g.doc_id, g.entity_id, g.k, g.neg_entity_id
+         |FROM neg g LEFT JOIN pos p2
+         |  ON g.doc_id = p2.doc_id AND g.neg_entity_id = p2.entity_id
+         |WHERE p2.entity_id IS NULL
+         |ORDER BY g.doc_id, g.entity_id, g.k""".stripMargin
+    } { (s, d) =>
+      import s.implicits._
+      val ents = aliasEntities.map(_._2).distinct.sorted.zipWithIndex
+        .map { case (e, i) => (e, (i + 1).toLong) }
+      val n = ents.size
+      val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      val toks = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
+      val pos = toks.join(dict, col("tok") === col("alias"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "entity_id")
+        .distinct()
+      val ks = broadcast(Seq(1, 2).toDF("kk"))
+      val uni = broadcast(ents.toDF("neg_entity_id", "idx"))
+      val cand = pos.crossJoin(ks)
+        .select(col("doc_id"), col("entity_id"), col("kk").cast("bigint").as("k"),
+          (((col("doc_id") * 31 + col("kk") * 17 +
+            substring(col("entity_id"), 9, 10).cast("bigint")) % n) + 1).as("idx"))
+      cand.join(uni, "idx")
+        .join(pos.select(col("doc_id"),
+          col("entity_id").as("neg_entity_id")),
+          Seq("doc_id", "neg_entity_id"), "left_anti")
+        .select("doc_id", "entity_id", "k", "neg_entity_id")
+        .orderBy("doc_id", "entity_id", "k")
     }
   )
 }

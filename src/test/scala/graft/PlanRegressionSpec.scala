@@ -168,6 +168,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("kg_conflicts / kg_negative_samples: dictionary joins broadcast; the " +
+       "anti-join is hash-based; no cartesian product (the negative-sampling " +
+       "k-expansion is a deliberate 2-row broadcast loop, not a data join)") {
+    val pc = plan("kg_conflicts")
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("CartesianProduct"))
+    val pn = plan("kg_negative_samples")
+    assert(!pn.contains("CartesianProduct"))
+    assert(pn.contains("BroadcastHashJoin"))
+    assert(pn.contains("LeftAnti"), "true-edge filter must be an anti-join")
+  }
+
   test("ta_pii_redact / ta_chunk_overlap: pure per-row transforms — no hash " +
        "shuffle anywhere (only the presentation sort's range exchange)") {
     for (q <- Seq("ta_pii_redact", "ta_chunk_overlap")) {
