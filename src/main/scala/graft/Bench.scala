@@ -146,12 +146,13 @@ object Bench {
     // ---- part 3: same job at N and 4N cores on identical input, each level
     // in a FRESH child JVM (same-JVM back-to-back sessions contaminate each
     // other via JIT/GC/heap state — measured up to 40% skew).
-    // local[1] -> local[4] is the N->4N evidence pair: at these levels the
-    // box's shared memory bus is not saturated, so the measurement isolates
-    // framework scaling (on a real cluster every executor brings its own
-    // memory bandwidth, GC capacity and shuffle disks). local[32] is also
-    // run for peak single-box throughput; the 4->32 ratio is reported for
-    // transparency about the single-socket bandwidth wall.
+    // Two N->4N evidence pairs: local[1] -> local[4] (bus unsaturated —
+    // isolates framework scaling; on a real cluster every executor brings
+    // its own memory bandwidth, GC capacity and shuffle disks) and
+    // local[8] -> local[32] (the literal 8-vs-32-core pair the round-4
+    // instructions suggest; it includes the single-socket bandwidth
+    // ceiling a real 4N-executor cluster would not share). local[32] also
+    // gives peak single-box throughput; 4->32 is reported for transparency.
     // best-sustained-time = min over a FIXED number of samples per level,
     // taken unconditionally (a one-sided retry that only fires on a bad
     // ratio could only ever improve the reported efficiency)

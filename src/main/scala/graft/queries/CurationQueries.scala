@@ -22,13 +22,13 @@ object CurationQueries {
   // ---- PII patterns: the common RE2/Java-regex subset so Spark and the
   // DuckDB oracle match byte-for-byte. No \d or \b: spelled-out classes
   // behave identically in both engines.
-  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val ipPat = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
-  private val phonePat = "\\+[0-9][0-9 ]*[0-9]"
+  private[graft] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val ipPat = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+  private[graft] val phonePat = "\\+[0-9][0-9 ]*[0-9]"
 
   /** Benchmark word-trigrams for decontamination (four that occur in the
     * synthetic corpus vocabulary, one that cannot). */
-  private val benchTrigrams = Seq(
+  private[graft] val benchTrigrams = Seq(
     "key agg row", "scan slow fast", "batch window spark",
     "data query small", "zebra qux corge")
 

@@ -74,6 +74,14 @@ object KgQueries {
     * trie-length spans, not single tokens). Two deliberately ambiguous
     * bigram aliases whose rank-1 candidate has the WEAKER context, so only
     * contextual overlap can win — plus one unambiguous control. */
+  /** Entity universe for negative sampling: dense 1-based index over the
+    * distinct sorted entity ids. ONE derivation feeds both the DuckDB VALUES
+    * list and the Spark broadcast frame — the hash-into-universe arithmetic
+    * must agree byte-for-byte between the engines. */
+  private val negUniverse: Seq[(String, Int)] =
+    aliasEntities.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (e, i) => (e, i + 1) }
+
   private val mtAliasEntities = Seq(
     ("window join", "urn:ent:10001", 1), ("window join", "urn:ent:10002", 2),
     ("order sort", "urn:ent:10003", 1), ("order sort", "urn:ent:10004", 2),
@@ -662,10 +670,8 @@ object KgQueries {
     // same (doc, entity) key as the positives — the standard KGE corrupt-
     // triple prep with no quadratic step.
     "kg_negative_samples" -> Q {
-      val ents = aliasEntities.map(_._2).distinct.sorted.zipWithIndex
-        .map { case (e, i) => (e, i + 1) }
-      val uniSql = ents.map { case (e, i) => s"('$e',$i)" }.mkString(", ")
-      val n = ents.size
+      val uniSql = negUniverse.map { case (e, i) => s"('$e',$i)" }.mkString(", ")
+      val n = negUniverse.size
       s"""WITH t AS ($turnsSql),
          |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
          |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
@@ -688,9 +694,7 @@ object KgQueries {
          |ORDER BY g.doc_id, g.entity_id, g.k""".stripMargin
     } { (s, d) =>
       import s.implicits._
-      val ents = aliasEntities.map(_._2).distinct.sorted.zipWithIndex
-        .map { case (e, i) => (e, (i + 1).toLong) }
-      val n = ents.size
+      val n = negUniverse.size
       val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
       val toks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
@@ -702,11 +706,13 @@ object KgQueries {
         .select("doc_id", "entity_id")
         .distinct()
       val ks = broadcast(Seq(1, 2).toDF("kk"))
-      val uni = broadcast(ents.toDF("neg_entity_id", "idx"))
+      val uni = broadcast(
+        negUniverse.map { case (e, i) => (e, i.toLong) }
+          .toDF("neg_entity_id", "idx"))
       val cand = pos.crossJoin(ks)
         .select(col("doc_id"), col("entity_id"), col("kk").cast("bigint").as("k"),
           (((col("doc_id") * 31 + col("kk") * 17 +
-            substring(col("entity_id"), 9, 10).cast("bigint")) % n) + 1).as("idx"))
+            expr("substring(entity_id, 9)").cast("bigint")) % n) + 1).as("idx"))
       cand.join(uni, "idx")
         .join(pos.select(col("doc_id"),
           col("entity_id").as("neg_entity_id")),

@@ -30,26 +30,26 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
         r.getAs[Long]("n_phone")) === expected, s"doc $id")
     }
-    // residual check: rebuild one redacted text with the same expressions
-    // and assert the patterns are gone while placeholders are present.
+    // residual check: rebuild one redacted text with the operator's OWN
+    // patterns and assert they are gone while placeholders are present.
     import spark.implicits._
+    import graft.queries.CurationQueries.{emailPat, ipPat, phonePat}
     val t = Seq((0L, "alpha beta")).toDF("doc_id", "text")
       .select(concat(col("text"), lit(" contact user0@example.com now"),
         lit(" from host 10.0.1.2 port 443"), lit(" call +1 555 0042")).as("t"))
       .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
-        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit("<EMAIL>")),
-        lit("[0-9]{1,3}(\\.[0-9]{1,3}){3}"), lit("<IP>")),
-        lit("\\+[0-9][0-9 ]*[0-9]"), lit("<PHONE>")).as("red"))
+        lit(emailPat), lit("<EMAIL>")),
+        lit(ipPat), lit("<IP>")),
+        lit(phonePat), lit("<PHONE>")).as("red"))
     val red = t.head().getString(0)
     assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
-    assert(!red.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"))
-    assert(!red.matches(".*[0-9]{1,3}(\\.[0-9]{1,3}){3}.*"))
+    assert(!red.matches(s".*$emailPat.*"))
+    assert(!red.matches(s".*$ipPat.*"))
   }
 
   test("decontamination: flagged docs really contain a benchmark trigram; kept docs contain none") {
     val spark = SparkTestSession.get
-    val bench = Set("key agg row", "scan slow fast", "batch window spark",
-      "data query small", "zebra qux corge")
+    val bench = graft.queries.CurationQueries.benchTrigrams.toSet
     val flags = q("ta_decontaminate").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     val docs = Tables.documents(spark, sf)
