@@ -181,7 +181,7 @@ object Bench {
     // physically rewrite only the buckets containing them (the 100 TB
     // nightly-sync criterion). Bytes accounted by inode diff between the
     // support table's generations: hard-linked carryover files are free.
-    val (syncJson, streamJson) = if (skipKg) ("{}", "{}") else {
+    val (syncJson, streamJson, ddJson) = if (skipKg) ("{}", "{}", "{}") else {
       import org.apache.spark.sql.functions._
       val spark2 = session(cpus)
       import spark2.implicits._
@@ -278,8 +278,52 @@ object Bench {
         s""""total_buckets":${sNewFiles.map(_.getParent.getFileName.toString).distinct.size},""" +
         s""""fresh_bytes":${sFresh.map(F.size(_)).sum},""" +
         s""""total_bytes":${sNewFiles.map(F.size(_)).sum}}"""
+
+      // ---- part 5b: incremental dedup-index proportionality — updating the
+      // corpus fingerprint index for a handful of changed documents must
+      // rewrite only the fp/doc buckets the delta touches (same inode
+      // accounting as sync/stream). Documents = one per conversation of the
+      // same t0 corpus.
+      val docs = spark2.read.parquet(t0Dir)
+        .groupBy(col("conv_id"))
+        .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+        .select(substring(col("conv_id"), 6, 10).cast("long").as("doc_id"),
+          col("text"))
+      val ddWork = s"/tmp/graft-ddidx-bench-${System.nanoTime()}"
+      val ddIdx = new graft.dedup.IncrementalDedupIndex(ddWork, buckets = 64)
+      val tD0 = System.nanoTime()
+      ddIdx.update(spark2, docs, "dd-full")
+      val ddFullSec = (System.nanoTime() - tD0) / 1e9
+      val ddRoot = Paths.get(ddWork, "dedup_fp_index")
+      def lastGen(root: java.nio.file.Path) = {
+        import scala.jdk.CollectionConverters._
+        F.list(root).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("gen-"))
+          .toSeq.maxBy(_.getFileName.toString.stripPrefix("gen-").toLong)
+      }
+      val dGen0 = lastGen(ddRoot)
+      val delta = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id"), concat(lit("edited "), col("text")).as("text"))
+      val tD1 = System.nanoTime()
+      val (ddFpB, _) = ddIdx.update(spark2, delta, "dd-delta")
+      val ddDeltaSec = (System.nanoTime() - tD1) / 1e9
+      val tD2 = System.nanoTime()
+      val ddCand = ddIdx.candidates(spark2, delta).count()
+      val ddLookupSec = (System.nanoTime() - tD2) / 1e9
+      val dGen1 = lastGen(ddRoot)
+      val dOldInodes = files(dGen0).map(inode).toSet
+      val dNewFiles = files(dGen1)
+      val dFresh = dNewFiles.filterNot(f => dOldInodes.contains(inode(f)))
+      val ddStr =
+        s"""{"docs":${docs.count()},"delta_docs":5,""" +
+        s""""full_sec":${fmt(ddFullSec)},"delta_sec":${fmt(ddDeltaSec)},""" +
+        s""""lookup_sec":${fmt(ddLookupSec)},"candidates":$ddCand,""" +
+        s""""rewritten_buckets":${ddFpB.size},""" +
+        s""""total_buckets":${dNewFiles.map(_.getParent.getFileName.toString).distinct.size},""" +
+        s""""fresh_bytes":${dFresh.map(F.size(_)).sum},""" +
+        s""""total_bytes":${dNewFiles.map(F.size(_)).sum}}"""
       spark2.stop()
-      (syncStr, streamStr)
+      (syncStr, streamStr, ddStr)
     }
 
     // ---- part 6: dump-ingest throughput — the SAME logical triples read
@@ -352,6 +396,6 @@ object Bench {
       s""""scaling_efficiency_1_to_4":${fmt(eff14)},""" +
       s""""scaling_efficiency_8_to_32":${fmt(eff832)},""" +
       s""""scaling_efficiency_4_to_32":${fmt(eff432)}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson,"stream":$streamJson,"ingest":$ingestJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg":$kg,"sync":$syncJson,"stream":$streamJson,"dedup_index":$ddJson,"ingest":$ingestJson}""")
   }
 }
