@@ -71,6 +71,12 @@ final class IncrementalDedupIndex(workDir: String, buckets: Int = 64) {
     * (doc_id, text); `removed` lists doc ids deleted from the corpus.
     * Returns (touched fp-buckets, touched doc-buckets). Work and rewritten
     * bytes are proportional to the delta, never the corpus.
+    *
+    * Input contract (the upstream CDC's job, not re-checked here with an
+    * extra corpus-sized job): `changed` carries at most one row per doc_id
+    * — two texts for one id would both enter the index; an id in BOTH
+    * `changed` and `removed` is treated as changed (the fresh row wins).
+    * An empty delta is a metadata-only no-op: no generation is published.
     */
   def update(spark: SparkSession, changed: DataFrame, runId: String,
              removed: Seq[Long] = Nil): (Set[Int], Set[Int]) = {
@@ -79,6 +85,10 @@ final class IncrementalDedupIndex(workDir: String, buckets: Int = 64) {
 
     val fresh = fingerprints(changed).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (removed.isEmpty && fresh.isEmpty) {
+      fresh.unpersist()
+      return (Set.empty, Set.empty)
+    }
     val touchedIds = fresh.select("doc_id")
       .union(removed.toDF("doc_id")).distinct()
 

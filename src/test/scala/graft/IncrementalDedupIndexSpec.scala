@@ -138,6 +138,22 @@ class IncrementalDedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("empty delta is a metadata-only no-op: no new generation published") {
+    val spark = SparkTestSession.get
+    val wd = Files.createTempDirectory("graft-dd-").toString
+    val idx = new IncrementalDedupIndex(wd, buckets = B)
+    idx.update(spark, docsDf(corpusV0), "run0")
+    def gens(): Seq[String] = {
+      val root = Paths.get(wd, "dedup_fp_index")
+      Files.list(root).iterator().asScala.toSeq
+        .map(_.getFileName.toString).filter(_.startsWith("gen-")).sorted
+    }
+    val before = gens()
+    val (fpB, docB) = idx.update(spark, docsDf(Seq.empty), "run-noop")
+    assert(fpB.isEmpty && docB.isEmpty)
+    assert(gens() === before, "no-op update published a generation")
+  }
+
   test("crash between the two table publishes heals on same-runId retry") {
     val spark = SparkTestSession.get
     val wd = Files.createTempDirectory("graft-dd-").toString
