@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.config.PipelineConfig
 import graft.schema.{CatalogEntry, Triple, Turn}
-import graft.text.TextNorm
 
 /** Per-turn mention detection + (subj, pred, obj) emission.
   *
@@ -19,6 +18,7 @@ import graft.text.TextNorm
   * input splits.
   *
   * Semantics: text is cleaned with the char-exact `parseForJson` chain
+  * (fused into a reusable-buffer scan, see [[graft.text.CharScan]])
   * first (per-turn text-equality invariant), then whitespace-tokenized. A
   * token that is a catalog alias is a mention, resolved first-match-wins by
   * (rank, entityId) (W3, ESNormalizer.java:417-455). A token that is a
@@ -98,6 +98,98 @@ object Extractor {
     }
   }
 
+  /** Per-partition scan state for the fused kernel: reusable clean/token
+    * buffers ([[graft.text.CharScan.Scratch]]) plus mention/marker position
+    * arrays. One scan = clean -> tokenize -> single sweep doing greedy
+    * longest-match [[FlatTrie]] descent (mentions) with [[CharScan.TokenMap]]
+    * lookup on non-mention tokens (markers) — zero allocation per turn
+    * beyond the emitted rows. Mention entities and marker predicates are
+    * recorded as ints (payload / marker indices); the caller maps them to
+    * its output vocabulary. */
+  private final class ScanState(trie: FlatTrie, markers: graft.text.CharScan.TokenMap) {
+    import graft.text.CharScan
+    val scratch = new CharScan.Scratch
+    private var cap = 64
+    var mPos = new Array[Int](cap) // mention start positions (ascending)
+    var mEnt = new Array[Int](cap) // mention payload indices
+    var kPos = new Array[Int](cap) // marker positions (ascending)
+    var kPred = new Array[Int](cap) // marker value indices
+    var nM = 0
+    var nK = 0
+
+    def scan(rawText: String): Unit = {
+      val len = if (rawText == null) 0 else CharScan.clean(rawText, scratch)
+      CharScan.tokenize(scratch, len)
+      val nTok = scratch.nTok
+      if (nTok > cap) { // all four sized to cap: nM, nK <= nTok
+        cap = nTok
+        mPos = new Array[Int](cap)
+        mEnt = new Array[Int](cap)
+        kPos = new Array[Int](cap)
+        kPred = new Array[Int](cap)
+      }
+      val buf = scratch.buf
+      val ts = scratch.tokStart
+      val te = scratch.tokEnd
+      val th = scratch.tokHash
+      nM = 0
+      nK = 0
+      var i = 0
+      while (i < nTok) {
+        // walk the trie greedily from position i, remember the longest
+        // terminal hit
+        var node = 0
+        var j = i
+        var bestEnd = -1
+        var bestEnt = -1
+        var continue = true
+        while (continue && j < nTok) {
+          val c = trie.child(node, buf, ts(j), te(j), th(j))
+          if (c < 0) continue = false
+          else {
+            val p = trie.payload(c)
+            if (p >= 0) { bestEnd = j; bestEnt = p }
+            node = c
+            j += 1
+          }
+        }
+        if (bestEnd >= 0) {
+          mPos(nM) = i; mEnt(nM) = bestEnt; nM += 1
+          i = bestEnd + 1 // non-overlapping, longest match consumes its span
+        } else {
+          val p = markers.lookup(buf, ts(i), te(i), th(i))
+          if (p >= 0) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
+          i += 1
+        }
+      }
+    }
+
+    /** Left/right nearest mention around marker position `pos`: packs
+      * (li, ri) mention indices into a long (li in the high 32, ri low),
+      * -1 for absent. Positions are ascending, single walk. */
+    def adjacent(pos: Int): Long = {
+      var li = -1
+      var ri = -1
+      var m = 0
+      while (m < nM) {
+        if (mPos(m) < pos) li = m
+        else if (ri < 0 && mPos(m) > pos) ri = m
+        m += 1
+      }
+      (li.toLong << 32) | (ri.toLong & 0xffffffffL)
+    }
+
+    /** Whether mention `m` is the first occurrence of its entity in the
+      * turn (nM is tiny: linear probe). Payload equality is value equality
+      * (FlatTrie value arrays are deduplicated). */
+    def firstOccurrence(m: Int): Boolean = {
+      var seen = false
+      var j = 0
+      while (j < m && !seen) { seen = mEnt(j) == mEnt(m); j += 1 }
+      !seen
+    }
+  }
+
   def extract(
       turns: Dataset[Turn],
       catalog: Seq[CatalogEntry],
@@ -108,9 +200,13 @@ object Extractor {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    val bcTrie = spark.sparkContext.broadcast(
-      buildTrie(catalog, canon, sentinelAmbiguous))
-    val bcMarkers = spark.sparkContext.broadcast(markers)
+    val (flat, entities) =
+      FlatTrie.fromTrie(buildTrie(catalog, canon, sentinelAmbiguous))
+    val markerKeys = markers.keys.toArray.sorted
+    val markerPreds = markerKeys.map(markers)
+    val markerMap =
+      graft.text.CharScan.TokenMap.build(markerKeys, markerKeys.indices.toArray)
+    val bc = spark.sparkContext.broadcast((flat, entities, markerMap, markerPreds))
 
     // project before the kernel: only 3 of the 6 turn columns are consumed,
     // and the narrow select pushes column pruning into the parquet scan
@@ -119,87 +215,38 @@ object Extractor {
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val trie = bcTrie.value
-        val mk = bcMarkers.value
-        // per-partition reusable scratch (no boxed tuples, no per-turn
-        // collection churn — the kernel is allocation-rate-bound at high
-        // task concurrency)
-        var cap = 64
-        var mPos = new Array[Int](cap)
-        var mEnt = new Array[String](cap)
-        var kPos = new Array[Int](cap)
-        var kPred = new Array[String](cap)
+        val (trie, entities, markerMap, markerPreds) = bc.value
+        val st = new ScanState(trie, markerMap)
         it.flatMap { case (convId, turnIdx, rawText) =>
-          val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
-          val toks = TextNorm.fastTokens(text)
-          if (toks.length > cap) { // all four sized to cap: nM, nK <= toks.length
-            cap = toks.length
-            mPos = new Array[Int](cap)
-            mEnt = new Array[String](cap)
-            kPos = new Array[Int](cap)
-            kPred = new Array[String](cap)
-          }
-          // single sweep: longest-match trie scan for (possibly multi-token)
-          // mentions; marker lookup on non-mention tokens
-          var nM = 0
-          var nK = 0
-          var i = 0
-          while (i < toks.length) {
-            // walk the trie greedily from position i, remember the longest
-            // terminal hit
-            var node = trie
-            var j = i
-            var bestEnd = -1
-            var bestEnt: String = null
-            var continue = true
-            while (continue && j < toks.length) {
-              node.children.getOrElse(toks(j), null) match {
-                case null => continue = false
-                case child =>
-                  if (child.entity != null) { bestEnd = j; bestEnt = child.entity }
-                  node = child
-                  j += 1
-              }
-            }
-            if (bestEnd >= 0) {
-              mPos(nM) = i; mEnt(nM) = bestEnt; nM += 1
-              i = bestEnd + 1 // non-overlapping, longest match consumes its span
-            } else {
-              val p = mk.getOrElse(toks(i), null)
-              if (p != null) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
-              i += 1
-            }
-          }
+          st.scan(rawText)
+          val nM = st.nM
+          val nK = st.nK
+          val mEnt = st.mEnt
           val out = new scala.collection.mutable.ArrayBuffer[Extracted](nK + nM)
           // marker-adjacency triples (mention positions are sorted: walk)
           var k = 0
           while (k < nK) {
-            val pos = kPos(k)
-            var li = -1
-            var ri = -1
-            var m = 0
-            while (m < nM) {
-              if (mPos(m) < pos) li = m
-              else if (ri < 0 && mPos(m) > pos) ri = m
-              m += 1
-            }
+            val lr = st.adjacent(st.kPos(k))
+            val li = (lr >> 32).toInt
+            val ri = lr.toInt
             if (li >= 0 && ri >= 0)
-              out += Extracted(convId, turnIdx, mEnt(li), kPred(k), mEnt(ri))
+              out += Extracted(convId, turnIdx,
+                entities(mEnt(li)), markerPreds(st.kPred(k)), entities(mEnt(ri)))
             else if (emitContext && li < 0 && ri >= 0)
-              out += Extracted(convId, turnIdx, OrphanSubj, kPred(k), mEnt(ri))
+              out += Extracted(convId, turnIdx,
+                OrphanSubj, markerPreds(st.kPred(k)), entities(mEnt(ri)))
             k += 1
           }
           if (emitContext && nM > 0)
-            out += Extracted(convId, turnIdx, "__ctx__", LastMentionPred, mEnt(nM - 1))
+            out += Extracted(convId, turnIdx,
+              "__ctx__", LastMentionPred, entities(mEnt(nM - 1)))
           // distinct mention edges per turn (nM is tiny: linear distinct)
           if (nM > 0) {
             val convUri = s"urn:conv:$convId"
             var m = 0
             while (m < nM) {
-              var seen = false
-              var j = 0
-              while (j < m && !seen) { seen = mEnt(j) == mEnt(m); j += 1 }
-              if (!seen) out += Extracted(convId, turnIdx, convUri, MentionsPred, mEnt(m))
+              if (st.firstOccurrence(m))
+                out += Extracted(convId, turnIdx, convUri, MentionsPred, entities(mEnt(m)))
               m += 1
             }
           }
@@ -242,86 +289,43 @@ object Extractor {
     val preds = (markers.values.toSeq :+ MentionsPred).distinct.sorted.toArray
     val predCode = preds.zipWithIndex.toMap
 
-    // trie resolving straight to the canonical entity CODE
-    val trie = buildTrie(catalog, canon)
-    def mapTrie(n: TrieNode): TrieNode = TrieNode(
-      n.children.map { case (k, v) => k -> mapTrie(v) },
-      if (n.entity == null) null else entCode(n.entity).toString)
-    val bcTrie = spark.sparkContext.broadcast(mapTrie(trie))
-    val bcMarkers = spark.sparkContext.broadcast(
-      markers.map { case (k, v) => k -> predCode(v) })
+    // trie payloads resolve straight to canonical entity CODES via the
+    // deduplicated value array (payload index -> URI -> code)
+    val (flat, values) = FlatTrie.fromTrie(buildTrie(catalog, canon))
+    val payloadCode = values.map(entCode)
+    val markerKeys = markers.keys.toArray.sorted
+    val markerCodes = markerKeys.map(k => predCode(markers(k)))
+    val markerMap =
+      graft.text.CharScan.TokenMap.build(markerKeys, markerKeys.indices.toArray)
     val mentionsCode = predCode(MentionsPred)
+    val bc = spark.sparkContext.broadcast((flat, payloadCode, markerMap, markerCodes))
 
     val rows = turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val trie = bcTrie.value
-        val mk = bcMarkers.value
-        var cap = 64
-        var mPos = new Array[Int](cap)
-        var mEnt = new Array[Int](cap)
-        var kPos = new Array[Int](cap)
-        var kPred = new Array[Int](cap)
+        val (trie, payloadCode, markerMap, markerCodes) = bc.value
+        val st = new ScanState(trie, markerMap)
         it.flatMap { case (convId, _, rawText) =>
-          val text = if (rawText == null) "" else TextNorm.parseForJson(rawText)
-          val toks = TextNorm.fastTokens(text)
-          if (toks.length > cap) { // all four sized to cap: nM, nK <= toks.length
-            cap = toks.length
-            mPos = new Array[Int](cap)
-            mEnt = new Array[Int](cap)
-            kPos = new Array[Int](cap)
-            kPred = new Array[Int](cap)
-          }
-          var nM = 0
-          var nK = 0
-          var i = 0
-          while (i < toks.length) {
-            var node = trie
-            var j = i
-            var bestEnd = -1
-            var bestEnt = -1
-            var continue = true
-            while (continue && j < toks.length) {
-              node.children.getOrElse(toks(j), null) match {
-                case null => continue = false
-                case child =>
-                  if (child.entity != null) { bestEnd = j; bestEnt = child.entity.toInt }
-                  node = child
-                  j += 1
-              }
-            }
-            if (bestEnd >= 0) {
-              mPos(nM) = i; mEnt(nM) = bestEnt; nM += 1
-              i = bestEnd + 1
-            } else {
-              val p = mk.getOrElse(toks(i), -1)
-              if (p >= 0) { kPos(nK) = i; kPred(nK) = p; nK += 1 }
-              i += 1
-            }
-          }
+          st.scan(rawText)
+          val nM = st.nM
+          val nK = st.nK
+          val mEnt = st.mEnt
           val out = new scala.collection.mutable.ArrayBuffer[EncodedExtracted](nK + nM)
           var k = 0
           while (k < nK) {
-            val pos = kPos(k)
-            var li = -1
-            var ri = -1
-            var m = 0
-            while (m < nM) {
-              if (mPos(m) < pos) li = m
-              else if (ri < 0 && mPos(m) > pos) ri = m
-              m += 1
-            }
+            val lr = st.adjacent(st.kPos(k))
+            val li = (lr >> 32).toInt
+            val ri = lr.toInt
             if (li >= 0 && ri >= 0)
-              out += EncodedExtracted(convId, mEnt(li), kPred(k), mEnt(ri))
+              out += EncodedExtracted(convId,
+                payloadCode(mEnt(li)), markerCodes(st.kPred(k)), payloadCode(mEnt(ri)))
             k += 1
           }
           var m = 0
           while (m < nM) {
-            var seen = false
-            var j2 = 0
-            while (j2 < m && !seen) { seen = mEnt(j2) == mEnt(m); j2 += 1 }
-            if (!seen) out += EncodedExtracted(convId, -1, mentionsCode, mEnt(m))
+            if (st.firstOccurrence(m))
+              out += EncodedExtracted(convId, -1, mentionsCode, payloadCode(mEnt(m)))
             m += 1
           }
           out
