@@ -482,6 +482,51 @@ object DedupQueries {
         .filter(col("cos") >= 0.3)
         .select("bucket", "a", "b", "cos")
         .orderBy("bucket", "a", "b")
+    },
+
+    // ---- int8 scalar-quantized ANN (the memory-bandwidth scale path,
+    // FAISS-SQ-style): unit-normalize, clip to [-1, 1], quantize each
+    // dimension to floor(u * 127) — an int8 code — and rank neighbors by
+    // the INTEGER dot product of code vectors. At 100 TB the ANN scan is
+    // bandwidth-bound, so 4x smaller codes mean 4x fewer bytes per probe;
+    // this composes with IVF bucketing (quantize within probed buckets).
+    // Cross-engine exactness: codes are integer-VALUED doubles, so the
+    // codegen'd left-fold dot product is exact integer arithmetic in
+    // double (|dot| <= 127^2 * 64 << 2^53) — bit-identical to DuckDB's
+    // list_dot_product, no rounding step needed. Quantized recall@5 vs the
+    // exact ranking is asserted in ScalarQuantSpec.
+    "ann_sq_int8" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |qz AS (SELECT vec_id,
+        |         list_transform(v, x -> floor(greatest(least(x / nrm, 1.0), -1.0) * 127)) AS q
+        |       FROM n),
+        |qs AS (SELECT vec_id AS qid, q AS qq FROM qz WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT qs.qid, z.vec_id AS nid,
+        |         CAST(list_dot_product(qs.qq, z.q) AS BIGINT) AS dotq
+        |  FROM qs JOIN qz z ON qs.qid <> z.vec_id),
+        |ranked AS (SELECT qid, nid, dotq,
+        |             row_number() OVER (PARTITION BY qid ORDER BY dotq DESC, nid) AS rnk
+        |           FROM scored)
+        |SELECT qid, rnk, nid, dotq FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val qz = n.select(col("vec_id"),
+        transform(col("v"), x =>
+          floor(greatest(least(x / col("nrm"), lit(1.0)), lit(-1.0)) * 127)
+            .cast("double")).as("q"))
+      val qs = broadcast(qz.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq")))
+      val scored = qs.join(qz, col("qid") =!= col("vec_id"))
+        .withColumn("dotq", dot(col("qq"), col("q")).cast("long"))
+      val w = Window.partitionBy("qid").orderBy(col("dotq").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("dotq"))
+        .orderBy("qid", "rnk")
     }
   )
 }
