@@ -52,6 +52,9 @@ object FlatTrie {
     * value array its payloads index. */
   def fromTrie(root: Extractor.TrieNode): (FlatTrie, Array[String]) = {
     val nodes = scala.collection.mutable.ArrayBuffer[Extractor.TrieNode](root)
+    // per-node children sorted ONCE; reused by the edge-insertion pass so
+    // the BFS child numbering and the edge targets can never disagree
+    val sortedChildren = scala.collection.mutable.ArrayBuffer[Seq[(String, Extractor.TrieNode)]]()
     val values = scala.collection.mutable.ArrayBuffer[String]()
     val valueIdx = scala.collection.mutable.HashMap[String, Int]()
     // BFS numbering: children discovered after their parent, so edge
@@ -59,8 +62,10 @@ object FlatTrie {
     var i = 0
     var nEdges = 0
     while (i < nodes.length) {
-      nEdges += nodes(i).children.size
-      nodes(i).children.toSeq.sortBy(_._1).foreach { case (_, c) => nodes += c }
+      val cs = nodes(i).children.toSeq.sortBy(_._1)
+      sortedChildren += cs
+      nEdges += cs.size
+      cs.foreach { case (_, c) => nodes += c }
       i += 1
     }
     var cap = 4

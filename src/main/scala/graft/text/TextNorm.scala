@@ -25,57 +25,29 @@ object TextNorm {
     * property-tested against an independent step-by-step model
     * (TextNormSpec). */
   def parseForJson(text: String): String = {
-    // Java String.trim: strip chars <= U+0020 at both ends
-    var lo = 0
-    var hi = text.length
-    while (lo < hi && text.charAt(lo) <= ' ') lo += 1
-    while (hi > lo && text.charAt(hi - 1) <= ' ') hi -= 1
-
-    val sb = new java.lang.StringBuilder(hi - lo + 8)
-    var i = lo
-    while (i < hi) {
-      val c = text.charAt(i)
-      c match {
-        case '\n' | '\r' => sb.append(' '); i += 1
-        case '"' => sb.append('\''); i += 1
-        case '\t' => sb.append("    "); i += 1
-        case '\\' =>
-          val next = if (i + 1 < hi) text.charAt(i + 1) else '\u0000'
-          if (next == '\'' || next == '"') {
-            // step 5 runs after step 3, so \" (by then \') also collapses
-            sb.append('\''); i += 2
-          } else if (next == 'x' && i + 3 < hi &&
-                     isHex(text.charAt(i + 2)) && isHex(text.charAt(i + 3))) {
-            sb.append('_'); i += 4
-          } else {
-            sb.append("\\\\"); i += 1
-          }
-        case other => sb.append(other); i += 1
-      }
-    }
-    sb.toString
+    // single char-level implementation lives in CharScan.clean (the fused
+    // extraction kernel's form); this is the String facade over it.
+    // clean() may REPLACE s.buf while growing it — read the field only
+    // after it returns.
+    val s = new CharScan.Scratch
+    val len = CharScan.clean(text, s)
+    new String(s.buf, 0, len)
   }
 
-  @inline private def isHex(c: Char): Boolean =
-    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
-
-  /** Whitespace tokens of a cleaned string without regex compilation —
+  /** Whitespace tokens of a cleaned string without regex compilation --
     * splits on the Java regex \s class (space, tab, \n, \x0B, \f, \r). */
   def fastTokens(s: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](16)
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && isWs(s.charAt(i))) i += 1
+      while (i < n && CharScan.isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !isWs(s.charAt(i))) i += 1
+      while (i < n && !CharScan.isWs(s.charAt(i))) i += 1
       if (i > start) out += s.substring(start, i)
     }
     out.toArray
   }
-
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Catalyst Column form — stays inside whole-stage codegen (regexp_replace
     * and translate are codegen'd built-ins; no UDF).

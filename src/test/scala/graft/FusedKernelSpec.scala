@@ -157,6 +157,47 @@ class FusedKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("buffer growth paths: multi-KB texts and >64-token turns reuse one scratch") {
+    // exercises Scratch.ensureBuf (clean output > 256 chars), ensureTok
+    // (mid-scan copyOf beyond 64 tokens) and ScanState's nTok > cap resize —
+    // the exact paths short random inputs never reach
+    val rnd = new scala.util.Random(7)
+    val s = new CharScan.Scratch
+    (1 to 300).foreach { _ =>
+      val raw = randomText(rnd, 4000) // up to ~16 KB cleaned (tab fan-out)
+      val len = CharScan.clean(raw, s)
+      assert(new String(s.buf, 0, len) == TextNorm.parseForJson(raw))
+      CharScan.tokenize(s, len)
+      val got = (0 until s.nTok).map(i =>
+        new String(s.buf, s.tokStart(i), s.tokEnd(i) - s.tokStart(i)))
+      assert(got == TextNorm.fastTokens(TextNorm.parseForJson(raw)).toSeq)
+    }
+  }
+
+  test("fused kernel equals the model on long turns (growth inside mapPartitions)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val (catalog, markers, canon) = randomCatalogAndMarkers(rnd)
+    val words = catalog.flatMap(_.alias.split(" ")) ++ markers.keys ++ Seq("zz", "\tq\t")
+    // 200-500 tokens per turn: forces ScanState past its 64-slot arrays and
+    // the scratch past 256 chars, repeatedly, within one partition
+    val turns = (1 to 12).map { i =>
+      val text = Seq.fill(200 + rnd.nextInt(300))(words(rnd.nextInt(words.size))).mkString(" ")
+      graft.schema.Turn(s"c${i % 3}", i, "user", text,
+        null, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }
+    val got = Extractor.extract(turns.toDS().coalesce(1), catalog, markers,
+      emitContext = true, canon = canon)
+      .collect().toSeq.sortBy(e => (e.conv_id, e.turn_idx, e.subj, e.pred, e.obj))
+    val trie = Extractor.buildTrie(catalog, canon)
+    val want = turns.flatMap(t =>
+      modelExtract(t.conv_id, t.turn_idx, t.text, trie, markers, emitContext = true))
+      .sortBy(e => (e.conv_id, e.turn_idx, e.subj, e.pred, e.obj))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("hash collisions resolve by chars: Aa/BB aliases and markers") {
     assert("Aa".hashCode == "BB".hashCode) // the classic Java collision pair
     val catalog = Seq(
