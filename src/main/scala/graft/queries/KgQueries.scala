@@ -719,6 +719,76 @@ object KgQueries {
           Seq("doc_id", "neg_entity_id"), "left_anti")
         .select("doc_id", "entity_id", "k", "neg_entity_id")
         .orderBy("doc_id", "entity_id", "k")
+    },
+
+    // ---- schema profiling over the materialized graph: per-predicate
+    // cardinalities (edges, distinct subjects/objects), max out-degree and
+    // an is-functional flag — the ontology-inference stats a KG operator
+    // watches to catch extraction drift (a functional predicate growing a
+    // max out-degree > 1 means upstream rules regressed). All exact integer
+    // counts, bit-identical cross-engine. Scale shape: one distinct over
+    // triples, then two map-side-combinable aggregations (per-(pred, subj)
+    // out-degrees reuse the distinct's clustering; the per-pred rollups are
+    // predicate-cardinality-sized — tiny).
+    "kg_schema_profile" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |preds(term, pred) AS (VALUES $termPredsSql),
+         |triples AS (SELECT DISTINCT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, pred, tok AS obj
+         |            FROM toks JOIN preds ON toks.tok = preds.term),
+         |perS AS (SELECT pred, subj, count(*) AS od FROM triples GROUP BY pred, subj),
+         |card AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+         |                CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         |                CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+         |         FROM triples GROUP BY pred),
+         |deg AS (SELECT pred, CAST(max(od) AS BIGINT) AS max_out,
+         |               CASE WHEN max(od) = 1 THEN 1 ELSE 0 END AS functional
+         |        FROM perS GROUP BY pred)
+         |SELECT card.pred, n_edges, n_subj, n_obj, max_out, functional
+         |FROM card JOIN deg ON card.pred = deg.pred
+         |ORDER BY card.pred""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val preds = broadcast(termPreds.toDF("term", "pred"))
+      val triples = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+        .join(preds, col("tok") === col("term"))
+        .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
+          col("pred"), col("tok").as("obj"))
+        .distinct()
+      val card = triples.groupBy("pred").agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("subj")).as("n_subj"),
+        countDistinct(col("obj")).as("n_obj"))
+      val deg = triples.groupBy("pred", "subj").agg(count(lit(1)).as("od"))
+        .groupBy("pred").agg(
+          max(col("od")).as("max_out"),
+          when(max(col("od")) === 1, 1).otherwise(0).as("functional"))
+      card.join(deg, "pred")
+        .select("pred", "n_edges", "n_subj", "n_obj", "max_out", "functional")
+        .orderBy("pred")
+    },
+
+    // ---- temporal edge validity: per (user, event_type) graph edge, its
+    // lifespan window (first/last observation) plus exact support and
+    // active-day counts — the inputs to edge aging/TTL decisions when the
+    // KG is maintained incrementally (a 100 TB graph retires edges by
+    // last_seen, it never rescans history). One map-side-combinable
+    // aggregation over the fact table; timestamps flow through raw (the
+    // driver hash-compares them, cf. j6_asof_attribution).
+    "kg_edge_lifespan" -> Q(
+      """SELECT user_id, event_type,
+        |       min(ts) AS first_seen, max(ts) AS last_seen,
+        |       CAST(count(*) AS BIGINT) AS n_obs,
+        |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_obs"),
+          countDistinct(col("ts").cast("date")).as("active_days"))
+        .orderBy("user_id", "event_type")
     }
   )
 }
