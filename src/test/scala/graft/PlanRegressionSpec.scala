@@ -234,6 +234,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_sq_int8: query side broadcasts; no cartesian or nested-loop join") {
+    val p = plan("ann_sq_int8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    // candidate side scans only (vec_id, embedding) — label never read
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("kg_schema_profile / kg_edge_lifespan: dictionary broadcasts, agg-only " +
+       "shapes; lifespan scan prunes to (ts, user_id, event_type)") {
+    val sp = plan("kg_schema_profile")
+    assert(sp.contains("BroadcastHashJoin"))
+    assert(!sp.contains("CartesianProduct"))
+    assert(sp.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    val lp = plan("kg_edge_lifespan")
+    assert(!lp.contains("Join"), "lifespan is a single-table aggregation")
+    assert(lp.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"))
+  }
+
   test("extraction stage is narrow: no Exchange below the mapPartitions kernel") {
     val spark = SparkTestSession.get
     import spark.implicits._
