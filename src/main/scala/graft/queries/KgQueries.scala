@@ -100,6 +100,21 @@ object KgQueries {
   private val mtEntityCtxSql: String =
     mtEntityCtx.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
 
+  /** Direct rdf:type assertions for the linked entities, and the
+    * rdfs:subClassOf hierarchy they inherit through (kg_rdfs_closure). The
+    * hierarchy has a 3-deep chain and a diamond-free fan-in so the closure
+    * is non-trivial; one entity (00006) is deliberately untyped. */
+  private val entityTypes = Seq(
+    ("urn:ent:00001", "urn:c:engine"), ("urn:ent:00002", "urn:c:store"),
+    ("urn:ent:00012", "urn:c:store"), ("urn:ent:00003", "urn:c:op"),
+    ("urn:ent:00004", "urn:c:embedding"), ("urn:ent:00014", "urn:c:embedding"),
+    ("urn:ent:00005", "urn:c:stream"))
+
+  private val classHier = Seq(
+    ("urn:c:engine", "urn:c:software"), ("urn:c:store", "urn:c:software"),
+    ("urn:c:software", "urn:c:thing"), ("urn:c:embedding", "urn:c:artifact"),
+    ("urn:c:artifact", "urn:c:thing"), ("urn:c:stream", "urn:c:artifact"))
+
   /** Rank-1 winner per alias (first-match-wins, W3), broadcast — shared by
     * every query that links at alias granularity without per-doc context. */
   private def rankWinners(s: SparkSession): DataFrame = {
@@ -767,6 +782,64 @@ object KgQueries {
       card.join(deg, "pred")
         .select("pred", "n_edges", "n_subj", "n_obj", "max_out", "functional")
         .orderBy("pred")
+    },
+
+    // ---- RDFS subclass closure / type inference: every linked entity gets
+    // its direct class plus all inherited ancestors (rdfs:subClassOf
+    // semantics — the reference's domain is exactly this kind of SKOS/OWL
+    // vocabulary data). Scale contract: ontologies are config-sized (KBs)
+    // even when the instance data is 100 TB, so the hierarchy is closed
+    // DRIVER-SIDE (bounded fixpoint over a broadcast-sized Seq, same
+    // contract as the alias catalog) and applied to the instance table with
+    // ONE broadcast join — no iterative shuffle ever touches the big side.
+    // The DuckDB oracle derives the same closure with a recursive CTE.
+    "kg_rdfs_closure" -> Q {
+      val typesSql = entityTypes.map { case (e, c) => s"('$e','$c')" }.mkString(", ")
+      val hierSql = classHier.map { case (c, p) => s"('$c','$p')" }.mkString(", ")
+      s"""WITH RECURSIVE t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |ranked AS (
+         |  SELECT doc_id, alias, entity_id,
+         |         row_number() OVER (PARTITION BY doc_id, alias ORDER BY rnk, entity_id) AS rn
+         |  FROM toks JOIN dict ON toks.tok = dict.alias),
+         |links AS (SELECT DISTINCT doc_id, entity_id FROM ranked WHERE rn = 1),
+         |types(entity_id, cls) AS (VALUES $typesSql),
+         |hier(c, p) AS (VALUES $hierSql),
+         |anc(c, a) AS (
+         |  SELECT c, p FROM hier
+         |  UNION
+         |  SELECT anc.c, hier.p FROM anc JOIN hier ON anc.a = hier.c),
+         |inferred AS (
+         |  SELECT entity_id, cls FROM types
+         |  UNION
+         |  SELECT t2.entity_id, a.a AS cls FROM types t2 JOIN anc a ON t2.cls = a.c)
+         |SELECT l.doc_id, l.entity_id, i.cls
+         |FROM links l JOIN inferred i ON l.entity_id = i.entity_id
+         |ORDER BY l.doc_id, l.entity_id, i.cls""".stripMargin
+    } { (s, d) =>
+      import s.implicits._
+      // driver-side bounded fixpoint over the config-sized hierarchy
+      val direct = classHier.toMap
+      def ancestors(c: String): Seq[String] =
+        Iterator.iterate(direct.get(c))(o => o.flatMap(direct.get))
+          .takeWhile(_.isDefined).flatten.toSeq
+      val inferred = (entityTypes ++
+        entityTypes.flatMap { case (e, c) => ancestors(c).map(e -> _) }).distinct
+      val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      val inf = broadcast(inferred.toDF("entity_id", "cls"))
+      val toks = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
+      val links = toks.join(dict, col("tok") === col("alias"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "entity_id")
+        .distinct()
+      links.join(inf, "entity_id")
+        .select("doc_id", "entity_id", "cls")
+        .orderBy("doc_id", "entity_id", "cls")
     },
 
     // ---- temporal edge validity: per (user, event_type) graph edge, its
