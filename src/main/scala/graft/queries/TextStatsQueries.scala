@@ -334,6 +334,81 @@ object TextStatsQueries {
           length(unhex(md5(col("text").cast("binary")))).as("n_bytes"),
           upper(substring(md5(col("text").cast("binary")), 1, 8)).as("magic"))
         .orderBy("doc_id")
+    },
+
+    // ---- boilerplate / common-phrase density (the C4/CCNet repeated-
+    // passage signal): an n-gram is "boilerplate" within a source when it
+    // appears in >= 5 distinct docs of that source; each doc reports the
+    // fraction of its n-gram positions covered by boilerplate grams. n = 2
+    // here to match the synthetic corpus' phrase statistics — production
+    // corpora use n ~ 13 (Gopher); the plan is n-independent. Shape at
+    // scale: position explode is narrow, the doc-frequency aggregation and
+    // the membership join both key on (source, gram) — map-side combinable,
+    // never quadratic. Counts exact ints, frac one int division.
+    "ta_boilerplate_ngrams" -> Q(
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, l[i] || ' ' || l[i+1] AS g
+        |      FROM (SELECT doc_id, source, l, unnest(range(1, len(l))) AS i
+        |            FROM toks WHERE len(l) >= 2)),
+        |freq AS (SELECT source, g FROM g GROUP BY source, g
+        |         HAVING count(DISTINCT doc_id) >= 5),
+        |cov AS (SELECT g.doc_id,
+        |               CAST(count(*) AS BIGINT) AS n_pos,
+        |               CAST(count(*) FILTER (WHERE f.g IS NOT NULL) AS BIGINT) AS covered
+        |        FROM g LEFT JOIN freq f ON g.source = f.source AND g.g = f.g
+        |        GROUP BY g.doc_id)
+        |SELECT doc_id, n_pos, covered,
+        |       CAST(covered AS DOUBLE) / n_pos AS frac
+        |FROM cov ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TextNorm.tokensCol(col("text")).as("l"))
+        .filter(size(col("l")) >= 2)
+      val g = toks.select(col("doc_id"), col("source"),
+        explode(TextNorm.bigramsCol(col("l"))).as("g"))
+      val freq = g.groupBy("source", "g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 5)
+        .select(col("source"), col("g"), lit(1).as("hit"))
+      g.join(freq, Seq("source", "g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pos"),
+          count(col("hit")).as("covered"))
+        .select(col("doc_id"), col("n_pos"), col("covered"),
+          (col("covered").cast("double") / col("n_pos")).as("frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus composition by source domain (the sampling-weight input
+    // for training-mix decisions): per source, doc and exact token counts
+    // plus near-dup pressure (docs sharing an order-insensitive fingerprint
+    // — the same key the dedup family uses, so "dup" means the same thing
+    // everywhere). One aggregation over a pruned 3-column scan.
+    "ta_domain_mix" -> Q(
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_toks,
+        |         md5(coalesce(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0))), ' '), '')) AS fp
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(TextNorm.tokensCol(col("text"))).as("n_toks"),
+          TextNorm.fingerprintCol(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          countDistinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+        .orderBy("source")
     }
   )
 }
