@@ -53,8 +53,8 @@ object KgMain {
         "<inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
-        mode == "ingest-rdfxml" || mode == "ingest-stream",
-      s"unknown mode: $mode")
+        mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats",
+      s"unknown mode: $mode (stats ignores <inputDir>; pass '-')")
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
@@ -150,6 +150,23 @@ object KgMain {
       val gen = pipeline.docTable.publishBuckets(runId, pipeline.allBucketIds)
       docs.unpersist()
       println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n,"rejected_files":$nRejects}""")
+      spark.stop()
+      return
+    }
+
+    if (mode == "stats") {
+      // per-predicate schema profile of the PUBLISHED edge table (the
+      // control-plane view that catches extraction drift between runs —
+      // GraphStats scaladoc). Unlike KgAdmin this reads data, so it lives
+      // in the Spark app, not the metadata-only CLI.
+      val edges = pipeline.edgeTable.read(spark).getOrElse(
+        sys.error(s"no published edges table under $workDir — run full/sync first"))
+      graft.materialize.GraphStats.profile(edges).collect().foreach { r =>
+        println(s"""{"pred":"${r.getString(0)}","n_edges":${r.getLong(1)},""" +
+          s""""n_subj":${r.getLong(2)},"n_obj":${r.getLong(3)},""" +
+          s""""max_out":${r.getLong(4)},"functional":${r.getInt(5)},""" +
+          s""""total_weight":${r.getLong(6)}}""")
+      }
       spark.stop()
       return
     }
