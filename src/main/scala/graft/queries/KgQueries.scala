@@ -842,6 +842,48 @@ object KgQueries {
         .orderBy("doc_id", "entity_id", "cls")
     },
 
+    // ---- owl:inverseOf materialization: configured inverse-predicate
+    // pairs fan each edge out to its inverse (subj/obj swapped), so queries
+    // can traverse either direction without a runtime union — the standard
+    // KG trade of write-side fan-out for read-side locality. Narrow per-row
+    // transform (explode of a 2-element array), one distinct; the pair map
+    // is config-sized and inlined into the plan as a literal CASE.
+    "kg_inverse_edges" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |preds(term, pred) AS (VALUES $termPredsSql),
+         |triples AS (SELECT DISTINCT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, pred, tok AS obj
+         |            FROM toks JOIN preds ON toks.tok = preds.term),
+         |bidir AS (
+         |  SELECT subj, pred, obj FROM triples
+         |  UNION
+         |  SELECT obj AS subj,
+         |         CASE pred WHEN 'urn:p:tech' THEN 'urn:p:techOf'
+         |                   WHEN 'urn:p:artifact' THEN 'urn:p:artifactOf'
+         |                   WHEN 'urn:p:op' THEN 'urn:p:opOf' END AS pred,
+         |         subj AS obj
+         |  FROM triples)
+         |SELECT subj, pred, obj FROM bidir ORDER BY subj, pred, obj""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val inverse = Map("urn:p:tech" -> "urn:p:techOf",
+        "urn:p:artifact" -> "urn:p:artifactOf", "urn:p:op" -> "urn:p:opOf")
+      val invCol = inverse.toSeq.sortBy(_._1).map { case (p, ip) =>
+        when(col("pred") === p, ip)
+      }.reduceRight((a, b) => a.otherwise(b))
+      val preds = broadcast(termPreds.toDF("term", "pred"))
+      val triples = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+        .join(preds, col("tok") === col("term"))
+        .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
+          col("pred"), col("tok").as("obj"))
+        .distinct()
+      triples.unionByName(
+          triples.select(col("obj").as("subj"), invCol.as("pred"), col("subj").as("obj")))
+        .distinct()
+        .orderBy("subj", "pred", "obj")
+    },
+
     // ---- temporal edge validity: per (user, event_type) graph edge, its
     // lifespan window (first/last observation) plus exact support and
     // active-day counts — the inputs to edge aging/TTL decisions when the
