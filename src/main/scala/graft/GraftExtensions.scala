@@ -22,6 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    // graft_clean: the char-exact parseForJson chain (P5) for SQL users.
+    // Composes codegen'd built-ins (TextNorm.parseForJsonCol), so the
+    // injected expression is the composition's root — no UDF wall.
+    e.injectFunction((
+      FunctionIdentifier("graft_clean"),
+      new ExpressionInfo(graft.text.TextNorm.getClass.getName, "graft_clean"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.text.TextNorm.parseForJsonExpr(exprs(0))))
+    // graft_fingerprint: THE order-insensitive near-dup key shared by the
+    // dedup family (TextNorm.fingerprintCol), for ad-hoc SQL joins against
+    // the dedup index.
+    e.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(graft.text.TextNorm.getClass.getName, "graft_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.text.TextNorm.fingerprintExpr(exprs(0))))
   }
 }
 

@@ -49,20 +49,40 @@ object TextNorm {
     out.toArray
   }
 
+  /** The 7 ordered replacement steps (isRegex, pattern, replacement) —
+    * ONE constant list feeds both the Column form and the catalyst
+    * Expression form (SQL `graft_clean`), so the two can never drift.
+    * Step 3 is a char translate, the rest regex replaces. */
+  private val CleanSteps: Seq[(Boolean, String, String)] = Seq(
+    (true, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), // Java String.trim
+    (true, "[\\n\\r]", " "),
+    (false, "\"", "'"),
+    (true, "\\t", "    "),
+    (true, "\\\\'", "'"),
+    (true, "\\\\x[a-fA-F0-9][a-fA-F0-9]", "_"),
+    (true, "\\\\", "\\\\\\\\"))
+
   /** Catalyst Column form — stays inside whole-stage codegen (regexp_replace
     * and translate are codegen'd built-ins; no UDF).
     *
     * NOTE: Java's `String.trim` strips every char <= U+0020 — not just
     * spaces like Spark's `trim` — so the Column form emulates it with a
     * regexp to stay char-exact. */
-  def parseForJsonCol(c: Column): Column = {
-    val t1 = regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
-    val t2 = regexp_replace(t1, "[\\n\\r]", " ")
-    val t3 = translate(t2, "\"", "'")
-    val t4 = regexp_replace(t3, "\\t", "    ")
-    val t5 = regexp_replace(t4, "\\\\'", "'")
-    val t6 = regexp_replace(t5, "\\\\x[a-fA-F0-9][a-fA-F0-9]", "_")
-    regexp_replace(t6, "\\\\", "\\\\\\\\")
+  def parseForJsonCol(c: Column): Column =
+    CleanSteps.foldLeft(c) { case (x, (isRe, p, r)) =>
+      if (isRe) regexp_replace(x, p, r) else translate(x, p, r)
+    }
+
+  /** Catalyst Expression form of the same chain, for SQL registration
+    * (`graft_clean` via GraftExtensions): function builders must return
+    * analyzable Expressions — a Column-node wrapper is unevaluable there. */
+  def parseForJsonExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringTranslate}
+    CleanSteps.foldLeft(e) { case (x, (isRe, p, r)) =>
+      if (isRe) RegExpReplace(x, Literal(p), Literal(r))
+      else StringTranslate(x, Literal(p), Literal(r))
+    }
   }
 
   /** Bug-compatible `removeIllegalXMLChar`: the reference ignores the
@@ -79,9 +99,11 @@ object TextNorm {
   def removeIllegalXmlCharsIntended(text: String): String =
     text.replaceAll(IllegalXml, "")
 
+  private val TokenSplit = "\\s+"
+
   /** Whitespace tokenizer shared by extraction / scoring / dedup paths. */
   def tokensCol(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    filter(split(lower(c), TokenSplit), t => length(t) > 0)
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — THE near-dup key, shared by ta_fingerprint,
@@ -94,6 +116,24 @@ object TextNorm {
     md5(coalesce(
       array_join(array_sort(array_distinct(tokensCol(text))), " "),
       lit("")).cast("binary"))
+
+  /** Catalyst Expression form of [[fingerprintCol]] for SQL registration
+    * (`graft_fingerprint`): built from UnresolvedFunction nodes (the
+    * analyzer resolves a builder's output iteratively), sharing the token
+    * split/join constants with the Column form. */
+  def fingerprintExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GreaterThan, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
+    def uf(name: String, args: Expression*): Expression =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    val v = UnresolvedNamedLambdaVariable(Seq("t"))
+    val lam = LambdaFunction(GreaterThan(uf("length", v), Literal(0)), Seq(v))
+    val toks = uf("filter", uf("split", uf("lower", e), Literal(TokenSplit)), lam)
+    uf("md5", Cast(uf("coalesce",
+      uf("array_join", uf("array_sort", uf("array_distinct", toks)), Literal(" ")),
+      Literal("")), org.apache.spark.sql.types.BinaryType))
+  }
 
   /** Adjacent-token bigrams ("a b") of a token array — shared by the
     * multi-token linking and repetition-signal paths so the span semantics

@@ -15,9 +15,19 @@ object ColumnBridge {
 
 /** Runtime function registration (sessionState is private[sql]). */
 object FunctionBridge {
-  def registerDot(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def registerDot(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot",
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_clean",
+      exprs => graft.text.TextNorm.parseForJsonExpr(exprs(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint",
+      exprs => graft.text.TextNorm.fingerprintExpr(exprs(0)),
+      "built-in")
+  }
 }

@@ -19,6 +19,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("graft_clean and graft_fingerprint are callable from SQL and agree " +
+       "with their Scala forms") {
+    val spark = SparkTestSession.get
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val raw = "say \"hi\"\ta\\'b \\xAF end"
+    Seq(raw).toDF("t").createOrReplaceTempView("clean_probe")
+    val got = spark.sql("SELECT graft_clean(t) AS c FROM clean_probe")
+      .head().getString(0)
+    assert(got == graft.text.TextNorm.parseForJson(raw))
+    // fingerprint: order-insensitive — two permutations hash equal
+    val fps = spark.sql(
+      """SELECT graft_fingerprint('b a c') AS f1, graft_fingerprint('c b a') AS f2,
+        |       graft_fingerprint('different words') AS f3""".stripMargin).head()
+    assert(fps.getString(0) == fps.getString(1))
+    assert(fps.getString(0) != fps.getString(2))
+    // the SQL form is byte-identical to the Column form (shared constants)
+    val colForm = Seq("b a c").toDF("t")
+      .select(graft.text.TextNorm.fingerprintCol(org.apache.spark.sql.functions.col("t")))
+      .head().getString(0)
+    assert(colForm == fps.getString(0))
+  }
+
   test("registered temp views answer plain SQL over the sf tables") {
     val spark = SparkTestSession.get
     GraftExtensions.registerTables(spark, "/root/testdata/sf0.001")
