@@ -17,6 +17,8 @@ import graft.sources.TranscriptGen
   *   KgMain ingest-nt <ntDumpDir> <workDir>
   *   KgMain ingest-rdfxml <rdfXmlDumpDir> <workDir>
   *   KgMain ingest-stream <turnsParquetDir> <workDir> [catalogParquetDir]
+  *   KgMain stats - <workDir>              per-predicate edge-table profile
+  *   KgMain diff <genA,genB> <workDir>     edge delta between two generations
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -53,8 +55,10 @@ object KgMain {
         "<inputDir> <workDir> [catalogParquetDir]")
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
-        mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats",
-      s"unknown mode: $mode (stats ignores <inputDir>; pass '-')")
+        mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats" ||
+        mode == "diff",
+      s"unknown mode: $mode (stats ignores <inputDir>, pass '-'; " +
+        "diff takes <genA,genB> in the <inputDir> position)")
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
@@ -150,6 +154,31 @@ object KgMain {
       val gen = pipeline.docTable.publishBuckets(runId, pipeline.allBucketIds)
       docs.unpersist()
       println(s"""{"run_id":"$runId","mode":"$mode","docs_gen":"$gen","published_docs":$n,"rejected_files":$nRejects}""")
+      spark.stop()
+      return
+    }
+
+    if (mode == "diff") {
+      // edge delta between two published generations — the ops answer to
+      // "what did this sync actually change". Usage:
+      //   KgMain diff <genA,genB> <workDir>
+      // (inputDir position carries "genA,genB"). Scale shape: two anti-joins
+      // on the full edge key + one inner join for weight changes — all hash
+      // joins on the same key, no collect of row data (counts via observe).
+      import org.apache.spark.sql.functions.col
+      val Array(genA, genB) = turnsDir.split(",").map(_.trim)
+      def gen(g: String) = pipeline.edgeTable.readGeneration(spark, g).getOrElse(
+        sys.error(s"generation $g does not exist under the edges table"))
+      val key = Seq("subj", "pred", "obj", "lang")
+      val a = gen(genA).select("subj", "pred", "obj", "lang", "weight")
+      val b = gen(genB).select("subj", "pred", "obj", "lang", "weight")
+      val added = b.join(a, key, "left_anti").count()
+      val removed = a.join(b, key, "left_anti").count()
+      val reweighted = a.select(key.map(col) :+ col("weight").as("wa"): _*)
+        .join(b.select(key.map(col) :+ col("weight").as("wb"): _*), key)
+        .filter(col("wa") =!= col("wb")).count()
+      println(s"""{"table":"edges","from":"$genA","to":"$genB",""" +
+        s""""added":$added,"removed":$removed,"reweighted":$reweighted}""")
       spark.stop()
       return
     }

@@ -26,6 +26,37 @@ class GraphStatsSpec extends AnyFunSuite {
       ("p2", 3L, 2L, 2L, 2L, 0, 3L)))
   }
 
+  test("generation diff: added/removed/reweighted edges between two runs " +
+       "(the KgMain diff semantics)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fx = graft.sources.TranscriptGen.generate(nConv = 12, nEnt = 6, hotFactor = 1)
+    val dir = java.nio.file.Files.createTempDirectory("gdiff-").toString
+    val p = new graft.pipeline.KgPipeline(
+      graft.config.PipelineConfig(workDir = dir, numPartitions = 4))
+    p.runFull(spark, fx.turns.toDS(), fx.catalog, fx.markers, "r1")
+    // second full run over a corpus with 2 conversations dropped and their
+    // turns re-used under a fresh conv id -> both adds and removes
+    val mutated = fx.turns.filterNot(t => t.conv_id == "conv-000000" || t.conv_id == "conv-000001") ++
+      fx.turns.filter(_.conv_id == "conv-000000").map(t => t.copy(conv_id = "conv-new"))
+    p.runFull(spark, mutated.toDS(), fx.catalog, fx.markers, "r2")
+    val gens = p.edgeTable.generations()
+    assert(gens.size >= 2)
+    val key = Seq("subj", "pred", "obj", "lang")
+    val a = p.edgeTable.readGeneration(spark, gens(gens.size - 2)).get
+    val b = p.edgeTable.readGeneration(spark, gens.last).get
+    val added = b.join(a, key, "left_anti")
+    val removed = a.join(b, key, "left_anti")
+    // the new conversation's subject edges exist only in the new generation
+    assert(added.filter(col("subj") === "urn:conv:conv-new").count() > 0)
+    assert(removed.filter(col("subj") === "urn:conv:conv-000000").count() > 0)
+    assert(removed.filter(col("subj") === "urn:conv:conv-000001").count() > 0)
+    // unchanged conversations appear in neither delta
+    assert(added.filter(col("subj") === "urn:conv:conv-000002").count() == 0)
+    assert(removed.filter(col("subj") === "urn:conv:conv-000002").count() == 0)
+  }
+
   test("profile over a published edge table from a real pipeline run") {
     val spark = SparkTestSession.get
     import spark.implicits._
