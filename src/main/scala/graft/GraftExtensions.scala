@@ -16,12 +16,16 @@ import graft.functions.DotProduct
   * `GraftExtensions.register(spark)`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.requireArity
+
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("graft_dot", 2, exprs)
+        DotProduct(exprs(0), exprs(1))
+      }))
     // graft_clean: the char-exact parseForJson chain (P5) for SQL users.
     // Composes codegen'd built-ins (TextNorm.parseForJsonCol), so the
     // injected expression is the composition's root — no UDF wall.
@@ -29,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_clean"),
       new ExpressionInfo(graft.text.TextNorm.getClass.getName, "graft_clean"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.text.TextNorm.parseForJsonExpr(exprs(0))))
+        graft.text.TextNorm.parseForJsonExpr(
+          requireArity("graft_clean", 1, exprs).head)))
     // graft_fingerprint: THE order-insensitive near-dup key shared by the
     // dedup family (TextNorm.fingerprintCol), for ad-hoc SQL joins against
     // the dedup index.
@@ -37,14 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(graft.text.TextNorm.getClass.getName, "graft_fingerprint"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.text.TextNorm.fingerprintExpr(exprs(0))))
+        graft.text.TextNorm.fingerprintExpr(
+          requireArity("graft_fingerprint", 1, exprs).head)))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.FunctionBridge.registerDot(spark)
+    org.apache.spark.sql.graftbridge.FunctionBridge.registerAll(spark)
 
   /** Register every driver table of an sf directory as a temp view, so the
     * whole surface is queryable with spark.sql. */

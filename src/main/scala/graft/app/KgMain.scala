@@ -49,6 +49,16 @@ import graft.sources.TranscriptGen
   * drivable end-to-end on a bare fixture).
   */
 object KgMain {
+  /** Minimal RFC 8259 string escaping for data values interpolated into the
+    * control-plane JSON lines (quotes, backslashes, control chars). */
+  private[app] def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: KgMain full|sync|ingest-nt|ingest-rdfxml|ingest-stream " +
@@ -162,21 +172,19 @@ object KgMain {
       // edge delta between two published generations — the ops answer to
       // "what did this sync actually change". Usage:
       //   KgMain diff <genA,genB> <workDir>
-      // (inputDir position carries "genA,genB"). Scale shape: two anti-joins
-      // on the full edge key + one inner join for weight changes — all hash
-      // joins on the same key, no collect of row data (counts via observe).
-      import org.apache.spark.sql.functions.col
-      val Array(genA, genB) = turnsDir.split(",").map(_.trim)
+      // (inputDir position carries "genA,genB"). Scale shape: ONE full-outer
+      // hash join on the edge key feeding one aggregate — a single pass over
+      // each generation computes all three counts (vs. three separate
+      // actions re-scanning both sides); no row data ever reaches the
+      // driver.
+      val gens = turnsDir.split(",").map(_.trim)
+      require(gens.length == 2 && gens.forall(_.matches("gen-\\d+")),
+        s"usage: KgMain diff <gen-N,gen-M> <workDir> — got '$turnsDir'")
+      val Array(genA, genB) = gens
       def gen(g: String) = pipeline.edgeTable.readGeneration(spark, g).getOrElse(
         sys.error(s"generation $g does not exist under the edges table"))
-      val key = Seq("subj", "pred", "obj", "lang")
-      val a = gen(genA).select("subj", "pred", "obj", "lang", "weight")
-      val b = gen(genB).select("subj", "pred", "obj", "lang", "weight")
-      val added = b.join(a, key, "left_anti").count()
-      val removed = a.join(b, key, "left_anti").count()
-      val reweighted = a.select(key.map(col) :+ col("weight").as("wa"): _*)
-        .join(b.select(key.map(col) :+ col("weight").as("wb"): _*), key)
-        .filter(col("wa") =!= col("wb")).count()
+      val (added, removed, reweighted) =
+        graft.materialize.GraphStats.generationDelta(gen(genA), gen(genB))
       println(s"""{"table":"edges","from":"$genA","to":"$genB",""" +
         s""""added":$added,"removed":$removed,"reweighted":$reweighted}""")
       spark.stop()
@@ -190,8 +198,10 @@ object KgMain {
       // in the Spark app, not the metadata-only CLI.
       val edges = pipeline.edgeTable.read(spark).getOrElse(
         sys.error(s"no published edges table under $workDir — run full/sync first"))
+      // pred is DATA (it can arrive from a user-supplied catalog), so it is
+      // JSON-escaped; every other field is an engine-generated number
       graft.materialize.GraphStats.profile(edges).collect().foreach { r =>
-        println(s"""{"pred":"${r.getString(0)}","n_edges":${r.getLong(1)},""" +
+        println(s"""{"pred":${jsonStr(r.getString(0))},"n_edges":${r.getLong(1)},""" +
           s""""n_subj":${r.getLong(2)},"n_obj":${r.getLong(3)},""" +
           s""""max_out":${r.getLong(4)},"functional":${r.getInt(5)},""" +
           s""""total_weight":${r.getLong(6)}}""")

@@ -46,11 +46,13 @@ final class TableCommitter(rootDir: String) {
     currentPath(alias).map(readPath(spark, _))
 
   /** Time travel: read any retained generation directly (generations are
-    * immutable once published — the Iceberg snapshot-read equivalent). */
-  def readGeneration(spark: SparkSession, gen: String): Option[DataFrame] = {
-    val p = root.resolve(gen)
-    if (Files.exists(p)) Some(readPath(spark, p.toString)) else None
-  }
+    * immutable once published — the Iceberg snapshot-read equivalent).
+    * Routed through `generationPath`, so only a validated `gen-<n>`
+    * DIRECTORY qualifies: the `current` pointer file, `_meta`, dotted
+    * staging dirs, and path-traversal names all return None rather than
+    * reaching the parquet reader. */
+  def readGeneration(spark: SparkSession, gen: String): Option[DataFrame] =
+    generationPath(gen).map(p => readPath(spark, p.toString))
 
   /** Read a generation through its schema sidecar when one exists. The
     * sidecar (written at stage time) makes a ZERO-ROW generation readable:

@@ -35,4 +35,23 @@ object GraphStats {
         "functional", "total_weight")
       .orderBy("pred")
   }
+
+  /** Edge delta between two generations of the same table (`KgMain diff`):
+    * (added, removed, reweighted) counts in ONE pass over each side — a
+    * single full-outer hash join on the edge key feeding one aggregate,
+    * instead of three separate actions that would re-scan both generations.
+    * Sides are keyed by (subj, pred, obj, lang), which is unique within a
+    * published generation, so the join never fans out. */
+  def generationDelta(a: DataFrame, b: DataFrame): (Long, Long, Long) = {
+    val key = Seq("subj", "pred", "obj", "lang")
+    val wa = a.select(key.map(col) :+ col("weight").as("wa"): _*)
+    val wb = b.select(key.map(col) :+ col("weight").as("wb"): _*)
+    val row = wa.join(wb, key, "full_outer").agg(
+      coalesce(sum(when(col("wa").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("wb").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("wa").isNotNull && col("wb").isNotNull &&
+        col("wa") =!= col("wb"), 1L).otherwise(0L)), lit(0L)))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
 }

@@ -115,6 +115,25 @@ object KgQueries {
     ("urn:c:software", "urn:c:thing"), ("urn:c:embedding", "urn:c:artifact"),
     ("urn:c:artifact", "urn:c:thing"), ("urn:c:stream", "urn:c:artifact"))
 
+  /** Driver-side rdfs:subClassOf closure over a config-sized hierarchy
+    * (kg_rdfs_closure): BFS with a visited set, so it matches a recursive
+    * CTE's semantics exactly — a MULTI-parent class keeps every ancestor
+    * path (a naive toMap lookup would silently keep one parent per class)
+    * and a cyclic hierarchy terminates (the CTE's UNION-dedup analogue)
+    * instead of hanging the driver. Exposed for the differential spec. */
+  private[graft] def ancestorClosure(hier: Seq[(String, String)], c: String): Seq[String] = {
+    val direct: Map[String, Seq[String]] =
+      hier.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var frontier = direct.getOrElse(c, Seq.empty).distinct
+    while (frontier.nonEmpty) {
+      val fresh = frontier.filterNot(seen.contains)
+      fresh.foreach(seen += _)
+      frontier = fresh.flatMap(p => direct.getOrElse(p, Seq.empty)).distinct
+    }
+    seen.toSeq
+  }
+
   /** Rank-1 winner per alias (first-match-wins, W3), broadcast — shared by
     * every query that links at alias granularity without per-doc context. */
   private def rankWinners(s: SparkSession): DataFrame = {
@@ -819,13 +838,9 @@ object KgQueries {
          |ORDER BY l.doc_id, l.entity_id, i.cls""".stripMargin
     } { (s, d) =>
       import s.implicits._
-      // driver-side bounded fixpoint over the config-sized hierarchy
-      val direct = classHier.toMap
-      def ancestors(c: String): Seq[String] =
-        Iterator.iterate(direct.get(c))(o => o.flatMap(direct.get))
-          .takeWhile(_.isDefined).flatten.toSeq
       val inferred = (entityTypes ++
-        entityTypes.flatMap { case (e, c) => ancestors(c).map(e -> _) }).distinct
+        entityTypes.flatMap { case (e, c) =>
+          ancestorClosure(classHier, c).map(e -> _) }).distinct
       val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
       val inf = broadcast(inferred.toDF("entity_id", "cls"))
       val toks = turns(s, d)
@@ -867,6 +882,15 @@ object KgQueries {
       import s.implicits._
       val inverse = Map("urn:p:tech" -> "urn:p:techOf",
         "urn:p:artifact" -> "urn:p:artifactOf", "urn:p:op" -> "urn:p:opOf")
+      // every predicate the extraction can emit MUST have an inverse: the
+      // when-chain below (and the oracle's ELSE-less CASE) would otherwise
+      // materialize NULL-predicate edges and fail the compare on NULL
+      // ordering rather than at the source
+      locally {
+        val missing = termPreds.map(_._2).toSet.diff(inverse.keySet)
+        require(missing.isEmpty,
+          s"kg_inverse_edges: no inverse configured for predicate(s) ${missing.mkString(", ")}")
+      }
       val invCol = inverse.toSeq.sortBy(_._1).map { case (p, ip) =>
         when(col("pred") === p, ip)
       }.reduceRight((a, b) => a.otherwise(b))

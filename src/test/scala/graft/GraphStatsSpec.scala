@@ -55,6 +55,48 @@ class GraphStatsSpec extends AnyFunSuite {
     // unchanged conversations appear in neither delta
     assert(added.filter(col("subj") === "urn:conv:conv-000002").count() == 0)
     assert(removed.filter(col("subj") === "urn:conv:conv-000002").count() == 0)
+    // the single-pass full-outer delta (what KgMain diff prints) agrees
+    // with the reference anti-join counts
+    val (nAdd, nRem, nRew) = GraphStats.generationDelta(a, b)
+    assert(nAdd == added.count())
+    assert(nRem == removed.count())
+    val key2 = Seq("subj", "pred", "obj", "lang")
+    val rewRef = a.select(key2.map(col) :+ col("weight").as("wa"): _*)
+      .join(b.select(key2.map(col) :+ col("weight").as("wb"): _*), key2)
+      .filter(col("wa") =!= col("wb")).count()
+    assert(nRew == rewRef)
+  }
+
+  test("generationDelta: reweighted edges counted once; identical frames " +
+       "and empty sides yield zeros, not nulls") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    def df(rows: Seq[(String, String, String, String, Long)]) =
+      rows.toDF("subj", "pred", "obj", "lang", "weight")
+    val a = df(Seq(("s1", "p", "o1", "cs", 2L), ("s2", "p", "o2", "cs", 1L)))
+    val b = df(Seq(("s1", "p", "o1", "cs", 5L), ("s3", "p", "o3", "cs", 1L)))
+    assert(GraphStats.generationDelta(a, b) == ((1L, 1L, 1L)))
+    assert(GraphStats.generationDelta(a, a) == ((0L, 0L, 0L)))
+    val empty = df(Seq.empty)
+    assert(GraphStats.generationDelta(empty, empty) == ((0L, 0L, 0L)))
+    assert(GraphStats.generationDelta(empty, a) == ((2L, 0L, 0L)))
+  }
+
+  test("readGeneration accepts only validated gen-N directories: the " +
+       "'current' pointer file, traversal names and unknown gens -> None") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val fx = graft.sources.TranscriptGen.generate(nConv = 6, nEnt = 4, hotFactor = 1)
+    val dir = java.nio.file.Files.createTempDirectory("rgv-").toString
+    val p = new graft.pipeline.KgPipeline(
+      graft.config.PipelineConfig(workDir = dir, numPartitions = 2))
+    p.runFull(spark, fx.turns.toDS(), fx.catalog, fx.markers, "r1")
+    val t = p.edgeTable
+    assert(t.readGeneration(spark, t.generations().head).isDefined)
+    assert(t.readGeneration(spark, "current").isEmpty)   // pointer FILE, not a gen
+    assert(t.readGeneration(spark, "_meta").isEmpty)
+    assert(t.readGeneration(spark, "../edges").isEmpty)  // traversal rejected
+    assert(t.readGeneration(spark, "gen-999999").isEmpty)
   }
 
   test("profile over a published edge table from a real pipeline run") {

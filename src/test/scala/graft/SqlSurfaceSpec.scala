@@ -42,6 +42,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(colForm == fps.getString(0))
   }
 
+  test("wrong arity raises WRONG_NUM_ARGS AnalysisException, never an " +
+       "internal IndexOutOfBounds; extra args are rejected, not dropped") {
+    val spark = SparkTestSession.get
+    GraftExtensions.register(spark)
+    def analysisError(sql: String): String = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      e.getMessage
+    }
+    assert(analysisError("SELECT graft_clean()").contains("graft_clean"))
+    assert(analysisError("SELECT graft_clean('a', 'b')").contains("graft_clean"))
+    assert(analysisError("SELECT graft_fingerprint('a', 5)").contains("graft_fingerprint"))
+    assert(analysisError("SELECT graft_dot(array(1.0d))").contains("graft_dot"))
+  }
+
   test("registered temp views answer plain SQL over the sf tables") {
     val spark = SparkTestSession.get
     GraftExtensions.registerTables(spark, "/root/testdata/sf0.001")
