@@ -173,6 +173,69 @@ object GraphQueries {
     dist
   }
 
+  /** Deterministic non-backtracking random walks over a directed edge frame
+    * (u, v): DeepWalk/node2vec-style corpus generation for graph-embedding
+    * training, with the RNG replaced by a cross-engine-exact hash choice —
+    * at each step the walk at node `cur` moves to the candidate neighbor v
+    * (v != previous node) minimizing md5("walk_id:step:v"), i.e. a
+    * uniform pick under a deterministic seed, re-drawn per step. `starts`
+    * is (walk_id, cur); returns (walk_id, step, node) rows including
+    * step 0 = the start node; a walk that dead-ends (no non-backtracking
+    * neighbor) simply stops emitting.
+    *
+    * Scale shape: the edge frame is the big side, hash-partitioned on u and
+    * probed once per step by the walk frontier (one equality join), then
+    * one map-side-combinable min-agg on (walk_id, cur) picks the successor
+    * — no windows, no per-partition RNG state (which could never match a
+    * SQL oracle), O(steps) shuffles regardless of graph size. The chosen
+    * successor rides inside the min() key (hash ++ zero-padded id) so the
+    * argmin needs no second join to recover it. */
+  def randomWalks(ed: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    var frontier = starts.select(col("walk_id"), lit(-1L).as("prev"), col("cur"))
+    var out = frontier.select(col("walk_id"), lit(0).as("step"), col("cur").as("node"))
+    for (st <- 1 to steps) {
+      val key = concat(
+        md5(concat_ws(":", col("walk_id").cast("string"), lit(st.toString),
+          col("v").cast("string"))),
+        lit(":"), lpad(col("v").cast("string"), 10, "0"))
+      val sel = frontier.join(ed, frontier("cur") === ed("u"))
+        .filter(col("v") =!= col("prev"))
+        .groupBy("walk_id", "cur")
+        .agg(min(key).as("mn"))
+      // each frontier is consumed TWICE (the output union and the next
+      // step's edge join) — unmaterialized, the lineage would re-probe the
+      // edge table once per later step, O(steps^2) joins instead of O(steps)
+      frontier = sel.select(col("walk_id"), col("cur").as("prev"),
+        substring(col("mn"), 34, 10).cast("bigint").as("cur"))
+        .localCheckpoint(true)
+      out = out.unionAll(
+        frontier.select(col("walk_id"), lit(st).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
+  /** Transitive closure of a directed edge frame (src, dst) by ITERATIVE
+    * DOUBLING: rounds of P <- P ∪ (P ∘ P), reaching every path of length
+    * <= 2^rounds in `rounds` self-joins — O(log depth) shuffle rounds where
+    * the naive frontier walk needs O(depth). This is the distributed-sized
+    * complement to kg_rdfs_closure's broadcast-ontology contract: right for
+    * predicate hierarchies (skos:broader / partOf chains) too large to
+    * close driver-side, where depth is logarithmic-to-tens and the closure
+    * stays O(E * depth). distinct() each round collapses the multiple
+    * derivations of one pair (on DAGs, P∘P re-derives short paths), and
+    * each round is eagerly materialized because the next round consumes it
+    * on BOTH sides of the self-join — unmaterialized, the lineage would
+    * re-execute the whole prefix 2x per round (16x by round 4). */
+  def transitiveClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    var p = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ext = p.alias("a").join(p.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      p = p.unionAll(ext).distinct().localCheckpoint(true)
+    }
+    p
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- community detection: synchronous label propagation, 3 rounds.
@@ -286,6 +349,69 @@ object GraphQueries {
         .select(col("doc_id").as("id"), lit(0L).as("dist"))
       bellmanFord(ew, seeds, rounds = 4)
         .select("id", "dist").orderBy("id")
+    },
+
+    // ---- graph-embedding corpus: deterministic non-backtracking random
+    // walks, 4 steps from every 10th doc (DeepWalk/node2vec prep; pairs
+    // with kg_negative_samples to complete the KG-embedding training-data
+    // loop). The RNG is a per-(walk, step, candidate) md5 pick so Spark
+    // and DuckDB agree bit-for-bit; per step ONE frontier->edges hash join
+    // + ONE map-side-combinable min-agg — O(steps) shuffles, no windows,
+    // no driver state. See randomWalks for the scale argument.
+    "kg_walks" -> Q(
+      s"""WITH $edgesSql,
+         |w0 AS (SELECT doc_id AS walk_id, CAST(-1 AS BIGINT) AS prev, doc_id AS cur
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |w1 AS (SELECT w.walk_id, w.cur AS prev,
+         |               CAST(substr(min(md5(CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(e.v AS VARCHAR)) || ':' || lpad(CAST(e.v AS VARCHAR), 10, '0')), 34, 10) AS BIGINT) AS cur
+         |        FROM w0 w JOIN ed e ON w.cur = e.u AND e.v <> w.prev
+         |        GROUP BY w.walk_id, w.cur),
+         |w2 AS (SELECT w.walk_id, w.cur AS prev,
+         |               CAST(substr(min(md5(CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(e.v AS VARCHAR)) || ':' || lpad(CAST(e.v AS VARCHAR), 10, '0')), 34, 10) AS BIGINT) AS cur
+         |        FROM w1 w JOIN ed e ON w.cur = e.u AND e.v <> w.prev
+         |        GROUP BY w.walk_id, w.cur),
+         |w3 AS (SELECT w.walk_id, w.cur AS prev,
+         |               CAST(substr(min(md5(CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(e.v AS VARCHAR)) || ':' || lpad(CAST(e.v AS VARCHAR), 10, '0')), 34, 10) AS BIGINT) AS cur
+         |        FROM w2 w JOIN ed e ON w.cur = e.u AND e.v <> w.prev
+         |        GROUP BY w.walk_id, w.cur),
+         |w4 AS (SELECT w.walk_id, w.cur AS prev,
+         |               CAST(substr(min(md5(CAST(w.walk_id AS VARCHAR) || ':4:' || CAST(e.v AS VARCHAR)) || ':' || lpad(CAST(e.v AS VARCHAR), 10, '0')), 34, 10) AS BIGINT) AS cur
+         |        FROM w3 w JOIN ed e ON w.cur = e.u AND e.v <> w.prev
+         |        GROUP BY w.walk_id, w.cur)
+         |SELECT walk_id, 0 AS step, cur AS node FROM w0
+         |UNION ALL SELECT walk_id, 1 AS step, cur AS node FROM w1
+         |UNION ALL SELECT walk_id, 2 AS step, cur AS node FROM w2
+         |UNION ALL SELECT walk_id, 3 AS step, cur AS node FROM w3
+         |UNION ALL SELECT walk_id, 4 AS step, cur AS node FROM w4
+         |ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+      val ed = directedEdges(s, d)
+      val starts = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("walk_id"), col("doc_id").as("cur"))
+      randomWalks(ed, starts, steps = 4)
+        .orderBy("walk_id", "step")
+    },
+
+    // ---- predicate transitive closure (skos:broader / partOf semantics)
+    // over the halving forest doc -> doc div 2 (depth log2 n — the shape of
+    // real ontology chains), by iterative doubling: 4 rounds reach every
+    // ancestor pair up to depth 16 in O(log depth) shuffle rounds. See
+    // transitiveClosure for why this is the distributed-sized complement
+    // to kg_rdfs_closure.
+    "kg_transitive_pred" -> Q(
+      """WITH RECURSIVE
+        |ed AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 1),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM ed
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src)
+        |SELECT src AS id, dst AS anc FROM reach ORDER BY id, anc""".stripMargin) { (s, d) =>
+      val ed = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") >= 1)
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+      transitiveClosure(ed, rounds = 4)
+        .select(col("src").as("id"), col("dst").as("anc"))
+        .orderBy("id", "anc")
     }
   )
 }

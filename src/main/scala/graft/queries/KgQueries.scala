@@ -518,6 +518,59 @@ object KgQueries {
         .orderBy("e1", "e2")
     },
 
+    // ---- distant-supervision relation-extraction pairs: every turn that
+    // mentions two distinct linked entities yields a (subj, pred, obj)
+    // weakly-labeled training example — pred is the turn's strongest
+    // predicate cue (deterministic min), the turn text ships as md5 so the
+    // oracle never re-renders free text. The Mintz-style weak-labeling join
+    // that turns a KG + corpus into relation-extraction training data (the
+    // companion to kg_negative_samples / kg_walks on the ML-prep side).
+    // Scale shape: one token explode feeds both broadcast dictionary joins;
+    // the per-turn entity pair self-join is catalog-bounded per turn (the
+    // mention set per doc is <= |catalog|), never corpus-quadratic; the
+    // predicate pick is a map-side-combinable min on doc_id.
+    "kg_rel_pairs" -> Q(
+      s"""WITH t AS ($turnsSql),
+         |toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM t),
+         |preds(term, pred) AS (VALUES $termPredsSql),
+         |dict(alias, entity_id, rnk) AS (VALUES $aliasEntitiesSql),
+         |winners AS (
+         |  SELECT alias, entity_id FROM (
+         |    SELECT alias, entity_id,
+         |           row_number() OVER (PARTITION BY alias ORDER BY rnk, entity_id) AS rn
+         |    FROM dict) WHERE rn = 1),
+         |ment AS (SELECT DISTINCT doc_id, entity_id
+         |         FROM toks JOIN winners ON toks.tok = winners.alias),
+         |pcue AS (SELECT doc_id, min(pred) AS pred
+         |         FROM toks JOIN preds ON toks.tok = preds.term GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_id, a.entity_id AS subj, p.pred, b.entity_id AS obj,
+         |       md5(t.text) AS text_md5
+         |FROM ment a JOIN ment b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+         |JOIN pcue p ON a.doc_id = p.doc_id
+         |JOIN t ON a.doc_id = t.doc_id
+         |ORDER BY a.doc_id, subj, obj""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val winners = rankWinners(s)
+      val preds = broadcast(termPreds.toDF("term", "pred"))
+      val tks = turns(s, d)
+        .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      val ment = tks.join(winners, col("tok") === col("alias"))
+        .select("doc_id", "entity_id").distinct()
+      val pcue = tks.join(preds, col("tok") === col("term"))
+        .groupBy("doc_id").agg(min(col("pred")).as("pred"))
+      val txt = turns(s, d).select(col("doc_id"), md5(col("text")).as("text_md5"))
+      ment.alias("a").join(ment.alias("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.entity_id") < col("b.entity_id"))
+        .select(col("a.doc_id").as("doc_id"), col("a.entity_id").as("subj"),
+          col("b.entity_id").as("obj"))
+        .join(pcue, "doc_id")
+        .join(txt, "doc_id")
+        .select("doc_id", "subj", "pred", "obj", "text_md5")
+        .orderBy("doc_id", "subj", "obj")
+    },
+
     // ---- graph analytics: triangle enumeration over the co-occurrence
     // graph, DEGREE-ORDERED (each triangle is found exactly once, as a wedge
     // at its lowest-(degree, id) vertex, closed by a semi-join against the

@@ -170,4 +170,115 @@ class GraphQueriesSpec extends AnyFunSuite {
         s"bellmanFord mismatch at seed=$seed n=$n m=$m")
     }
   }
+
+  // ---- deterministic random walks ----------------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Brute-force walk reference: at each step pick the non-backtracking
+    * neighbor minimizing md5("walk:step:v") ++ ":" ++ lpad(v) — the exact
+    * key randomWalks minimizes. */
+  private def refWalks(es: Seq[(Long, Long)], starts: Seq[Long],
+                       steps: Int): Seq[(Long, Int, Long)] = {
+    val out = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    starts.flatMap { w =>
+      var prev = -1L
+      var cur = w
+      var rows = Seq((w, 0, w))
+      var alive = true
+      for (st <- 1 to steps if alive) {
+        val cands = out.getOrElse(cur, Nil).filter(_ != prev)
+        if (cands.isEmpty) alive = false
+        else {
+          val nxt = cands.minBy(v =>
+            md5Hex(s"$w:$st:$v") + ":" + "%010d".format(v))
+          prev = cur; cur = nxt
+          rows :+= ((w, st, cur))
+        }
+      }
+      rows
+    }
+  }
+
+  test("deterministic random walks == brute force; non-backtracking; edges real") {
+    for ((seed, n, m) <- shapes) {
+      val es = randomGraph(seed, n, m)
+      val starts = (0L until n.toLong).filter(_ % 3 == 0)
+      val spark = SparkTestSession.get
+      import spark.implicits._
+      val startsDf = starts.map(id => (id, id)).toDF("walk_id", "cur")
+      val got = GraphQueries.randomWalks(toDf(es), startsDf, steps = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(got.sorted.toSeq == refWalks(es, starts, 4).sorted,
+        s"walks mismatch at seed=$seed n=$n m=$m")
+      // structural invariants on the engine output itself
+      val edgeSet = es.toSet
+      val byWalk = got.groupBy(_._1).values
+      for (wseq <- byWalk) {
+        val path = wseq.sortBy(_._2).map(_._3).toSeq
+        path.sliding(2).foreach {
+          case Seq(a, b) => assert(edgeSet((a, b)), s"non-edge $a->$b in walk")
+          case _ =>
+        }
+        path.sliding(3).foreach {
+          case Seq(a, _, c) => assert(a != c, "backtracking step in walk")
+          case _ =>
+        }
+      }
+    }
+    // dead-end stops: a single directed edge walks one step and halts
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val one = Seq((0L, 1L)).toDF("u", "v")
+    val st = Seq((0L, 0L)).toDF("walk_id", "cur")
+    val rows = GraphQueries.randomWalks(one, st, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((0L, 0, 0L), (0L, 1, 1L)),
+      "dead-end walk must stop emitting, not fabricate steps")
+  }
+
+  // ---- iterative-doubling transitive closure ------------------------------
+
+  private def refClosure(es: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val out = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    var reach = es.toSet
+    var grew = true
+    while (grew) {
+      val ext = reach.flatMap { case (a, b) =>
+        out.getOrElse(b, Set.empty).map(c => (a, c)) }
+      val nxt = reach ++ ext
+      grew = nxt.size > reach.size
+      reach = nxt
+    }
+    reach
+  }
+
+  test("iterative-doubling closure == brute-force reachability on random DAGs") {
+    for ((seed, n, m) <- shapes) {
+      // orient edges downward (u > v) => acyclic, multi-path DAG; max chain
+      // length < n <= 40 < 2^6, so 6 doubling rounds reach the fixpoint
+      val es = randomGraph(seed, n, m)
+        .map { case (u, v) => if (u > v) (u, v) else (v, u) }
+        .filter { case (u, v) => u != v }.distinct
+      val spark = SparkTestSession.get
+      import spark.implicits._
+      val got = GraphQueries
+        .transitiveClosure(es.toDF("src", "dst").repartition(5), rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == refClosure(es), s"closure mismatch at seed=$seed n=$n m=$m")
+    }
+  }
+
+  test("doubling depth bound: a k-chain closes fully in ceil(log2 k) rounds") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("src", "dst")
+    // 16 edges => paths up to length 16 = 2^4: exactly 4 rounds suffice
+    val got = GraphQueries.transitiveClosure(chain, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 0L to 16L; b <- (a + 1) to 16L) yield (a, b)).toSet
+    assert(got == want, "4 doubling rounds must close a 16-chain")
+  }
 }

@@ -87,6 +87,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("kg_walks / kg_transitive_pred / kg_rel_pairs: every per-step or " +
+       "per-round join is hash-based, never a nested loop; rel-pairs scan " +
+       "is pruned to (doc_id, text)") {
+    for (q <- Seq("kg_walks", "kg_transitive_pred", "kg_rel_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+    val p = plan("kg_rel_pairs")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "rel-pairs reads more of documents than (doc_id, text)")
+  }
+
   test("dd_minhash_lsh: banded candidate join and verification are hash joins, " +
        "never a cartesian product") {
     val p = plan("dd_minhash_lsh")
