@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticalQueries, CurationQueries, DedupQueries, GraphQueries, KgQueries, MaterializeQueries, Q, RelationalQueries, TextStatsQueries}
+import graft.queries.{AnalyticalQueries, CurationQueries, DedupQueries, GraphQueries, KgQueries, MaterializeQueries, Q, RelationalQueries, SparqlQueries, TextStatsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   private val registry: Map[String, Q] =
     RelationalQueries.all ++ KgQueries.all ++ GraphQueries.all ++
       DedupQueries.all ++ TextStatsQueries.all ++ CurationQueries.all ++
-      AnalyticalQueries.all ++ MaterializeQueries.all
+      AnalyticalQueries.all ++ MaterializeQueries.all ++ SparqlQueries.all
 
   /** Flagship: the full extract->link->materialize mini-pipeline on sf0.001;
     * driver smoke-checks rows>0. */

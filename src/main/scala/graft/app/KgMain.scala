@@ -19,6 +19,9 @@ import graft.sources.TranscriptGen
   *   KgMain ingest-stream <turnsParquetDir> <workDir> [catalogParquetDir]
   *   KgMain stats - <workDir>              per-predicate edge-table profile
   *   KgMain diff <genA,genB> <workDir>     edge delta between two generations
+  *   KgMain query <file.rq|-> <workDir>    run SPARQL over the published
+  *                                         graph ('-': GRAFT_SPARQL env, or
+  *                                         the river config's query[] list)
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -66,9 +69,11 @@ object KgMain {
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
         mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats" ||
-        mode == "diff",
+        mode == "diff" || mode == "query",
       s"unknown mode: $mode (stats ignores <inputDir>, pass '-'; " +
-        "diff takes <genA,genB> in the <inputDir> position)")
+        "diff takes <genA,genB> in the <inputDir> position; " +
+        "query takes a .rq file path — or '-' to use GRAFT_SPARQL / the " +
+        "river config's query[] list)")
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
@@ -187,6 +192,37 @@ object KgMain {
         graft.materialize.GraphStats.generationDelta(gen(genA), gen(genB))
       println(s"""{"table":"edges","from":"$genA","to":"$genB",""" +
         s""""added":$added,"removed":$removed,"reweighted":$reweighted}""")
+      spark.stop()
+      return
+    }
+
+    if (mode == "query") {
+      // the reference's ACTUAL query surface: river configs carry SPARQL
+      // (query[] + queryType, Indexer.java:350-463) that Harvester ships to
+      // a remote triplestore (Harvester.java:1516-1659). Here the same text
+      // compiles to a Catalyst plan over the PUBLISHED graph — the edge
+      // table viewed as (s, p, o) — so a reference user's saved queries run
+      // against the KG this engine just built, no triplestore in the loop.
+      import org.apache.spark.sql.functions.col
+      val queryTexts: Seq[String] =
+        if (turnsDir != "-")
+          Seq(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(turnsDir)), java.nio.charset.StandardCharsets.UTF_8))
+        else sys.env.get("GRAFT_SPARQL").map(Seq(_)).getOrElse(cfg.queries)
+      require(queryTexts.nonEmpty,
+        "query mode needs a .rq file, GRAFT_SPARQL, or query[] in GRAFT_CONFIG_JSON")
+      val edges = pipeline.edgeTable.read(spark).getOrElse(
+        sys.error(s"no published edges table under $workDir — run full/sync first"))
+      val tr = edges.select(col("subj").as("s"), col("pred").as("p"), col("obj").as("o"))
+      queryTexts.zipWithIndex.foreach { case (q, i) =>
+        val out = graft.sparql.SparqlCompiler.compile(q, tr)
+        val outDir = s"$workDir/query_out/q$i"
+        out.write.mode("overwrite").parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        println(s"""{"mode":"query","query_idx":$i,"rows":$n,""" +
+          s""""columns":${out.columns.map(jsonStr).mkString("[", ",", "]")},""" +
+          s""""out":${jsonStr(outDir)}}""")
+      }
       spark.stop()
       return
     }

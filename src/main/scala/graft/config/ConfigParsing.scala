@@ -102,6 +102,9 @@ object ConfigParsing {
       }.getOrElse(PipelineConfig().uriDescription),
       includeResourceURI =
         Option(node("includeResourceURI")).exists(_.asBoolean(false)),
-      syncOldData = Option(node("syncOldData")).exists(_.asBoolean(false)))
+      syncOldData = Option(node("syncOldData")).exists(_.asBoolean(false)),
+      // the river config's SPARQL text(s) (Indexer.java:350-463 reads
+      // `query[]`); executed by `KgMain query` via graft.sparql
+      queries = strings(node("query")))
   }
 }

@@ -106,7 +106,10 @@ final case class PipelineConfig(
     refreshReferencingDocs: Boolean = false,
     // integer-coded support shuffle (identity-normalization fast path):
     // exchanges (conv_id, 3 ints) instead of four URI strings
-    encodedShuffle: Boolean = true) {
+    encodedShuffle: Boolean = true,
+    // the river config's SPARQL query texts (`query[]` in the settings
+    // blob) — run against the published graph by `KgMain query`
+    queries: Seq[String] = Seq.empty) {
 
   /** Signature of the flags that change what a published ROW means (not
     * how fast it is computed) — pinned per table lineage by both the batch

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sparql.SparqlCompiler
+import graft.text.TextNorm
+
+/** The reference's QUERY LANGUAGE, run on Spark: river configs carry
+  * user-written SPARQL (Indexer.java:350-463 parses `query[]` straight out
+  * of the config; Harvester.java:1516-1659 executes SELECT / CONSTRUCT /
+  * DESCRIBE), and the sync path GENERATES SPARQL from a template
+  * (Harvester.java:963-1032). graft.sparql compiles that subset into
+  * Catalyst plans over a (s, p, o) triple frame — so a reference user's
+  * queries run verbatim, but as hash-join DAGs instead of a remote
+  * triplestore call.
+  *
+  * The triple frame here is derived deterministically from `documents`
+  * (token/predicate-cue extraction — the same family as kg_triples_full)
+  * plus a constant ontology slice (class labels, one DELIBERATELY
+  * unlabeled class to exercise the !BOUND anti-join, and the rdfs:Class
+  * gate triple the reference's "redundant clause" needs,
+  * Harvester.java:1020-1024), so the DuckDB oracle can re-derive the
+  * identical graph.
+  */
+object SparqlQueries {
+
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfsClass = "http://www.w3.org/2000/01/rdf-schema#Class"
+
+  /** term -> predicate cues (subset of the kg extraction dictionary). */
+  private val preds = Seq(
+    ("spark", "urn:p:tech"), ("table", "urn:p:artifact"), ("query", "urn:p:op"),
+    ("join", "urn:p:op"), ("stream", "urn:p:artifact"))
+
+  private val predsSql: String =
+    preds.map { case (t, p) => s"('$t','$p')" }.mkString(", ")
+
+  /** Constant ontology slice: labels for classes 0 and 1; class 2 is
+    * deliberately unlabeled (the reference sync query's OPTIONAL/!BOUND
+    * keeps exactly the objects WITHOUT a label); plus the rdfs:Class gate
+    * triple (always present in a real triplestore, which is why the
+    * reference calls its clause "redundant"). */
+  private val ontology = Seq(
+    ("urn:c:0", "urn:p:label", "Batch Class"),
+    ("urn:c:1", "urn:p:label", "Stream Class"),
+    (RdfsClass, RdfType, RdfsClass))
+
+  private val ontologySql: String =
+    ontology.map { case (s, p, o) => s"('$s','$p','$o')" }.mkString(", ")
+
+  /** Subjects the sync fixture re-harvests (the reference builds the same
+    * IN-set from its changed-URI list, Harvester.java:963-979). */
+  private val syncSubjects: Seq[String] = (3L to 12L).map(i => s"urn:doc:$i")
+
+  private val syncSet: String = syncSubjects.map(u => s"<$u>").mkString("(", ", ", ")")
+  private val syncSetSql: String = syncSubjects.map(u => s"'$u'").mkString(", ")
+
+  /** The triple frame: doc-token triples + per-doc type triples + the
+    * ontology constants; a DISTINCT set, like an RDF graph. */
+  private[graft] def tripleFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+      .distinct()
+    val cues = toks.join(broadcast(preds.toDF("term", "pred")), col("tok") === col("term"))
+      .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+        col("pred").as("p"), col("tok").as("o"))
+    val types = docs.select(
+      concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+      lit("urn:p:type").as("p"),
+      concat(lit("urn:c:"), (col("doc_id") % 3).cast("string")).as("o"))
+    cues.unionAll(types).unionAll(ontology.toDF("s", "p", "o")).distinct()
+  }
+
+  /** The same derivation in DuckDB SQL (CTE body producing table `tr`). */
+  private val tripleFrameSql: String =
+    s"""toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok FROM documents),
+       |preds(term, pred) AS (VALUES $predsSql),
+       |onto(s, p, o) AS (VALUES $ontologySql),
+       |tr AS (
+       |  SELECT DISTINCT s, p, o FROM (
+       |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s, pred AS p, tok AS o
+       |    FROM toks JOIN preds ON toks.tok = preds.term
+       |    UNION ALL
+       |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:type',
+       |           'urn:c:' || CAST(doc_id % 3 AS VARCHAR)
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT s, p, o FROM onto))""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- a user-written SELECT: 3-pattern BGP chain (cue -> doc type ->
+    // class label) + inequality FILTER. Compiles to two hash joins whose
+    // constant predicate positions land in PushedFilters at the scan.
+    "sparql_select_bgp" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT a.s AS s, a.o AS o, lbl.o AS lbl
+         |FROM tr a
+         |JOIN tr ty ON ty.s = a.s AND ty.p = 'urn:p:type'
+         |JOIN tr lbl ON lbl.s = ty.o AND lbl.p = 'urn:p:label'
+         |WHERE a.p = 'urn:p:op' AND a.o <> 'join'
+         |ORDER BY s, o, lbl""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o ?lbl WHERE {
+          |  ?s <urn:p:op> ?o .
+          |  ?s <urn:p:type> ?c .
+          |  ?c <urn:p:label> ?lbl .
+          |  FILTER(?o != "join")
+          |} ORDER BY ?s ?o ?lbl""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- the reference sync query's CORE shape (Harvester.java:978-991):
+    // CONSTRUCT over the changed-subject set, keeping only objects WITHOUT
+    // a label. OPTIONAL + FILTER(!BOUND) compiles to LeftOuter + IsNull,
+    // which Catalyst rewrites to a LEFT ANTI hash join — the plan you'd
+    // hand-write for a 100 TB has-no-label check.
+    "sparql_construct_sync" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT DISTINCT t.s AS s, t.p AS p, t.o AS o
+         |FROM tr t
+         |LEFT JOIN tr l ON l.s = t.o AND l.p = 'urn:p:label'
+         |WHERE t.s IN ($syncSetSql) AND l.o IS NULL
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        s"""CONSTRUCT { ?s ?p ?o } WHERE {
+           |  ?s ?p ?o
+           |  . FILTER (?s in $syncSet )
+           |  . OPTIONAL { ?o <urn:p:label> ?o1 }
+           |  . FILTER(!BOUND(?o1))
+           |}""".stripMargin,
+        tripleFrame(s, d))
+        .orderBy("s", "p", "o")
+    },
+
+    // ---- the FULL generated sync query, template-identical to
+    // Harvester.java:963-1032 (getSyncQueryStr with one uriDescription
+    // property): branch 1 keeps triples whose object has no label; branch 2
+    // is the Virtuoso-safe label-resolution idiom — the constant "redundant
+    // clause" gating a sub-SELECT that rebinds ?o to str(?label). The gate
+    // compiles to a 1-row constant-key broadcast HASH join, the sub-select
+    // to an inner hash-join chain.
+    "sparql_sync_query" -> Q(
+      s"""WITH $tripleFrameSql,
+         |base AS (
+         |  SELECT t.s, t.p, t.o FROM tr t
+         |  LEFT JOIN tr l ON l.s = t.o AND l.p = 'urn:p:label'
+         |  WHERE t.s IN ($syncSetSql) AND l.o IS NULL),
+         |lab AS (
+         |  SELECT t.s, t.p, l.o FROM tr t
+         |  JOIN tr l ON l.s = t.o AND l.p = 'urn:p:label'
+         |  WHERE t.s IN ($syncSetSql)
+         |    AND EXISTS (SELECT 1 FROM tr
+         |                WHERE s = '$RdfsClass' AND p = '$RdfType' AND o = '$RdfsClass'))
+         |SELECT DISTINCT s, p, o
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM lab)
+         |ORDER BY s, p, o""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        s"""CONSTRUCT { ?s ?p ?o } WHERE {
+           |  { ?s ?p ?o
+           |    . FILTER (?s in $syncSet )
+           |    . OPTIONAL { ?o <urn:p:label> ?o1 }
+           |    . FILTER(!BOUND(?o1)) }
+           |  UNION
+           |  { <$RdfsClass> a <$RdfsClass> .
+           |    { SELECT ?s ?p (str(?label) as ?o) {
+           |        ?s ?p ?res
+           |        . FILTER (?s in $syncSet )
+           |        . ?res <urn:p:label> ?label }}}
+           |}""".stripMargin,
+        tripleFrame(s, d))
+        .orderBy("s", "p", "o")
+    },
+
+    // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
+    // Harvester.java:1529-1540): all triples of every class-1 document.
+    // The subject set semi-joins the triple frame — no duplication, and
+    // the `p = urn:p:type` constant prunes the build side at the scan.
+    "sparql_describe" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT DISTINCT t.s, t.p, t.o
+         |FROM tr t
+         |WHERE t.s IN (SELECT s FROM tr WHERE p = 'urn:p:type' AND o = 'urn:c:1')
+         |ORDER BY s, p, o""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """DESCRIBE ?s WHERE { ?s <urn:p:type> <urn:c:1> }""",
+        tripleFrame(s, d))
+        .orderBy("s", "p", "o")
+    }
+  )
+}

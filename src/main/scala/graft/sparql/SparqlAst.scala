@@ -1,0 +1,102 @@
+package graft.sparql
+
+/** AST for the SPARQL subset the reference actually emits and consumes.
+  *
+  * The reference's entire query surface is SPARQL: river configs carry
+  * user-written SELECT/CONSTRUCT/DESCRIBE queries (Harvester.java:82,
+  * 1516-1659) and the sync path GENERATES queries from a template
+  * (Harvester.java:963-1032) using exactly: CONSTRUCT, basic graph
+  * patterns, FILTER(?s IN (...)), OPTIONAL + FILTER(!BOUND(?v)), UNION, a
+  * constant "redundant clause" pattern, and a sub-SELECT projecting
+  * (str(?label) AS ?o). This AST covers that subset plus the solution
+  * modifiers (DISTINCT, ORDER BY, LIMIT, OFFSET) and ASK.
+  *
+  * Everything is strings: the engine's triple frame is (s, p, o) string
+  * columns, so literals fold their language/datatype tags at parse time
+  * (the reference does the same erasure with str(?label),
+  * Harvester.java:1005-1013).
+  */
+object SparqlAst {
+
+  /** A term in a triple pattern or filter expression. */
+  sealed trait Term
+  /** ?name */
+  final case class V(name: String) extends Term
+  /** <iri> or an expanded prefixed name */
+  final case class I(iri: String) extends Term
+  /** "literal" (language / datatype tag erased) or a numeric literal,
+    * kept as its lexical form */
+  final case class L(lex: String) extends Term
+
+  /** One triple pattern. */
+  final case class TP(s: Term, p: Term, o: Term)
+
+  // ---- FILTER expressions --------------------------------------------------
+
+  sealed trait FExpr
+  /** ?v IN (t1, t2, ...) */
+  final case class FIn(t: Term, vals: Seq[Term]) extends FExpr
+  /** binary comparison; op is one of = != < <= > >= (string collation) */
+  final case class FCmp(op: String, l: Term, r: Term) extends FExpr
+  /** BOUND(?v) */
+  final case class FBound(v: V) extends FExpr
+  /** REGEX(?v, "pattern") */
+  final case class FRegex(t: Term, pattern: String) extends FExpr
+  final case class FAnd(a: FExpr, b: FExpr) extends FExpr
+  final case class FOr(a: FExpr, b: FExpr) extends FExpr
+  final case class FNot(a: FExpr) extends FExpr
+
+  // ---- group graph patterns ------------------------------------------------
+
+  /** An element of a group graph pattern, in source order (order matters:
+    * OPTIONAL applies to everything joined so far). */
+  sealed trait GElem
+  final case class GTriple(tp: TP) extends GElem
+  final case class GFilter(e: FExpr) extends GElem
+  final case class GOptional(g: Group) extends GElem
+  /** { SELECT ... { ... } } nested as a pattern (the Virtuoso-compatible
+    * BIND substitute the reference's template uses, Harvester.java:1014-1017) */
+  final case class GSub(q: SelectQ) extends GElem
+  /** { g1 } UNION { g2 } UNION ... ; a single-branch instance is a plain
+    * nested group */
+  final case class GUnion(branches: Seq[Group]) extends GElem
+
+  final case class Group(elems: Seq[GElem])
+
+  // ---- projections ----------------------------------------------------------
+
+  /** One SELECT projection: plain ?v, or (expr AS ?v) where expr is ?x or
+    * str(?x) (identity over string terms). */
+  final case class Proj(name: String, source: Option[String])
+
+  // ---- query forms ----------------------------------------------------------
+
+  sealed trait SparqlQuery
+
+  /** SELECT [DISTINCT] (?v | (expr AS ?v))+ | * WHERE? { ... } modifiers.
+    * projs == Nil means SELECT * (all vars in first-bound order). */
+  final case class SelectQ(
+      distinct: Boolean,
+      projs: Seq[Proj],
+      where: Group,
+      orderBy: Seq[(String, Boolean)],
+      limit: Option[Long],
+      offset: Option[Long]) extends SparqlQuery
+
+  /** CONSTRUCT { template } WHERE { ... } [LIMIT n]; output is a triple
+    * SET (RDF graph semantics: duplicates collapse). */
+  final case class ConstructQ(
+      template: Seq[TP],
+      where: Group,
+      limit: Option[Long]) extends SparqlQuery
+
+  /** DESCRIBE <iri>+ | DESCRIBE ?v+ WHERE { ... } — simple subject-based
+    * describe (all triples whose subject is a described resource), the
+    * semantics the reference relies on (Harvester.java:1529-1540). */
+  final case class DescribeQ(
+      terms: Seq[Term],
+      where: Option[Group]) extends SparqlQuery
+
+  /** ASK { ... } */
+  final case class AskQ(where: Group) extends SparqlQuery
+}

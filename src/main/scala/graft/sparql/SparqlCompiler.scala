@@ -1,0 +1,358 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import SparqlAst._
+
+/** Compiles the parsed SPARQL subset into a Catalyst plan over a triple
+  * frame with string columns (s, p, o).
+  *
+  * This is the Spark-first re-expression of the reference's query surface
+  * (Harvester.java:1516-1659 hands these same queries to Jena/a remote
+  * triplestore): a BGP becomes a chain of equality hash joins over the
+  * triple table, never an interpreter.
+  *
+  * Scale shape, by construction:
+  *  - Constant positions in a pattern become `col === lit` filters applied
+  *    directly to the scan, so Catalyst pushes them into the parquet reader
+  *    (PushedFilters) and prunes row groups — a pattern like
+  *    `?s <urn:p:label> ?o` reads only the label slice of a 100 TB table.
+  *  - Pattern joins are EQUALITY joins on shared variables (shuffle or
+  *    broadcast hash, AQE's choice), greedily ordered most-constant-first
+  *    so the most selective pattern seeds the chain.
+  *  - A join step with NO shared variable is REFUSED (SparqlUnsupported):
+  *    at 10^12 triples an accidental cross product is an outage, not a
+  *    query. The one sanctioned cross is the reference template's constant
+  *    "redundant clause" (Harvester.java:1020-1024), compiled as an
+  *    existence GATE: `LIMIT 1` on the constant match, then an equality
+  *    join on a literal key — a 0-or-1-row BROADCAST HASH join, not a
+  *    nested loop.
+  *  - OPTIONAL is a left outer hash join on the shared variables;
+  *    FILTER(!BOUND(?v)) is an IS NULL filter on top — together they
+  *    compile the reference's has-no-label anti-join idiom into exactly
+  *    the LeftOuter+IsNull plan Catalyst rewrites to an ANTI join.
+  *  - A variable bound only optionally (or only in some UNION branches)
+  *    must not be used as a later join key: SPARQL joins treat unbound as
+  *    compatible-with-anything while SQL nulls never match, so such plans
+  *    are REFUSED rather than silently diverging.
+  */
+object SparqlCompiler {
+
+  final class SparqlUnsupported(msg: String) extends IllegalArgumentException(msg)
+
+  private def unsupported(msg: String): Nothing = throw new SparqlUnsupported(msg)
+
+  /** A compiled fragment: the frame, its bound variables in first-bound
+    * order, and the subset of vars that may be NULL (bound only in an
+    * OPTIONAL or only in some UNION branches). */
+  private final case class Frag(df: DataFrame, vars: Seq[String], maybeNull: Set[String])
+
+  /** Parse + compile in one step. `triples` must have string columns
+    * (s, p, o). ASK compiles to a 0-or-1-row frame with a single `ask`
+    * column (use [[ask]] for the boolean). */
+  def compile(query: String, triples: DataFrame): DataFrame =
+    compileAst(SparqlParser.parse(query), triples)
+
+  /** ASK helper: true iff the pattern has at least one solution. */
+  def ask(query: String, triples: DataFrame): Boolean =
+    SparqlParser.parse(query) match {
+      case AskQ(where) => !compileGroup(where, triples).df.isEmpty
+      case _ => unsupported("ask() requires an ASK query")
+    }
+
+  def compileAst(q: SparqlQuery, triples: DataFrame): DataFrame = q match {
+    case sel: SelectQ => compileSelect(sel, triples).df
+
+    case ConstructQ(template, where, limit) =>
+      if (template.isEmpty) unsupported("CONSTRUCT with an empty template")
+      val w = compileGroup(where, triples)
+      def out(t: Term): Column = t match {
+        case V(n) =>
+          if (w.vars.contains(n)) col(n)
+          else lit(null).cast("string") // unbound template var: rows drop below
+        case I(u) => lit(u)
+        case L(v) => lit(v)
+      }
+      val parts = template.map { tp =>
+        w.df.select(out(tp.s).as("s"), out(tp.p).as("p"), out(tp.o).as("o"))
+          // RDF graphs cannot contain triples with unbound positions —
+          // template rows that lost a var (OPTIONAL miss) are skipped
+          .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      }
+      val g = parts.reduce(_ unionAll _).distinct() // a graph is a SET of triples
+      limit.fold(g)(n => g.limit(checkedInt(n, "LIMIT")))
+
+    case DescribeQ(terms, where) =>
+      val iris = terms.collect { case I(u) => u }
+      val vars = terms.collect { case V(n) => n }
+      val byIri =
+        if (iris.isEmpty) None
+        else Some(triples.filter(col("s").isin(iris: _*)))
+      val byVar = vars match {
+        case Seq() => None
+        case vs =>
+          val w = compileGroup(where.getOrElse(unsupported(
+            "DESCRIBE ?var requires a WHERE group")), triples)
+          vs.foreach { v =>
+            if (!w.vars.contains(v)) unsupported(s"DESCRIBE ?$v: variable not bound in WHERE")
+          }
+          // subjects to describe = union of the described vars' bindings;
+          // LEFT SEMI keeps the scan-side pruned and never duplicates
+          val subjects = vs.map(v => w.df.select(col(v).as("__subj")))
+            .reduce(_ unionAll _).filter(col("__subj").isNotNull).distinct()
+          Some(triples.join(subjects, col("s") === col("__subj"), "left_semi"))
+      }
+      (byIri, byVar) match {
+        case (Some(a), Some(b)) => a.unionAll(b).distinct()
+        case (Some(a), None) => a.distinct()
+        case (None, Some(b)) => b.distinct()
+        case (None, None) => unsupported("DESCRIBE with no terms")
+      }
+
+    case AskQ(where) =>
+      compileGroup(where, triples).df.limit(1).select(lit(true).as("ask"))
+  }
+
+  private def checkedInt(n: Long, what: String): Int = {
+    if (n < 0 || n > Int.MaxValue) unsupported(s"$what $n out of range")
+    n.toInt
+  }
+
+  // ---- SELECT ---------------------------------------------------------------
+
+  private def compileSelect(sel: SelectQ, triples: DataFrame): Frag = {
+    val w = compileGroup(sel.where, triples)
+    val (projected, outVars) =
+      if (sel.projs.isEmpty) { // SELECT *
+        (w.df.select(w.vars.map(col): _*), w.vars)
+      } else {
+        val cols = sel.projs.map { case Proj(name, source) =>
+          val src = source.getOrElse(name)
+          if (!w.vars.contains(src)) unsupported(s"projected variable ?$src is not bound")
+          col(src).as(name)
+        }
+        (w.df.select(cols: _*), sel.projs.map(_.name))
+      }
+    var df = if (sel.distinct) projected.distinct() else projected
+    if (sel.orderBy.nonEmpty) {
+      sel.orderBy.foreach { case (v, _) =>
+        if (!outVars.contains(v)) unsupported(s"ORDER BY ?$v is not in the projection")
+      }
+      df = df.orderBy(sel.orderBy.map {
+        case (v, true) => col(v).asc
+        case (v, false) => col(v).desc
+      }: _*)
+    }
+    sel.offset.foreach(n => df = df.offset(checkedInt(n, "OFFSET")))
+    sel.limit.foreach(n => df = df.limit(checkedInt(n, "LIMIT")))
+    // projection renames can re-bind names; everything projected is now
+    // top-level, and null-ness survives the rename
+    val nullable = sel.projs match {
+      case Seq() => w.maybeNull
+      case ps => ps.collect {
+        case Proj(name, source) if w.maybeNull(source.getOrElse(name)) => name
+      }.toSet
+    }
+    Frag(df, outVars, nullable)
+  }
+
+  // ---- group graph patterns -----------------------------------------------------
+
+  private def compileGroup(g: Group, triples: DataFrame): Frag = {
+    var acc: Option[Frag] = None
+    var gates = List.empty[DataFrame] // constant-only patterns: existence checks
+    var gateId = 0
+
+    def joinInto(f: Frag, kind: String): Unit = acc match {
+      case None =>
+        if (kind == "optional")
+          unsupported("OPTIONAL cannot be the first pattern of a group")
+        acc = Some(f)
+      case Some(a) =>
+        val shared = a.vars.filter(f.vars.contains)
+        if (shared.isEmpty)
+          unsupported(s"join of {${f.vars.mkString(",")}} with {${a.vars.mkString(",")}} " +
+            "shares no variable: refusing the cross product")
+        shared.filter(a.maybeNull).foreach { v =>
+          unsupported(s"?$v is only optionally bound and later used as a join key: " +
+            "SPARQL unbound-compatibility differs from SQL null-join semantics")
+        }
+        shared.filter(f.maybeNull).foreach { v =>
+          unsupported(s"?$v is only optionally bound in a sub-pattern used as a join key")
+        }
+        val joined = a.df.join(f.df, shared, if (kind == "optional") "left_outer" else "inner")
+        val vars = a.vars ++ f.vars.filterNot(a.vars.contains)
+        val fresh = f.vars.filterNot(a.vars.contains).toSet
+        val maybeNull =
+          if (kind == "optional") a.maybeNull ++ fresh ++ (f.maybeNull -- shared.toSet)
+          else a.maybeNull ++ (f.maybeNull -- shared.toSet)
+        acc = Some(Frag(joined, vars, maybeNull))
+    }
+
+    // source order matters for OPTIONAL scoping; runs of adjacent triple
+    // patterns form one BGP and are join-ordered greedily within the run
+    val elems = g.elems
+    var idx = 0
+    var deferredFilters = List.empty[FExpr]
+    while (idx < elems.length) {
+      elems(idx) match {
+        case GTriple(_) =>
+          val run = elems.drop(idx).takeWhile(_.isInstanceOf[GTriple])
+            .collect { case GTriple(tp) => tp }
+          idx += run.length
+          val frags = run.map(compilePattern(_, triples))
+          val (constOnly, withVars) = frags.partition(_.vars.isEmpty)
+          gates :::= constOnly.map(_.df).toList
+          greedyBgp(withVars).foreach(joinInto(_, "inner"))
+        case GOptional(og) =>
+          joinInto(compileGroup(og, triples), "optional"); idx += 1
+        case GSub(sub) =>
+          joinInto(compileSelect(sub, triples), "inner"); idx += 1
+        case GUnion(branches) =>
+          joinInto(compileUnion(branches, triples), "inner"); idx += 1
+        case GFilter(e) =>
+          // group-scoped: applies to the whole group's solutions
+          deferredFilters ::= e; idx += 1
+      }
+    }
+
+    var result = acc.getOrElse {
+      if (gates.isEmpty) unsupported("empty group pattern")
+      // gates only (e.g. ASK { <s> <p> <o> }): the first gate seeds a
+      // 0-or-1-row frame; the rest conjoin through the normal gate joins
+      val seed = gates.head
+      gates = gates.tail
+      Frag(seed.limit(1).select(lit(1).as("__gate0")), Seq.empty, Set.empty)
+    }
+    // apply existence gates: 0-or-1-row EQUALITY join on a key each side
+    // derives from its own data. The key is '' for every row, but via an
+    // expression no optimizer rule can prove constant (a lit key would be
+    // constant-folded to `true` and the join demoted to a
+    // BroadcastNestedLoopJoin; arithmetic like nonNullable*0 gets
+    // simplified the same way). This stays a broadcast HASH join, keeping
+    // the engine-wide no-nested-loop invariant intact. When the gate's
+    // source folds to a literal LocalRelation anyway (an all-constant
+    // ontology slice), Catalyst may still demote — that case is a
+    // compile-time-known 1-row build side, i.e. free at any scale.
+    def zeroKey(df: DataFrame): Column =
+      coalesce(substring(col(df.columns.head).cast("string"), 1, 0), lit(""))
+    gates.foreach { gdf =>
+      gateId += 1
+      val k = s"__gate$gateId"
+      val gate = broadcast(gdf.limit(1).select(zeroKey(gdf).as(k)))
+      val left = result.df.withColumn(k, zeroKey(result.df))
+      result = result.copy(df = left.join(gate, Seq(k), "inner").drop(k))
+    }
+    deferredFilters.reverse.foreach { e =>
+      result = result.copy(df = result.df.filter(compileFilter(e, result.vars)))
+    }
+    result
+  }
+
+  /** Fold every-gate-and-no-triples case safely and join var-bearing
+    * patterns greedily: seed with the most-constant (most selective)
+    * pattern, then repeatedly take the pattern sharing the most variables
+    * with the bound set (constants break ties). Shares-nothing => refuse. */
+  private def greedyBgp(frags: Seq[Frag]): Option[Frag] = {
+    if (frags.isEmpty) return None
+    def constness(f: Frag): Int = 3 - f.vars.length // patterns have <=3 var positions
+    val pool = scala.collection.mutable.ArrayBuffer(frags: _*)
+    var cur = pool.remove(pool.indices.maxBy(i => (constness(pool(i)), -i)))
+    while (pool.nonEmpty) {
+      val bound = cur.vars.toSet
+      val cands = pool.indices.filter(i => pool(i).vars.exists(bound))
+      if (cands.isEmpty)
+        unsupported("basic graph pattern is disconnected: refusing the cross product " +
+          s"(bound {${cur.vars.mkString(",")}} vs remaining " +
+          s"{${pool.map(_.vars.mkString("/")).mkString(", ")}})")
+      val pick = cands.maxBy(i => (pool(i).vars.count(bound), constness(pool(i)), -i))
+      val nxt = pool.remove(pick)
+      val shared = cur.vars.filter(nxt.vars.contains)
+      cur = Frag(cur.df.join(nxt.df, shared, "inner"),
+        cur.vars ++ nxt.vars.filterNot(cur.vars.contains), Set.empty)
+    }
+    Some(cur)
+  }
+
+  private def compileUnion(branches: Seq[Group], triples: DataFrame): Frag = {
+    val frags = branches.map(compileGroup(_, triples))
+    if (frags.length == 1) return frags.head // plain nested group
+    val allVars = frags.flatMap(_.vars).distinct
+    val aligned = frags.map { f =>
+      val cols = allVars.map(v =>
+        if (f.vars.contains(v)) col(v) else lit(null).cast("string").as(v))
+      f.df.select(cols: _*)
+    }
+    val everywhere = allVars.filter(v => frags.forall(_.vars.contains(v))).toSet
+    val maybeNull = allVars.filterNot(everywhere).toSet ++ frags.flatMap(_.maybeNull)
+    Frag(aligned.reduce(_ unionAll _), allVars, maybeNull)
+  }
+
+  // ---- triple patterns ---------------------------------------------------------
+
+  private def compilePattern(tp: TP, triples: DataFrame): Frag = {
+    val pos: Seq[(String, Term)] = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    var df = triples
+    pos.foreach {
+      case (c, I(u)) => df = df.filter(col(c) === u)
+      case (c, L(v)) => df = df.filter(col(c) === v)
+      case _ => ()
+    }
+    val varPos = pos.collect { case (c, V(n)) => (c, n) }
+    // same var twice in one pattern (?s ?p ?s): in-pattern equality
+    varPos.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { dup =>
+      dup.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => df = df.filter(col(a) === col(b))
+        case _ => ()
+      }
+    }
+    val keep = varPos.distinctBy(_._2)
+    if (keep.isEmpty)
+      // constant-only pattern (the reference's "redundant clause"): keep the
+      // filtered (s, p, o) frame — the gate key derives from its columns
+      Frag(df, Seq.empty, Set.empty)
+    else
+      Frag(df.select(keep.map { case (c, n) => col(c).as(n) }: _*), keep.map(_._2), Set.empty)
+  }
+
+  // ---- filters -------------------------------------------------------------------
+
+  private def compileFilter(e: FExpr, vars: Seq[String]): Column = {
+    def term(t: Term): Column = t match {
+      case V(n) =>
+        if (!vars.contains(n))
+          // SPARQL: evaluating an unbound var raises an error, and a filter
+          // whose expression errors removes the row — a never-bound var
+          // therefore removes every row
+          lit(null).cast("string")
+        else col(n)
+      case I(u) => lit(u)
+      case L(v) => lit(v)
+    }
+    e match {
+      case FIn(t, vals) =>
+        val c = term(t)
+        vals.map(v => c === term(v)).reduce(_ || _)
+      case FCmp(op, l, r) =>
+        val (a, b) = (term(l), term(r))
+        op match {
+          case "=" => a === b
+          case "!=" => a =!= b
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case ">=" => a >= b
+        }
+      case FBound(V(n)) => if (vars.contains(n)) col(n).isNotNull else lit(false)
+      case FRegex(t, pat) => term(t).rlike(pat)
+      case FAnd(a, b) => compileFilter(a, vars) && compileFilter(b, vars)
+      case FOr(a, b) => compileFilter(a, vars) || compileFilter(b, vars)
+      case FNot(a) =>
+        // SQL three-valued NOT(null)=null filters the row, which matches
+        // SPARQL's error-removes-row for everything EXCEPT !BOUND — BOUND
+        // compiles to a non-null boolean, so NOT stays two-valued there
+        !compileFilter(a, vars)
+    }
+  }
+}

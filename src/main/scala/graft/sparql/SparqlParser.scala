@@ -1,0 +1,532 @@
+package graft.sparql
+
+import SparqlAst._
+
+/** Recursive-descent parser for the SPARQL subset in [[SparqlAst]].
+  *
+  * Design rules:
+  *  - REJECT, never mis-parse: anything outside the subset raises
+  *    [[SparqlParseException]] with the offending position (same contract
+  *    as RdfXmlSource — a wrong answer at 100 TB is worse than an error).
+  *  - Keywords are case-insensitive; `a` in predicate position expands to
+  *    rdf:type; PREFIX declarations expand prefixed names at parse time.
+  *  - Literal language tags (@cs) and datatype suffixes (^^<iri>) are
+  *    accepted and erased (the triple frame is plain strings; the reference
+  *    erases them too via str(), Harvester.java:1005-1013).
+  *  - `<` starts an IRI only if a matching `>` appears before whitespace;
+  *    otherwise it is the less-than operator.
+  */
+final class SparqlParseException(msg: String, val pos: Int)
+  extends IllegalArgumentException(s"$msg (at offset $pos)")
+
+object SparqlParser {
+
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  // ---- tokens ---------------------------------------------------------------
+
+  private sealed trait Tok { def pos: Int }
+  private case class TIri(v: String, pos: Int) extends Tok
+  private case class TVar(v: String, pos: Int) extends Tok
+  private case class TLit(v: String, pos: Int) extends Tok
+  private case class TNum(v: String, pos: Int) extends Tok
+  /** bare name or prefixed name (may contain one ':') */
+  private case class TName(v: String, pos: Int) extends Tok
+  private case class TPunct(v: String, pos: Int) extends Tok
+  private case class TEof(pos: Int) extends Tok
+
+  private def fail(msg: String, pos: Int): Nothing =
+    throw new SparqlParseException(msg, pos)
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
+      else if (c == '<') {
+        // IRI iff a '>' closes it before any whitespace
+        var j = i + 1
+        while (j < n && !q.charAt(j).isWhitespace && q.charAt(j) != '>') j += 1
+        if (j < n && q.charAt(j) == '>') {
+          out += TIri(q.substring(i + 1, j), i); i = j + 1
+        } else if (i + 1 < n && q.charAt(i + 1) == '=') {
+          out += TPunct("<=", i); i += 2
+        } else { out += TPunct("<", i); i += 1 }
+      }
+      else if (c == '?' || c == '$') {
+        var j = i + 1
+        while (j < n && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        if (j == i + 1) fail("empty variable name", i)
+        out += TVar(q.substring(i + 1, j), i); i = j
+      }
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = q.charAt(j)
+          if (d == '\\') {
+            if (j + 1 >= n) fail("dangling escape in literal", j)
+            val e = q.charAt(j + 1)
+            sb += (e match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case '\\' => '\\'; case '"' => '"'; case '\'' => '\''
+              case other => fail(s"unsupported escape \\$other in literal", j)
+            })
+            j += 2
+          } else if (d == quote) { closed = true; j += 1 }
+          else { sb += d; j += 1 }
+        }
+        if (!closed) fail("unterminated string literal", i)
+        // erase optional @lang / ^^datatype suffix
+        if (j < n && q.charAt(j) == '@') {
+          j += 1
+          while (j < n && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '-')) j += 1
+        } else if (j + 1 < n && q.charAt(j) == '^' && q.charAt(j + 1) == '^') {
+          j += 2
+          if (j < n && q.charAt(j) == '<') {
+            while (j < n && q.charAt(j) != '>') j += 1
+            if (j >= n) fail("unterminated datatype IRI", i)
+            j += 1
+          } else {
+            while (j < n && (q.charAt(j).isLetterOrDigit ||
+              q.charAt(j) == ':' || q.charAt(j) == '_')) j += 1
+          }
+        }
+        out += TLit(sb.toString, i); i = j
+      }
+      else if (c.isDigit || ((c == '-' || c == '+') && i + 1 < n && q.charAt(i + 1).isDigit)) {
+        var j = i + 1
+        while (j < n && (q.charAt(j).isDigit || q.charAt(j) == '.')) j += 1
+        out += TNum(q.substring(i, j), i); i = j
+      }
+      else if (c.isLetter || c == '_' || c == ':') {
+        var j = i
+        while (j < n && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_' ||
+          q.charAt(j) == '-' || q.charAt(j) == ':' || q.charAt(j) == '.')) j += 1
+        // a trailing '.' is the triple terminator, not part of the name
+        while (j > i && q.charAt(j - 1) == '.') j -= 1
+        out += TName(q.substring(i, j), i); i = j
+      }
+      else c match {
+        case '{' | '}' | '(' | ')' | '.' | ';' | ',' | '*' =>
+          out += TPunct(c.toString, i); i += 1
+        case '=' => out += TPunct("=", i); i += 1
+        case '!' =>
+          if (i + 1 < n && q.charAt(i + 1) == '=') { out += TPunct("!=", i); i += 2 }
+          else { out += TPunct("!", i); i += 1 }
+        case '>' =>
+          if (i + 1 < n && q.charAt(i + 1) == '=') { out += TPunct(">=", i); i += 2 }
+          else { out += TPunct(">", i); i += 1 }
+        case '&' =>
+          if (i + 1 < n && q.charAt(i + 1) == '&') { out += TPunct("&&", i); i += 2 }
+          else fail("single '&' is not an operator", i)
+        case '|' =>
+          if (i + 1 < n && q.charAt(i + 1) == '|') { out += TPunct("||", i); i += 2 }
+          else fail("single '|' is not an operator", i)
+        case other => fail(s"unexpected character '$other'", i)
+      }
+    }
+    out += TEof(n)
+    out.result()
+  }
+
+  // ---- parser state ----------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    var i = 0
+    var prefixes = Map.empty[String, String]
+    def peek: Tok = toks(i)
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def isName(kw: String): Boolean = peek match {
+      case TName(v, _) => v.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def eatName(kw: String): Unit =
+      if (isName(kw)) { i += 1 }
+      else fail(s"expected $kw, got ${describe(peek)}", peek.pos)
+    def isPunct(p: String): Boolean = peek match {
+      case TPunct(v, _) => v == p
+      case _ => false
+    }
+    def eatPunct(p: String): Unit =
+      if (isPunct(p)) { i += 1 }
+      else fail(s"expected '$p', got ${describe(peek)}", peek.pos)
+    def expand(name: String, pos: Int): String = {
+      val idx = name.indexOf(':')
+      if (idx < 0) fail(s"bare name '$name' (not a keyword, not prefixed)", pos)
+      val (pre, local) = (name.substring(0, idx), name.substring(idx + 1))
+      prefixes.get(pre) match {
+        case Some(base) => base + local
+        case None => fail(s"undeclared prefix '$pre:'", pos)
+      }
+    }
+  }
+
+  private def describe(t: Tok): String = t match {
+    case TIri(v, _) => s"<$v>"
+    case TVar(v, _) => s"?$v"
+    case TLit(v, _) => s""""$v""""
+    case TNum(v, _) => v
+    case TName(v, _) => v
+    case TPunct(v, _) => s"'$v'"
+    case TEof(_) => "end of query"
+  }
+
+  // ---- entry point -------------------------------------------------------------
+
+  def parse(query: String): SparqlQuery = {
+    val p = new P(tokenize(query))
+    while (p.isName("PREFIX")) {
+      p.next()
+      val name = p.next() match {
+        case TName(v, pos) =>
+          if (!v.endsWith(":")) fail(s"prefix '$v' must end with ':'", pos)
+          v.dropRight(1)
+        case TPunct(":", _) => ""
+        case other => fail(s"expected prefix name, got ${describe(other)}", other.pos)
+      }
+      val iri = p.next() match {
+        case TIri(v, _) => v
+        case other => fail(s"expected <iri> after PREFIX, got ${describe(other)}", other.pos)
+      }
+      p.prefixes += (name -> iri)
+    }
+    val q =
+      if (p.isName("SELECT")) parseSelect(p)
+      else if (p.isName("CONSTRUCT")) parseConstruct(p)
+      else if (p.isName("DESCRIBE")) parseDescribe(p)
+      else if (p.isName("ASK")) parseAsk(p)
+      else fail(s"expected SELECT/CONSTRUCT/DESCRIBE/ASK, got ${describe(p.peek)}",
+        p.peek.pos)
+    p.peek match {
+      case TEof(_) => q
+      case other => fail(s"trailing content after query: ${describe(other)}", other.pos)
+    }
+  }
+
+  // ---- query forms ---------------------------------------------------------------
+
+  private def parseSelect(p: P): SelectQ = {
+    p.eatName("SELECT")
+    val distinct = if (p.isName("DISTINCT")) { p.next(); true } else false
+    val projs = parseProjection(p)
+    if (p.isName("WHERE")) p.next()
+    val where = parseGroup(p)
+    parseModifiers(p, allowOrder = true) match {
+      case (order, limit, offset) => SelectQ(distinct, projs, where, order, limit, offset)
+    }
+  }
+
+  /** projection list: '*' | (?v | '(' (?x | STR(?x)) AS ?v ')')+ */
+  private def parseProjection(p: P): Seq[Proj] = {
+    if (p.isPunct("*")) { p.next(); return Seq.empty }
+    val out = Seq.newBuilder[Proj]
+    var seen = false
+    var done = false
+    while (!done) {
+      p.peek match {
+        case TVar(v, _) => p.next(); out += Proj(v, None); seen = true
+        case TPunct("(", _) =>
+          p.next()
+          val src = p.peek match {
+            case TVar(v, _) => p.next(); v
+            case TName(f, _) if f.equalsIgnoreCase("STR") =>
+              p.next(); p.eatPunct("(")
+              val inner = p.next() match {
+                case TVar(v, _) => v
+                case other => fail(s"STR() takes a variable, got ${describe(other)}", other.pos)
+              }
+              p.eatPunct(")")
+              inner
+            case other => fail(s"unsupported projection expression ${describe(other)}", other.pos)
+          }
+          p.eatName("AS")
+          val name = p.next() match {
+            case TVar(v, _) => v
+            case other => fail(s"expected ?var after AS, got ${describe(other)}", other.pos)
+          }
+          p.eatPunct(")")
+          out += Proj(name, Some(src)); seen = true
+        case _ => done = true
+      }
+    }
+    val r = out.result()
+    if (!seen) fail("SELECT needs '*' or at least one projection", p.peek.pos)
+    val dup = r.groupBy(_.name).collectFirst { case (n, g) if g.size > 1 => n }
+    dup.foreach(n => fail(s"duplicate projection ?$n", p.peek.pos))
+    r
+  }
+
+  private def parseConstruct(p: P): ConstructQ = {
+    p.eatName("CONSTRUCT")
+    p.eatPunct("{")
+    val template = Seq.newBuilder[TP]
+    while (!p.isPunct("}")) {
+      template ++= parseTriplesSameSubject(p)
+      if (p.isPunct(".")) p.next()
+    }
+    p.eatPunct("}")
+    if (p.isName("WHERE")) p.next()
+    val where = parseGroup(p)
+    val (_, limit, _) = parseModifiers(p, allowOrder = false)
+    ConstructQ(template.result(), where, limit)
+  }
+
+  private def parseDescribe(p: P): DescribeQ = {
+    p.eatName("DESCRIBE")
+    val terms = Seq.newBuilder[Term]
+    var done = false
+    while (!done) {
+      p.peek match {
+        case TIri(v, _) => p.next(); terms += I(v)
+        case TVar(v, _) => p.next(); terms += V(v)
+        case TName(v, pos) if !v.equalsIgnoreCase("WHERE") =>
+          p.next(); terms += I(p.expand(v, pos))
+        case _ => done = true
+      }
+    }
+    val ts = terms.result()
+    if (ts.isEmpty) fail("DESCRIBE needs at least one resource or variable", p.peek.pos)
+    val where =
+      if (p.isName("WHERE")) { p.next(); Some(parseGroup(p)) }
+      else if (p.isPunct("{")) Some(parseGroup(p))
+      else None
+    if (ts.exists(_.isInstanceOf[V]) && where.isEmpty)
+      fail("DESCRIBE ?var requires a WHERE group to bind it", p.peek.pos)
+    DescribeQ(ts, where)
+  }
+
+  private def parseAsk(p: P): AskQ = {
+    p.eatName("ASK")
+    AskQ(parseGroup(p))
+  }
+
+  private def parseModifiers(p: P, allowOrder: Boolean)
+      : (Seq[(String, Boolean)], Option[Long], Option[Long]) = {
+    var order = Seq.empty[(String, Boolean)]
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    if (p.isName("ORDER")) {
+      if (!allowOrder) fail("ORDER BY is not valid here", p.peek.pos)
+      p.next(); p.eatName("BY")
+      val ob = Seq.newBuilder[(String, Boolean)]
+      var done = false
+      while (!done) {
+        p.peek match {
+          case TVar(v, _) => p.next(); ob += ((v, true))
+          case TName(d, _) if d.equalsIgnoreCase("ASC") || d.equalsIgnoreCase("DESC") =>
+            p.next(); p.eatPunct("(")
+            val v = p.next() match {
+              case TVar(x, _) => x
+              case other => fail(s"expected ?var in ${d.toUpperCase}(), got ${describe(other)}", other.pos)
+            }
+            p.eatPunct(")")
+            ob += ((v, d.equalsIgnoreCase("ASC")))
+          case _ => done = true
+        }
+      }
+      order = ob.result()
+      if (order.isEmpty) fail("ORDER BY needs at least one sort key", p.peek.pos)
+    }
+    def num(kw: String): Long = {
+      p.eatName(kw)
+      p.next() match {
+        case TNum(v, pos) =>
+          if (v.contains(".")) fail(s"$kw takes an integer", pos)
+          v.toLong
+        case other => fail(s"expected integer after $kw, got ${describe(other)}", other.pos)
+      }
+    }
+    // LIMIT/OFFSET in either order, each at most once
+    while (p.isName("LIMIT") || p.isName("OFFSET")) {
+      if (p.isName("LIMIT")) {
+        if (limit.isDefined) fail("duplicate LIMIT", p.peek.pos)
+        limit = Some(num("LIMIT"))
+      } else {
+        if (offset.isDefined) fail("duplicate OFFSET", p.peek.pos)
+        offset = Some(num("OFFSET"))
+      }
+    }
+    (order, limit, offset)
+  }
+
+  // ---- group graph patterns --------------------------------------------------------
+
+  private def parseGroup(p: P): Group = {
+    p.eatPunct("{")
+    val elems = Seq.newBuilder[GElem]
+    while (!p.isPunct("}")) {
+      if (p.isName("FILTER")) {
+        p.next()
+        elems += GFilter(parseFilterExpr(p))
+      } else if (p.isName("OPTIONAL")) {
+        p.next()
+        elems += GOptional(parseGroup(p))
+      } else if (p.isPunct("{")) {
+        // nested group, sub-select, or a UNION chain
+        elems += parseGroupOrUnionOrSub(p)
+      } else if (p.isPunct(".")) {
+        p.next() // stray separators are fine anywhere in a group
+      } else {
+        parseTriplesSameSubject(p).foreach(tp => elems += GTriple(tp))
+        if (p.isPunct(".")) p.next()
+      }
+    }
+    p.eatPunct("}")
+    Group(elems.result())
+  }
+
+  private def parseGroupOrUnionOrSub(p: P): GElem = {
+    // lookahead past '{' for SELECT => sub-select
+    val start = p.i
+    p.eatPunct("{")
+    if (p.isName("SELECT")) {
+      val sub = parseSelect(p)
+      p.eatPunct("}")
+      return GSub(sub)
+    }
+    p.i = start
+    val first = parseGroup(p)
+    if (!p.isName("UNION")) {
+      // a plain nested group is a single-branch union (same algebra)
+      GUnion(Seq(first))
+    } else {
+      val branches = Seq.newBuilder[Group]
+      branches += first
+      while (p.isName("UNION")) {
+        p.next()
+        if (p.isPunct("{") && { val s = p.i; p.next(); val r = p.isName("SELECT"); p.i = s; r }) {
+          // UNION branch that is itself a sub-select: wrap as one-element group
+          p.next()
+          val sub = parseSelect(p)
+          p.eatPunct("}")
+          branches += Group(Seq(GSub(sub)))
+        } else {
+          branches += parseGroup(p)
+        }
+      }
+      GUnion(branches.result())
+    }
+  }
+
+  /** term [p o (',' o)* (';' p o (',' o)*)*] — the standard same-subject
+    * shorthand. Returns the expanded triples. */
+  private def parseTriplesSameSubject(p: P): Seq[TP] = {
+    val subj = parseTerm(p, "subject")
+    val out = Seq.newBuilder[TP]
+    var morePreds = true
+    while (morePreds) {
+      val pred = parsePredicate(p)
+      var moreObjs = true
+      while (moreObjs) {
+        val obj = parseTerm(p, "object")
+        out += TP(subj, pred, obj)
+        if (p.isPunct(",")) p.next() else moreObjs = false
+      }
+      if (p.isPunct(";")) p.next() else morePreds = false
+    }
+    out.result()
+  }
+
+  private def parsePredicate(p: P): Term = p.peek match {
+    case TName(v, _) if v == "a" => p.next(); I(RdfType)
+    case _ => parseTerm(p, "predicate")
+  }
+
+  private def parseTerm(p: P, role: String): Term = p.next() match {
+    case TIri(v, _) => I(v)
+    case TVar(v, _) => V(v)
+    case TLit(v, _) => L(v)
+    case TNum(v, _) => L(v)
+    case TName(v, pos) => I(p.expand(v, pos))
+    case other => fail(s"expected $role term, got ${describe(other)}", other.pos)
+  }
+
+  // ---- filter expressions -------------------------------------------------------------
+
+  /** FILTER body: either a parenthesized expression or a bare builtin call
+    * (both appear in the wild; the reference template uses both forms). */
+  private def parseFilterExpr(p: P): FExpr =
+    if (p.isPunct("(")) { p.eatPunct("("); val e = parseOr(p); p.eatPunct(")"); e }
+    else parseUnary(p)
+
+  private def parseOr(p: P): FExpr = {
+    var e = parseAnd(p)
+    while (p.isPunct("||")) { p.next(); e = FOr(e, parseAnd(p)) }
+    e
+  }
+
+  private def parseAnd(p: P): FExpr = {
+    var e = parseUnary(p)
+    while (p.isPunct("&&")) { p.next(); e = FAnd(e, parseUnary(p)) }
+    e
+  }
+
+  private def parseUnary(p: P): FExpr =
+    if (p.isPunct("!")) { p.next(); FNot(parseUnary(p)) }
+    else if (p.isPunct("(")) { p.eatPunct("("); val e = parseOr(p); p.eatPunct(")"); e }
+    else parsePrimary(p)
+
+  private def parsePrimary(p: P): FExpr = {
+    if (p.isName("BOUND")) {
+      p.next(); p.eatPunct("(")
+      val v = p.next() match {
+        case TVar(x, _) => V(x)
+        case other => fail(s"BOUND() takes a variable, got ${describe(other)}", other.pos)
+      }
+      p.eatPunct(")")
+      return FBound(v)
+    }
+    if (p.isName("REGEX")) {
+      p.next(); p.eatPunct("(")
+      val t = parseOperand(p)
+      p.eatPunct(",")
+      val pat = p.next() match {
+        case TLit(v, _) => v
+        case other => fail(s"REGEX pattern must be a string literal, got ${describe(other)}", other.pos)
+      }
+      if (p.isPunct(","))
+        fail("REGEX flags are not supported", p.peek.pos)
+      p.eatPunct(")")
+      return FRegex(t, pat)
+    }
+    val l = parseOperand(p)
+    if (p.isName("IN")) {
+      p.next(); p.eatPunct("(")
+      val vals = Seq.newBuilder[Term]
+      if (!p.isPunct(")")) {
+        vals += parseOperand(p)
+        while (p.isPunct(",")) { p.next(); vals += parseOperand(p) }
+      }
+      p.eatPunct(")")
+      val vs = vals.result()
+      if (vs.isEmpty) fail("IN () with no values", p.peek.pos)
+      FIn(l, vs)
+    } else {
+      val op = p.peek match {
+        case TPunct(o, _) if Set("=", "!=", "<", "<=", ">", ">=")(o) => p.next(); o
+        case other => fail(s"expected comparison/IN after operand, got ${describe(other)}", other.pos)
+      }
+      FCmp(op, l, parseOperand(p))
+    }
+  }
+
+  /** filter operand: ?v | STR(?v) (identity) | <iri> | "lit" | number |
+    * prefixed name */
+  private def parseOperand(p: P): Term = p.peek match {
+    case TName(f, _) if f.equalsIgnoreCase("STR") =>
+      p.next(); p.eatPunct("(")
+      val t = p.next() match {
+        case TVar(v, _) => V(v)
+        case other => fail(s"STR() takes a variable, got ${describe(other)}", other.pos)
+      }
+      p.eatPunct(")")
+      t
+    case _ => parseTerm(p, "filter operand")
+  }
+}

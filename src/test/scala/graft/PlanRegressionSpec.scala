@@ -100,6 +100,17 @@ class PlanRegressionSpec extends AnyFunSuite {
       "rel-pairs reads more of documents than (doc_id, text)")
   }
 
+  test("sparql_*: every compiled join is hash-based — BGP chains, the " +
+       "OPTIONAL/!BOUND anti-join, the DESCRIBE semi-join and the " +
+       "reference template's redundant-clause gate included") {
+    for (q <- Seq("sparql_select_bgp", "sparql_construct_sync",
+                  "sparql_sync_query", "sparql_describe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+  }
+
   test("dd_minhash_lsh: banded candidate join and verification are hash joins, " +
        "never a cartesian product") {
     val p = plan("dd_minhash_lsh")
