@@ -206,8 +206,7 @@ object KgMain {
       import org.apache.spark.sql.functions.col
       val queryTexts: Seq[String] =
         if (turnsDir != "-")
-          Seq(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(turnsDir)), java.nio.charset.StandardCharsets.UTF_8))
+          Seq(java.nio.file.Files.readString(java.nio.file.Paths.get(turnsDir)))
         else sys.env.get("GRAFT_SPARQL").map(Seq(_)).getOrElse(cfg.queries)
       require(queryTexts.nonEmpty,
         "query mode needs a .rq file, GRAFT_SPARQL, or query[] in GRAFT_CONFIG_JSON")

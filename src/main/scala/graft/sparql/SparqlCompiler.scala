@@ -67,6 +67,10 @@ object SparqlCompiler {
     case ConstructQ(template, where, limit) =>
       if (template.isEmpty) unsupported("CONSTRUCT with an empty template")
       val w = compileGroup(where, triples)
+      // SPARQL solution modifiers bound the SOLUTION sequence; the template
+      // then instantiates per kept solution — limiting output triples
+      // instead would truncate mid-solution on multi-triple templates
+      val wdf = limit.fold(w.df)(n => w.df.limit(checkedInt(n, "LIMIT")))
       def out(t: Term): Column = t match {
         case V(n) =>
           if (w.vars.contains(n)) col(n)
@@ -75,13 +79,12 @@ object SparqlCompiler {
         case L(v) => lit(v)
       }
       val parts = template.map { tp =>
-        w.df.select(out(tp.s).as("s"), out(tp.p).as("p"), out(tp.o).as("o"))
+        wdf.select(out(tp.s).as("s"), out(tp.p).as("p"), out(tp.o).as("o"))
           // RDF graphs cannot contain triples with unbound positions —
           // template rows that lost a var (OPTIONAL miss) are skipped
           .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
       }
-      val g = parts.reduce(_ unionAll _).distinct() // a graph is a SET of triples
-      limit.fold(g)(n => g.limit(checkedInt(n, "LIMIT")))
+      parts.reduce(_ unionAll _).distinct() // a graph is a SET of triples
 
     case DescribeQ(terms, where) =>
       val iris = terms.collect { case I(u) => u }
@@ -123,6 +126,9 @@ object SparqlCompiler {
 
   private def compileSelect(sel: SelectQ, triples: DataFrame): Frag = {
     val w = compileGroup(sel.where, triples)
+    if (sel.projs.isEmpty && w.vars.isEmpty)
+      unsupported("SELECT * over an all-constant pattern binds no variables " +
+        "(a zero-column result): use ASK for existence checks")
     val (projected, outVars) =
       if (sel.projs.isEmpty) { // SELECT *
         (w.df.select(w.vars.map(col): _*), w.vars)
@@ -159,7 +165,17 @@ object SparqlCompiler {
 
   // ---- group graph patterns -----------------------------------------------------
 
-  private def compileGroup(g: Group, triples: DataFrame): Frag = {
+  /** `leftVars`: variables bound OUTSIDE this group when it is the pattern
+    * of an OPTIONAL. SPARQL compiles `OPTIONAL { P FILTER F }` to
+    * LeftJoin(left, P, F) — F may see the left side's bindings — but this
+    * engine compiles the optional group standalone and left-joins after, so
+    * a filter referencing a leftVar would silently null the whole optional
+    * side instead. REFUSED (rewrite as a filter after the OPTIONAL). In
+    * every other position, a filter referencing a var its own group never
+    * binds is conformant SPARQL (unbound -> error -> row removed) and
+    * compiles as such. */
+  private def compileGroup(g: Group, triples: DataFrame,
+                           leftVars: Set[String] = Set.empty): Frag = {
     var acc: Option[Frag] = None
     var gates = List.empty[DataFrame] // constant-only patterns: existence checks
     var gateId = 0
@@ -206,7 +222,8 @@ object SparqlCompiler {
           gates :::= constOnly.map(_.df).toList
           greedyBgp(withVars).foreach(joinInto(_, "inner"))
         case GOptional(og) =>
-          joinInto(compileGroup(og, triples), "optional"); idx += 1
+          val bound = acc.map(_.vars.toSet).getOrElse(Set.empty) ++ leftVars
+          joinInto(compileGroup(og, triples, bound), "optional"); idx += 1
         case GSub(sub) =>
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
@@ -245,9 +262,30 @@ object SparqlCompiler {
       result = result.copy(df = left.join(gate, Seq(k), "inner").drop(k))
     }
     deferredFilters.reverse.foreach { e =>
+      val outerRefs = (fvars(e) -- result.vars.toSet).intersect(leftVars)
+      if (outerRefs.nonEmpty)
+        unsupported(s"FILTER in OPTIONAL references outer " +
+          outerRefs.toSeq.sorted.map("?" + _).mkString(", ") +
+          ": left-join conditions are not compiled — move the filter after " +
+          "the OPTIONAL (scaladoc: compileGroup)")
       result = result.copy(df = result.df.filter(compileFilter(e, result.vars)))
     }
     result
+  }
+
+  private def fvars(e: FExpr): Set[String] = e match {
+    case FIn(t, vals) => tvars(t) ++ vals.flatMap(tvars)
+    case FCmp(_, l, r) => tvars(l) ++ tvars(r)
+    case FBound(v) => Set(v.name)
+    case FRegex(t, _) => tvars(t)
+    case FAnd(a, b) => fvars(a) ++ fvars(b)
+    case FOr(a, b) => fvars(a) ++ fvars(b)
+    case FNot(a) => fvars(a)
+  }
+
+  private def tvars(t: Term): Set[String] = t match {
+    case V(n) => Set(n)
+    case _ => Set.empty
   }
 
   /** Fold every-gate-and-no-triples case safely and join var-bearing

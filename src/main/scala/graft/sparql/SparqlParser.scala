@@ -102,6 +102,9 @@ object SparqlParser {
       else if (c.isDigit || ((c == '-' || c == '+') && i + 1 < n && q.charAt(i + 1).isDigit)) {
         var j = i + 1
         while (j < n && (q.charAt(j).isDigit || q.charAt(j) == '.')) j += 1
+        // a trailing '.' is the triple terminator, not a decimal point
+        // ("5." = INTEGER 5 then DOT) — same rule as the name tokenizer
+        while (j > i && q.charAt(j - 1) == '.') j -= 1
         out += TNum(q.substring(i, j), i); i = j
       }
       else if (c.isLetter || c == '_' || c == ':') {
@@ -273,7 +276,10 @@ object SparqlParser {
     p.eatPunct("}")
     if (p.isName("WHERE")) p.next()
     val where = parseGroup(p)
-    val (_, limit, _) = parseModifiers(p, allowOrder = false)
+    val (_, limit, offset) = parseModifiers(p, allowOrder = false)
+    if (offset.isDefined)
+      fail("OFFSET on CONSTRUCT is not supported (unordered solutions make " +
+        "the skipped prefix meaningless)", p.peek.pos)
     ConstructQ(template.result(), where, limit)
   }
 
@@ -382,34 +388,28 @@ object SparqlParser {
   }
 
   private def parseGroupOrUnionOrSub(p: P): GElem = {
-    // lookahead past '{' for SELECT => sub-select
-    val start = p.i
-    p.eatPunct("{")
-    if (p.isName("SELECT")) {
-      val sub = parseSelect(p)
-      p.eatPunct("}")
-      return GSub(sub)
+    // one UNION branch: either a sub-select (lookahead past '{' for SELECT,
+    // the Virtuoso BIND idiom) or a plain nested group — symmetric in every
+    // branch position, first included
+    def branch(): Group = {
+      val start = p.i
+      p.eatPunct("{")
+      if (p.isName("SELECT")) {
+        val sub = parseSelect(p)
+        p.eatPunct("}")
+        Group(Seq(GSub(sub)))
+      } else { p.i = start; parseGroup(p) }
     }
-    p.i = start
-    val first = parseGroup(p)
+    val first = branch()
     if (!p.isName("UNION")) {
-      // a plain nested group is a single-branch union (same algebra)
-      GUnion(Seq(first))
+      first.elems match {
+        case Seq(one: GSub) => one // a lone sub-select joins as a pattern
+        case _ => GUnion(Seq(first)) // a nested group is a 1-branch union
+      }
     } else {
       val branches = Seq.newBuilder[Group]
       branches += first
-      while (p.isName("UNION")) {
-        p.next()
-        if (p.isPunct("{") && { val s = p.i; p.next(); val r = p.isName("SELECT"); p.i = s; r }) {
-          // UNION branch that is itself a sub-select: wrap as one-element group
-          p.next()
-          val sub = parseSelect(p)
-          p.eatPunct("}")
-          branches += Group(Seq(GSub(sub)))
-        } else {
-          branches += parseGroup(p)
-        }
-      }
+      while (p.isName("UNION")) { p.next(); branches += branch() }
       GUnion(branches.result())
     }
   }
@@ -495,7 +495,7 @@ object SparqlParser {
       p.eatPunct(")")
       return FRegex(t, pat)
     }
-    val l = parseOperand(p)
+    val (l, lNum) = parseOperandN(p)
     if (p.isName("IN")) {
       p.next(); p.eatPunct("(")
       val vals = Seq.newBuilder[Term]
@@ -508,17 +508,28 @@ object SparqlParser {
       if (vs.isEmpty) fail("IN () with no values", p.peek.pos)
       FIn(l, vs)
     } else {
+      val opPos = p.peek.pos
       val op = p.peek match {
         case TPunct(o, _) if Set("=", "!=", "<", "<=", ">", ">=")(o) => p.next(); o
         case other => fail(s"expected comparison/IN after operand, got ${describe(other)}", other.pos)
       }
-      FCmp(op, l, parseOperand(p))
+      val (r, rNum) = parseOperandN(p)
+      // terms are strings end-to-end; an ordering comparison against a
+      // NUMERIC literal would silently compare lexicographically
+      // ("10" < "9"), so REJECT it — equality on the lexical form is fine
+      if ((lNum || rNum) && op != "=" && op != "!=")
+        fail("numeric ordering comparisons are not supported over string " +
+          "terms (lexicographic '<' would silently diverge from SPARQL " +
+          "numeric semantics)", opPos)
+      FCmp(op, l, r)
     }
   }
 
+  private def parseOperand(p: P): Term = parseOperandN(p)._1
+
   /** filter operand: ?v | STR(?v) (identity) | <iri> | "lit" | number |
-    * prefixed name */
-  private def parseOperand(p: P): Term = p.peek match {
+    * prefixed name; the boolean marks a numeric literal */
+  private def parseOperandN(p: P): (Term, Boolean) = p.peek match {
     case TName(f, _) if f.equalsIgnoreCase("STR") =>
       p.next(); p.eatPunct("(")
       val t = p.next() match {
@@ -526,7 +537,8 @@ object SparqlParser {
         case other => fail(s"STR() takes a variable, got ${describe(other)}", other.pos)
       }
       p.eatPunct(")")
-      t
-    case _ => parseTerm(p, "filter operand")
+      (t, false)
+    case TNum(_, _) => (parseTerm(p, "filter operand"), true)
+    case _ => (parseTerm(p, "filter operand"), false)
   }
 }

@@ -313,6 +313,67 @@ class SparqlSpec extends AnyFunSuite {
     assert(out2.map(_.flatten) == Seq(Seq("urn:a")))
   }
 
+  test("a dot after a numeric literal is the triple terminator, not a decimal") {
+    val ts = Seq(("urn:a", "urn:count", "5"))
+    assert(SparqlCompiler.ask("ASK { <urn:a> <urn:count> 5. }", toDf(ts)))
+    // a real decimal keeps its point
+    assert(!SparqlCompiler.ask("ASK { <urn:a> <urn:count> 5.0 }", toDf(ts)))
+  }
+
+  test("numeric ordering comparisons are refused; lexical equality is fine") {
+    val ts = Seq(("urn:a", "urn:count", "5"))
+    val msg = intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?v WHERE { <urn:a> <urn:count> ?v . FILTER(?v > 4) }")).getMessage
+    assert(msg.contains("numeric ordering"))
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?v WHERE { ?s <urn:count> ?v . FILTER(?v = 5) }",
+      toDf(ts))).map(_.flatten) == Seq(Seq("5")))
+  }
+
+  test("CONSTRUCT: OFFSET refused; LIMIT bounds solutions, not output triples") {
+    intercept[SparqlParseException](SparqlParser.parse(
+      "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } OFFSET 2"))
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:a", "urn:q", "x"))
+    val g = rows(SparqlCompiler.compile(
+      """CONSTRUCT { ?s <urn:r1> ?o . ?s <urn:r2> ?n } WHERE {
+        |  ?s <urn:p> ?o . ?s <urn:q> ?n } LIMIT 1""".stripMargin, toDf(ts))).map(_.flatten)
+    assert(g.toSet == Set(
+      Seq("urn:a", "urn:r1", "urn:b"), Seq("urn:a", "urn:r2", "x")),
+      "one kept solution must instantiate the WHOLE template")
+  }
+
+  test("SELECT * over an all-constant pattern is refused (zero columns)") {
+    val ts = Seq(("urn:a", "urn:count", "5"))
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT * WHERE { <urn:a> <urn:count> 5 }", toDf(ts))).getMessage
+    assert(msg.contains("ASK"))
+  }
+
+  test("UNION whose FIRST branch is a sub-select") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:c", "urn:q", "urn:a"))
+    val out = rows(SparqlCompiler.compile(
+      """SELECT ?x WHERE {
+        |  { SELECT ?x WHERE { ?x <urn:p> ?y } } UNION { ?z <urn:q> ?x } }""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(out.map(_.head).sorted == Seq("urn:a", "urn:a"))
+  }
+
+  test("FILTER in OPTIONAL referencing an outer variable is refused, not " +
+       "silently nulled") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:b", "urn:q", "urn:a"))
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?n . FILTER(?n != ?a) } }""".stripMargin,
+      toDf(ts))).getMessage
+    assert(msg.contains("outer ?a"))
+    // a filter on the optional group's OWN vars stays supported
+    val ok = rows(SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?n . FILTER(?n != <urn:zzz>) } }""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(ok == Seq(Seq("urn:a", "urn:a")))
+  }
+
   // ---------------------------------------------------------------------------
   // 3. the reference's generated sync query, template-verbatim
   // ---------------------------------------------------------------------------
