@@ -31,7 +31,10 @@ import SparqlAst._
   *  - OPTIONAL is a left outer hash join on the shared variables;
   *    FILTER(!BOUND(?v)) is an IS NULL filter on top — together they
   *    compile the reference's has-no-label anti-join idiom into exactly
-  *    the LeftOuter+IsNull plan Catalyst rewrites to an ANTI join.
+  *    the LeftOuter+IsNull plan Catalyst rewrites to an ANTI join. A
+  *    filter INSIDE the optional group that references left-side bindings
+  *    becomes the left join's residual condition (full LeftJoin(A, P, F)
+  *    semantics — still a hash join, the shared-var equalities drive it).
   *  - A variable bound only optionally (or only in some UNION branches)
   *    must not be used as a later join key: SPARQL joins treat unbound as
   *    compatible-with-anything while SQL nulls never match, so such plans
@@ -166,14 +169,11 @@ object SparqlCompiler {
   // ---- group graph patterns -----------------------------------------------------
 
   /** `leftVars`: variables bound OUTSIDE this group when it is the pattern
-    * of an OPTIONAL. SPARQL compiles `OPTIONAL { P FILTER F }` to
-    * LeftJoin(left, P, F) — F may see the left side's bindings — but this
-    * engine compiles the optional group standalone and left-joins after, so
-    * a filter referencing a leftVar would silently null the whole optional
-    * side instead. REFUSED (rewrite as a filter after the OPTIONAL). In
-    * every other position, a filter referencing a var its own group never
-    * binds is conformant SPARQL (unbound -> error -> row removed) and
-    * compiles as such. */
+    * of an OPTIONAL — the scope `compileOptional` may lift that group's
+    * filters into the left-join condition from (see its scaladoc). In every
+    * other position, a filter referencing a var its own group never binds
+    * is conformant SPARQL (unbound -> error -> row removed) and compiles as
+    * such. */
   private def compileGroup(g: Group, triples: DataFrame,
                            leftVars: Set[String] = Set.empty): Frag = {
     var acc: Option[Frag] = None
@@ -206,6 +206,64 @@ object SparqlCompiler {
         acc = Some(Frag(joined, vars, maybeNull))
     }
 
+    /** SPARQL `OPTIONAL { P FILTER F }` is LeftJoin(left, P, F): F sees the
+      * LEFT side's bindings, not just P's. Filters of the optional group
+      * that reference left-bound variables therefore compile into the left
+      * join's CONDITION — equality on the shared variables plus the residual
+      * predicate, which Spark still executes as a hash join (the equality
+      * keys drive the build/probe; the residual evaluates per matched row).
+      * Filters over only the group's own variables apply to P before the
+      * join, same result, cheaper (they prune the build side). A condition
+      * variable bound NOWHERE compiles to null => never matches => the left
+      * row survives bare — exactly SPARQL's error-means-no-extension. Only
+      * variables visible one level up are in scope; a condition reaching a
+      * grand-outer binding is refused. */
+    def compileOptional(og: Group): Unit = {
+      val a = acc.getOrElse(
+        unsupported("OPTIONAL cannot be the first pattern of a group"))
+      val bound = a.vars.toSet ++ leftVars
+      val (filterElems, core) = og.elems.partition(_.isInstanceOf[GFilter])
+      val fs = filterElems.collect { case GFilter(e) => e }
+      val c0 = compileGroup(Group(core), triples, bound)
+      val (pending, local) = fs.partition(e => (fvars(e) -- c0.vars.toSet).exists(bound))
+      val c = local.foldLeft(c0)((f, e) =>
+        f.copy(df = f.df.filter(compileFilter(e, f.vars))))
+      val shared = a.vars.filter(c.vars.contains)
+      if (shared.isEmpty)
+        unsupported(s"OPTIONAL {${c.vars.mkString(",")}} shares no variable " +
+          s"with {${a.vars.mkString(",")}}: refusing the cross product")
+      (shared.filter(a.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
+        unsupported(s"?$v is only optionally bound and later used as a join key: " +
+          "SPARQL unbound-compatibility differs from SQL null-join semantics")
+      }
+      pending.flatMap(fvars).distinct.foreach { v =>
+        if (!a.vars.contains(v) && !c.vars.contains(v) && bound(v))
+          unsupported(s"FILTER in OPTIONAL references ?$v bound outside the " +
+            "enclosing group: only one level of left-join condition scope is compiled")
+      }
+      val freshVars = c.vars.filterNot(a.vars.contains)
+      if (pending.isEmpty) {
+        acc = Some(Frag(a.df.join(c.df, shared, "left_outer"),
+          a.vars ++ freshVars,
+          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet)))
+      } else {
+        // disambiguate the optional side, then join on shared-var equality
+        // AND the residual condition
+        val ren = c.vars.map(v => v -> s"__opt_$v").toMap
+        val cdf = c.vars.foldLeft(c.df)((d, v) => d.withColumnRenamed(v, ren(v)))
+        val resolve: String => Option[Column] = v =>
+          if (c.vars.contains(v)) Some(col(ren(v)))
+          else if (a.vars.contains(v)) Some(col(v))
+          else None // bound nowhere: null condition => no extension
+        val eq = shared.map(v => col(v) === col(ren(v))).reduce(_ && _)
+        val cond = pending.map(e => compileFilter(e, resolve)).reduce(_ && _)
+        val joined = a.df.join(cdf, eq && cond, "left_outer")
+          .select(a.vars.map(col) ++ freshVars.map(v => col(ren(v)).as(v)): _*)
+        acc = Some(Frag(joined, a.vars ++ freshVars,
+          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet)))
+      }
+    }
+
     // source order matters for OPTIONAL scoping; runs of adjacent triple
     // patterns form one BGP and are join-ordered greedily within the run
     val elems = g.elems
@@ -222,8 +280,7 @@ object SparqlCompiler {
           gates :::= constOnly.map(_.df).toList
           greedyBgp(withVars).foreach(joinInto(_, "inner"))
         case GOptional(og) =>
-          val bound = acc.map(_.vars.toSet).getOrElse(Set.empty) ++ leftVars
-          joinInto(compileGroup(og, triples, bound), "optional"); idx += 1
+          compileOptional(og); idx += 1
         case GSub(sub) =>
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
@@ -356,15 +413,17 @@ object SparqlCompiler {
 
   // ---- filters -------------------------------------------------------------------
 
-  private def compileFilter(e: FExpr, vars: Seq[String]): Column = {
+  private def compileFilter(e: FExpr, vars: Seq[String]): Column =
+    compileFilter(e, (n: String) => if (vars.contains(n)) Some(col(n)) else None)
+
+  /** `resolve`: variable -> in-scope column; None means the variable is
+    * bound nowhere — SPARQL evaluates it to an error, and a filter whose
+    * expression errors removes the row, so it compiles to a null literal
+    * (three-valued logic then filters the row, or voids the join
+    * condition, exactly as required). */
+  private def compileFilter(e: FExpr, resolve: String => Option[Column]): Column = {
     def term(t: Term): Column = t match {
-      case V(n) =>
-        if (!vars.contains(n))
-          // SPARQL: evaluating an unbound var raises an error, and a filter
-          // whose expression errors removes the row — a never-bound var
-          // therefore removes every row
-          lit(null).cast("string")
-        else col(n)
+      case V(n) => resolve(n).getOrElse(lit(null).cast("string"))
       case I(u) => lit(u)
       case L(v) => lit(v)
     }
@@ -382,15 +441,15 @@ object SparqlCompiler {
           case ">" => a > b
           case ">=" => a >= b
         }
-      case FBound(V(n)) => if (vars.contains(n)) col(n).isNotNull else lit(false)
+      case FBound(V(n)) => resolve(n).map(_.isNotNull).getOrElse(lit(false))
       case FRegex(t, pat) => term(t).rlike(pat)
-      case FAnd(a, b) => compileFilter(a, vars) && compileFilter(b, vars)
-      case FOr(a, b) => compileFilter(a, vars) || compileFilter(b, vars)
+      case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
+      case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
       case FNot(a) =>
         // SQL three-valued NOT(null)=null filters the row, which matches
         // SPARQL's error-removes-row for everything EXCEPT !BOUND — BOUND
         // compiles to a non-null boolean, so NOT stays two-valued there
-        !compileFilter(a, vars)
+        !compileFilter(a, resolve)
     }
   }
 }

@@ -150,9 +150,15 @@ class SparqlSpec extends AnyFunSuite {
     g.elems.foreach {
       case GTriple(tp) => acc = joinB(acc, matchTp(tp, ts))
       case GOptional(og) =>
-        val r = evalGroup(og, ts)
+        // SPARQL LeftJoin(A, P, F): the optional group's own filters are
+        // evaluated against the MERGED solution (they see A's bindings)
+        val ofs = og.elems.collect { case GFilter(e) => e }
+        val core = Group(og.elems.filterNot(_.isInstanceOf[GFilter]))
+        val r = evalGroup(core, ts)
         acc = acc.flatMap { m =>
-          val ext = r.filter(compatible(m, _)).map(m ++ _)
+          val ext = r.filter(x => compatible(m, x) &&
+              ofs.forall(f => evalF(f, m ++ x).contains(true)))
+            .map(m ++ _)
           if (ext.nonEmpty) ext else Seq(m)
         }
       case GUnion(bs) => acc = joinB(acc, bs.flatMap(evalGroup(_, ts)))
@@ -226,6 +232,13 @@ class SparqlSpec extends AnyFunSuite {
       diffSelect(
         """SELECT DISTINCT ?a WHERE { ?a <urn:p:knows> ?b .
           |  OPTIONAL { ?b <urn:p:name> ?n } . FILTER(!BOUND(?n)) }""".stripMargin, ts)
+      // left-join conditions: optional filters over own vars and left vars
+      diffSelect(
+        """SELECT DISTINCT ?a ?n WHERE { ?a <urn:p:knows> ?b .
+          |  OPTIONAL { ?b <urn:p:name> ?n . FILTER(?n != "ann") } }""".stripMargin, ts)
+      diffSelect(
+        """SELECT DISTINCT ?a ?c WHERE { ?a <urn:p:knows> ?b .
+          |  OPTIONAL { ?b <urn:p:knows> ?c . FILTER(?c != ?a) } }""".stripMargin, ts)
     }
   }
 
@@ -358,20 +371,38 @@ class SparqlSpec extends AnyFunSuite {
     assert(out.map(_.head).sorted == Seq("urn:a", "urn:a"))
   }
 
-  test("FILTER in OPTIONAL referencing an outer variable is refused, not " +
-       "silently nulled") {
-    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:b", "urn:q", "urn:a"))
-    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+  test("FILTER in OPTIONAL referencing the left side compiles as the " +
+       "LeftJoin condition (SPARQL LeftJoin(A, P, F) semantics)") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:b", "urn:q", "urn:a"),
+      ("urn:b", "urn:q", "urn:z"))
+    // F rejects the extension binding ?n = ?a, keeps ?n = urn:z
+    val df = SparqlCompiler.compile(
       """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
         |  OPTIONAL { ?b <urn:q> ?n . FILTER(?n != ?a) } }""".stripMargin,
-      toDf(ts))).getMessage
-    assert(msg.contains("outer ?a"))
+      toDf(ts))
+    // residual condition rides the HASH join (equality keys still drive it)
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val out = rows(df).map(_.flatten)
+    assert(out == Seq(Seq("urn:a", "urn:z")))
+    // when F rejects EVERY extension the left row survives bare (null ?n)
+    val bare = rows(SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?n . FILTER(?n = <urn:nope>) } }""".stripMargin,
+      toDf(ts)))
+    assert(bare == Seq(Seq(Some("urn:a"), None)))
     // a filter on the optional group's OWN vars stays supported
     val ok = rows(SparqlCompiler.compile(
       """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
         |  OPTIONAL { ?b <urn:q> ?n . FILTER(?n != <urn:zzz>) } }""".stripMargin,
-      toDf(ts))).map(_.flatten)
-    assert(ok == Seq(Seq("urn:a", "urn:a")))
+      toDf(ts))).map(_.flatten).toSet
+    assert(ok == Set(Seq("urn:a", "urn:a"), Seq("urn:a", "urn:z")))
+    // grand-outer scope (a condition var bound two groups up) is refused
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?c .
+        |    OPTIONAL { ?c <urn:q> ?d . FILTER(?d != ?a) } } }""".stripMargin,
+      toDf(ts))).getMessage
+    assert(msg.contains("outside the enclosing group"))
   }
 
   // ---------------------------------------------------------------------------
