@@ -268,26 +268,39 @@ object KgMain {
           Some(new graft.io.TableCommitter(
             s"$workDir/tables/stream_coref_state"))
         else None
+      val langState =
+        if (cfg.detectLanguage)
+          Some(new graft.io.TableCommitter(
+            s"$workDir/tables/stream_lang_state"))
+        else None
       // the app publishes the full product surface like batch full does:
-      // edges + nodes propagate additively per micro-batch (derivedStep)
-      val eTbl = new graft.io.TableCommitter(s"$workDir/tables/stream_edges")
-      val nTbl = new graft.io.TableCommitter(s"$workDir/tables/stream_nodes")
+      // edges + nodes propagate additively per micro-batch (derivedStep) —
+      // EXCEPT under detectLanguage, where a language flip would need
+      // edge-weight retirement (StreamingSync refuses the combination);
+      // the supports table remains the product, batch sync derives the rest
+      val eTbl =
+        if (cfg.detectLanguage) None
+        else Some(new graft.io.TableCommitter(s"$workDir/tables/stream_edges"))
+      val nTbl =
+        if (cfg.detectLanguage) None
+        else Some(new graft.io.TableCommitter(s"$workDir/tables/stream_nodes"))
       val dTbl =
-        if (cfg.publishDocs)
+        if (cfg.publishDocs && !cfg.detectLanguage)
           Some(new graft.io.TableCommitter(s"$workDir/tables/stream_docs"))
         else None
       val merged = graft.streaming.StreamingSync.ingestAvailableNow(
         spark, turnsDir, s"$workDir/stream_checkpoint",
         catalog, TranscriptGen.markerPreds, cfg, tbl,
         maxFilesPerBatch = sys.env.get("GRAFT_STREAM_MAX_FILES").map(_.toInt),
-        corefStateTable = state,
-        edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = dTbl)
+        corefStateTable = state, langStateTable = langState,
+        edgeTable = eTbl, nodeTable = nTbl, docTable = dTbl)
       val gen = tbl.currentGeneration().getOrElse("<none>")
       // streaming publishes are keyed stream-<ckptId>-<batchId>, not by this
       // app invocation — report the LINEAGE id (what _meta/runs records
       // actually carry), not a minted run_id nothing on disk matches
       val lineage = tbl.currentGeneration("lastBatchCkpt").getOrElse("<none>")
-      println(s"""{"lineage":"$lineage","mode":"$mode","supports_gen":"$gen","edges_gen":"${eTbl.currentGeneration().getOrElse("<none>")}","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
+      val edgesGen = eTbl.flatMap(_.currentGeneration()).getOrElse("<none>")
+      println(s"""{"lineage":"$lineage","mode":"$mode","supports_gen":"$gen","edges_gen":"$edgesGen","merged_rows":$merged,"last_batch":${tbl.currentGeneration("lastBatch").getOrElse("-1")}}""")
       spark.stop()
       return
     }

@@ -268,26 +268,13 @@ final class KgPipeline(cfg: PipelineConfig) {
     * unit; a per-literal tag source (RDF ingestion) bypasses this entirely
     * via Triple.objLang. */
   private def convLanguages(turns: Dataset[Turn]): DataFrame = {
-    val toks = graft.text.TextNorm.tokensCol(col("text"))
-    // index-keyed column names: a language key like "zh.Hans" must never
-    // leak into a column reference (dots parse as nested fields)
-    val profiles = cfg.langProfiles.toSeq.sortBy(_._1).zipWithIndex
-    require(profiles.nonEmpty,
-      "detectLanguage=true requires a non-empty langProfiles")
-    val hitCols = profiles.map { case ((_, ws), i) =>
-      sum(size(filter(toks, t => t.isInCollection(ws)))).as(s"hits_$i")
-    }
-    val agg = turns.toDF().groupBy("conv_id")
-      .agg(hitCols.head, (hitCols.tail :+ sum(size(toks)).as("n_toks")): _*)
-    val best = array_max(array(profiles.map { case ((l, _), i) =>
-      struct(
-        (col(s"hits_$i").cast("double") / greatest(col("n_toks"), lit(1)))
-          .as("score"),
-        lit(l).as("lang"))
-    }: _*))
-    agg.select(col("conv_id"),
-      when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(lit(cfg.language)).as("lang"))
+    // shared with the streaming ingest (LangDetect): the counts row is
+    // associative over turns, which is what lets StreamingSync accumulate
+    // the same detection across micro-batches bit-identically
+    val profs = graft.text.LangDetect.sortedProfiles(cfg.langProfiles)
+    require(profs.nonEmpty, "detectLanguage=true requires a non-empty langProfiles")
+    graft.text.LangDetect.pick(
+      graft.text.LangDetect.counts(turns.toDF(), profs), profs, cfg.language)
   }
 
   /** Identity-config fast path: dictionary-coded extraction + integer-key

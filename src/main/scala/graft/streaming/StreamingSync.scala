@@ -56,15 +56,30 @@ object StreamingSync {
       corefStateTable: Option[TableCommitter] = None,
       edgeTable: Option[TableCommitter] = None,
       nodeTable: Option[TableCommitter] = None,
-      docTable: Option[TableCommitter] = None): Long = {
+      docTable: Option[TableCommitter] = None,
+      langStateTable: Option[TableCommitter] = None): Long = {
     import spark.implicits._
-    // the streaming path stamps cfg.language directly; silently diverging
-    // from a detectLanguage batch table would split the same logical support
-    // across two lang keys in the additive merge — refuse loudly instead
-    require(!cfg.detectLanguage,
-      "detectLanguage is not supported by the streaming ingest path " +
-        "(per-conversation detection needs cross-batch state); use the batch " +
-        "sync or stamp a fixed language")
+    // detectLanguage streams via explicit cross-batch state (round-4; the
+    // round-3 refusal's reason was the missing state): the per-conversation
+    // LangDetect COUNTS row is associative over turns, so counters merged
+    // across micro-batches in any arrival order equal the batch pipeline's
+    // whole-conversation counts. Each batch stamps its supports with the
+    // CUMULATIVE winner and — because a conversation whose language flips
+    // lives in a bucket this batch rewrites anyway — re-keys the
+    // conversation's EXISTING rows to the new language inside the same
+    // merge, so one logical support never splits across two lang keys.
+    require(!cfg.detectLanguage || langStateTable.isDefined,
+      "detectLanguage=true on the streaming path needs a langStateTable " +
+        "(the per-conversation profile counters live in their own bucketed " +
+        "table, committed in lockstep with each batch)")
+    // ...but derived-table propagation is refused under detectLanguage: a
+    // language flip re-keys support rows, and edges drop conv_id, so
+    // propagating the re-key would need per-key weight RETIREMENT — the
+    // batch sync's job, deliberately absent from the append-only stream
+    require(!cfg.detectLanguage || edgeTable.isEmpty,
+      "detectLanguage + derived-table propagation is not supported on the " +
+        "streaming path (a language flip would need edge-weight retirement); " +
+        "propagate edges with the batch sync, or stamp a fixed language")
     // scoredLinking IS streaming-safe (round-4): contextual disambiguation
     // is per-(conv, turn, alias) over the turn's OWN tokens, and a turn is
     // never split across micro-batches — resolving inside foreachBatch is
@@ -168,6 +183,23 @@ object StreamingSync {
             "table is empty — wrong/lost state table; rebuild from a fresh " +
             "checkpoint")
     }
+    langStateTable.foreach { st =>
+      st.pinOrVerify("bucket_count", B.toString)
+      st.pinKeyExprOrVerify(cfg.bucketKeyExpr,
+        PipelineConfig.DefaultBucketKeyExpr)
+      // counter columns are POSITIONAL over the sorted profile keys: a
+      // profile edit mid-lineage would silently re-index every counter
+      st.pinOrVerify("lang_profiles",
+        graft.text.LangDetect.signature(cfg.langProfiles))
+      // state lost / wrong table: same guard as the coref state
+      if (cfg.detectLanguage && table.currentGeneration("lastBatch").isDefined
+          && table.currentGeneration().isDefined
+          && st.currentGeneration().isEmpty)
+        throw new IllegalStateException(
+          "detectLanguage lineage has committed batches but the language " +
+            "state table is empty — wrong/lost state table; rebuild from a " +
+            "fresh checkpoint")
+    }
     // derived-table propagation (edges/nodes, like the batch pipeline's
     // publishDerived*): node refcounts derive from edge-key creation, so
     // the two tables are wired together or not at all
@@ -265,10 +297,25 @@ object StreamingSync {
           // honored by batch sync but ignored here would let blacklisted
           // predicates flow into the stream tables.
           val extracted = Extractor.normalize(resolved, cfg)
-          val supports = extracted
+          // cumulative language detection BEFORE stamping (cross-batch
+          // state; see langStep)
+          val langState =
+            if (cfg.detectLanguage)
+              Some(langStep(good, langStateTable.get, cfg, bucketOf,
+                s"stream-$ckptId-$batchId"))
+            else None
+          val grouped = extracted
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
-            .withColumn("lang", lit(cfg.language))
+          val stampedLang = langState match {
+            case Some((langNow, _, _)) =>
+              // batch-conv-sized broadcastable join; pick() defaulted every
+              // conversation, the coalesce only guards join-miss corners
+              grouped.join(langNow, Seq("conv_id"), "left")
+                .withColumn("lang", coalesce(col("lang"), lit(cfg.language)))
+            case None => grouped.withColumn("lang", lit(cfg.language))
+          }
+          val supports = stampedLang
             .observe(obs, count(lit(1)).as("n"))
             .select(keyCols.map(col) :+ col("weight") :+
               bucketOf.as("bucket"): _*)
@@ -277,17 +324,36 @@ object StreamingSync {
             // consumer would double the batch work
             .localCheckpoint(true)
           merged += obs.get("n").asInstanceOf[Long]
-          // the buckets this batch touches — at most B driver-side ints
+          // the buckets this batch touches — at most B driver-side ints.
+          // Under detectLanguage the batch's CONVERSATION buckets join in:
+          // a conversation whose new turns carry no extractable support can
+          // still flip its cumulative language, and its existing rows (in
+          // those buckets) must be re-keyed even with no support delta
           val touched = supports.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSet
+            .collect().map(_.getInt(0)).toSet ++
+            langState.map(_._2).getOrElse(Set.empty)
           if (touched.nonEmpty) {
             // additive merge WITHIN the touched buckets only: the current
             // generation's read is partition-pruned to them, and the publish
             // rewrites exactly them (hard-link carryover for the rest)
             val combined = table.read(s) match {
               case Some(cur) =>
-                cur.filter(col("bucket").isin(touched.toSeq: _*)) // pruned
+                val pruned = cur
+                  .filter(col("bucket").isin(touched.toSeq: _*)) // pruned
                   .select(keyCols.map(col) :+ col("weight"): _*)
+                // language re-key: rows of batch conversations move to the
+                // cumulative winner BEFORE the key-merge, so a flip unifies
+                // old and new rows under one lang instead of splitting them
+                val rekeyed = langState match {
+                  case Some((langNow, _, _)) =>
+                    pruned.join(langNow.withColumnRenamed("lang", "lang_now"),
+                        Seq("conv_id"), "left")
+                      .withColumn("lang",
+                        coalesce(col("lang_now"), col("lang")))
+                      .drop("lang_now")
+                  case None => pruned
+                }
+                rekeyed
                   .unionByName(supports.drop("bucket"))
                   .groupBy(keyCols.map(col): _*)
                   .agg(sum(col("weight")).as("weight"))
@@ -311,9 +377,11 @@ object StreamingSync {
                 cfg.bucketKeyExpr, s"stream-$ckptId-$batchId")
             case _ =>
           }
-          // coref state publishes AFTER the supports and BEFORE the stamp:
-          // then every crash window replays correctly (see corefStep)
+          // coref + language state publish AFTER the supports and BEFORE
+          // the stamp: then every crash window replays correctly (see
+          // corefStep / langStep)
           publishCorefState()
+          langState.foreach(_._3())
           // lineage id BEFORE the batch stamp: a crash between the two must
           // never leave lastBatch set with no (or a stale) lineage id — the
           // strict guard above would then brick or bypass the table
@@ -449,6 +517,57 @@ object StreamingSync {
     * runId already published (the crash-replay window). Fails loudly if
     * retention expired the parent mid-replay — treating it as empty would
     * re-derive deltas the table already absorbed. */
+  /** Cross-batch language state for the streaming ingest (detectLanguage).
+    *
+    * Merges the batch's per-conversation [[graft.text.LangDetect]] counts
+    * into the prior state (pruned to the batch's conversation buckets) and
+    * returns the CUMULATIVE winner per conversation, the state buckets this
+    * batch touches, and the lockstep state publish. Because the counts row
+    * is associative over turns, the cumulative winner after ingesting a
+    * corpus equals the batch pipeline's whole-conversation detection no
+    * matter how the turns were split across micro-batches — and unlike the
+    * coref state there is no arrival-order requirement at all.
+    *
+    * Crash-replay: publishes are runId-idempotent; a replay that observes
+    * an already-advanced state recomputes values whose publishes are all
+    * discarded — the same argument as corefStep. */
+  private def langStep(batch: Dataset[Turn], st: TableCommitter,
+                       cfg: PipelineConfig, bucketOf: Column,
+                       runId: String): (DataFrame, Set[Int], () => Unit) = {
+    val s = batch.sparkSession
+    val profs = graft.text.LangDetect.sortedProfiles(cfg.langProfiles)
+    val k = profs.size
+    val bCounts = graft.text.LangDetect.counts(batch.toDF(), profs)
+      .withColumn("bucket", bucketOf)
+      .localCheckpoint(true) // feeds the bucket set AND the state merge
+    val touched = bCounts.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val stateCols = ("conv_id" +: (0 until k).map(i => s"hits_$i")) :+ "n_toks"
+    val cum = st.read(s) match {
+      case Some(cur) =>
+        // pruned to the touched buckets; conversations of those buckets NOT
+        // in this batch ride through the merge unchanged (the bucket-level
+        // publish rewrites whole buckets, so they must stay aboard)
+        graft.text.LangDetect.merge(
+          cur.filter(col("bucket").isin(touched.toSeq: _*))
+            .select(stateCols.map(col): _*),
+          bCounts.drop("bucket"), k)
+      case None => bCounts.drop("bucket")
+    }
+    // consumed by the winner pick AND the state publish — materialized once
+    val cumM = cum.localCheckpoint(true)
+    // consumed by the support stamp AND the re-key join
+    val langNow = graft.text.LangDetect.pick(cumM, profs, cfg.language)
+      .localCheckpoint(true)
+    (langNow, touched, () => {
+      if (touched.nonEmpty) {
+        st.stagePartitioned(cumM.withColumn("bucket", bucketOf), runId)
+        st.publishBuckets(runId, touched)
+      }
+      ()
+    })
+  }
+
   private def preBatchRead(s: SparkSession, tbl: TableCommitter,
                            runId: String): Option[DataFrame] =
     tbl.publishedGeneration(runId) match {
