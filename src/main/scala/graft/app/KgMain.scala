@@ -260,8 +260,9 @@ object KgMain {
       // rows are replaced per-conversation under a watermark lifecycle;
       // mixing the two would double-count on the first overlapping run.
       // corefResolution wires the per-conversation antecedent state table
-      // automatically; scoredLinking needs nothing extra; detectLanguage is
-      // refused by the streaming path (see StreamingSync).
+      // automatically; scoredLinking needs nothing extra; detectLanguage
+      // wires the cumulative language-counter state table (and limits the
+      // published surface to the supports table — see below).
       val tbl = new graft.io.TableCommitter(s"$workDir/tables/stream_supports")
       val state =
         if (cfg.corefResolution)
@@ -284,8 +285,20 @@ object KgMain {
       val nTbl =
         if (cfg.detectLanguage) None
         else Some(new graft.io.TableCommitter(s"$workDir/tables/stream_nodes"))
+      if (cfg.detectLanguage)
+        // edges/nodes are the mode's implicit default surface: skipping
+        // them must be SAID, not discovered from a missing directory
+        System.err.println("[graft] detectLanguage=1: edge/node propagation " +
+          "skipped on the streaming path (a language flip would need " +
+          "edge-weight retirement); derive them with the batch sync")
+      // publishDocs is an EXPLICIT user request — silently dropping it
+      // would hide the divergence the streaming refusal exists to surface
+      require(!(cfg.publishDocs && cfg.detectLanguage),
+        "publishDocs + detectLanguage is not supported by ingest-stream " +
+          "(docs derive from the edge slice, which detectLanguage cannot " +
+          "propagate); publish docs with the batch sync")
       val dTbl =
-        if (cfg.publishDocs && !cfg.detectLanguage)
+        if (cfg.publishDocs)
           Some(new graft.io.TableCommitter(s"$workDir/tables/stream_docs"))
         else None
       val merged = graft.streaming.StreamingSync.ingestAvailableNow(

@@ -521,12 +521,17 @@ object StreamingSync {
     *
     * Merges the batch's per-conversation [[graft.text.LangDetect]] counts
     * into the prior state (pruned to the batch's conversation buckets) and
-    * returns the CUMULATIVE winner per conversation, the state buckets this
-    * batch touches, and the lockstep state publish. Because the counts row
-    * is associative over turns, the cumulative winner after ingesting a
-    * corpus equals the batch pipeline's whole-conversation detection no
-    * matter how the turns were split across micro-batches — and unlike the
-    * coref state there is no arrival-order requirement at all.
+    * returns the CUMULATIVE winner per conversation, the supports-table
+    * buckets needing a re-key (buckets of conversations whose winner
+    * CHANGED vs the prior state — the steady-state no-flip batch adds
+    * nothing, preserving the O(batch-delta) ingest contract), and the
+    * lockstep state publish (which always covers every state bucket the
+    * batch touches: the counters themselves advance even when no winner
+    * flips). Because the counts row is associative over turns, the
+    * cumulative winner after ingesting a corpus equals the batch pipeline's
+    * whole-conversation detection no matter how the turns were split across
+    * micro-batches — and unlike the coref state there is no arrival-order
+    * requirement at all.
     *
     * Crash-replay: publishes are runId-idempotent; a replay that observes
     * an already-advanced state recomputes values whose publishes are all
@@ -543,15 +548,15 @@ object StreamingSync {
     val touched = bCounts.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val stateCols = ("conv_id" +: (0 until k).map(i => s"hits_$i")) :+ "n_toks"
-    val cum = st.read(s) match {
-      case Some(cur) =>
-        // pruned to the touched buckets; conversations of those buckets NOT
-        // in this batch ride through the merge unchanged (the bucket-level
-        // publish rewrites whole buckets, so they must stay aboard)
-        graft.text.LangDetect.merge(
-          cur.filter(col("bucket").isin(touched.toSeq: _*))
-            .select(stateCols.map(col): _*),
-          bCounts.drop("bucket"), k)
+    // pruned to the touched buckets; conversations of those buckets NOT
+    // in this batch ride through the merge unchanged (the bucket-level
+    // publish rewrites whole buckets, so they must stay aboard)
+    val prior = st.read(s).map(
+      _.filter(col("bucket").isin(touched.toSeq: _*))
+        .select(stateCols.map(col): _*)
+        .localCheckpoint(true)) // consumed by the merge AND the flip detect
+    val cum = prior match {
+      case Some(p) => graft.text.LangDetect.merge(p, bCounts.drop("bucket"), k)
       case None => bCounts.drop("bucket")
     }
     // consumed by the winner pick AND the state publish — materialized once
@@ -559,7 +564,21 @@ object StreamingSync {
     // consumed by the support stamp AND the re-key join
     val langNow = graft.text.LangDetect.pick(cumM, profs, cfg.language)
       .localCheckpoint(true)
-    (langNow, touched, () => {
+    // re-key work = buckets of conversations whose winner FLIPPED: a
+    // conversation with no prior state has no published rows to re-key, and
+    // a stable winner leaves its bucket untouched (else every chatty
+    // conversation would force a byte-identical bucket rewrite per batch)
+    val flipped: Set[Int] = prior match {
+      case None => Set.empty
+      case Some(p) =>
+        val priorWin = graft.text.LangDetect.pick(p, profs, cfg.language)
+          .withColumnRenamed("lang", "lang_prior")
+        langNow.join(priorWin, Seq("conv_id"), "inner")
+          .filter(col("lang") =!= col("lang_prior"))
+          .select(bucketOf.as("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+    }
+    (langNow, flipped, () => {
       if (touched.nonEmpty) {
         st.stagePartitioned(cumM.withColumn("bucket", bucketOf), runId)
         st.publishBuckets(runId, touched)

@@ -23,11 +23,18 @@ object LangDetect {
   def sortedProfiles(m: Map[String, Set[String]]): Seq[(String, Set[String])] =
     m.toSeq.sortBy(_._1)
 
-  /** Pin value for state tables: the counter layout AND the words. */
-  def signature(m: Map[String, Set[String]]): String =
+  /** Pin value for state tables: the counter layout AND the words.
+    * Delimiters are escaped so no two distinct profile maps can collide on
+    * one signature (e.g. one word "x;b:y" vs two profiles "x" / "y" — a
+    * collision would let a profile edit slip past the pin and silently
+    * re-index an existing lineage's counters). */
+  def signature(m: Map[String, Set[String]]): String = {
+    def esc(s: String): String = s.replace("\\", "\\\\")
+      .replace(":", "\\c").replace("|", "\\p").replace(";", "\\s")
     sortedProfiles(m).map { case (l, ws) =>
-      l + ":" + ws.toSeq.sorted.mkString("|")
+      esc(l) + ":" + ws.toSeq.sorted.map(esc).mkString("|")
     }.mkString(";")
+  }
 
   /** Per-conversation counts: (conv_id, hits_0..hits_{k-1}, n_toks).
     * One narrow aggregation scan; every counter is a map-side-combinable

@@ -115,6 +115,25 @@ class StreamingLangSpec extends AnyFunSuite {
     ingest()
     assert(tableLangs(table, "c-flip") == Set("cs"))
     assert(totalWeight(table) > w1, "new supports accumulate under cs")
+
+    // batch 4: no supports, no flip — the steady-state trickle case. The
+    // counters advance (state generation moves) but the supports table must
+    // NOT be rewritten: re-key work is owed only to FLIPPED conversations
+    val supGen = table.currentGeneration()
+    val stateGen = lang.currentGeneration()
+    Seq(t("c-flip", 3, "je na se"))
+      .toDS().coalesce(1).write.mode("append").parquet(inDir)
+    ingest()
+    assert(table.currentGeneration() == supGen,
+      "a no-support no-flip batch must not rewrite the supports table")
+    assert(lang.currentGeneration() != stateGen,
+      "the language counters must still advance")
+  }
+
+  test("profile signatures cannot collide across delimiter-bearing words") {
+    val a = Map("a" -> Set("x;b:y"))
+    val b = Map("a" -> Set("x"), "b" -> Set("y"))
+    assert(LangDetect.signature(a) != LangDetect.signature(b))
   }
 
   test("refusals and pins: missing state table, derived tables, profile edits") {
