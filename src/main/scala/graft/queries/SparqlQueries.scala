@@ -176,6 +176,24 @@ object SparqlQueries {
         .orderBy("s", "p", "o")
     },
 
+    // ---- VALUES: inline bindings joined as a broadcast relation — the
+    // scalable form of the changed-set idiom (a 10k-subject sync would
+    // VALUES-join where FILTER(?s IN ...) bloats the predicate tree).
+    "sparql_values_bind" -> Q(
+      s"""WITH $tripleFrameSql,
+         |vals(c, tier) AS (VALUES ('urn:c:0', 'gold'), ('urn:c:1', 'silver'))
+         |SELECT t.s AS s, v.c AS c, v.tier AS tier
+         |FROM tr t JOIN vals v ON t.o = v.c
+         |WHERE t.p = 'urn:p:type'
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?c ?tier WHERE {
+          |  VALUES (?c ?tier) { (<urn:c:0> "gold") (<urn:c:1> "silver") }
+          |  ?s <urn:p:type> ?c .
+          |} ORDER BY ?s ?c ?tier""".stripMargin,
+        tripleFrame(s, d))
+    },
+
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
     // Harvester.java:1529-1540): all triples of every class-1 document.
     // The subject set semi-joins the triple frame — no duplication, and

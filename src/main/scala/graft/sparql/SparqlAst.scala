@@ -60,6 +60,9 @@ object SparqlAst {
   /** { g1 } UNION { g2 } UNION ... ; a single-branch instance is a plain
     * nested group */
   final case class GUnion(branches: Seq[Group]) extends GElem
+  /** VALUES (?a ?b) { ("x" <y>) (UNDEF "z") } — inline bindings; None is
+    * UNDEF */
+  final case class GValues(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends GElem
 
   final case class Group(elems: Seq[GElem])
 

@@ -285,6 +285,8 @@ object SparqlCompiler {
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
           joinInto(compileUnion(branches, triples), "inner"); idx += 1
+        case GValues(vvars, rows) =>
+          joinInto(compileValues(vvars, rows, triples), "inner"); idx += 1
         case GFilter(e) =>
           // group-scoped: applies to the whole group's solutions
           deferredFilters ::= e; idx += 1
@@ -368,6 +370,33 @@ object SparqlCompiler {
         cur.vars ++ nxt.vars.filterNot(cur.vars.contains), Set.empty)
     }
     Some(cur)
+  }
+
+  /** VALUES compiles to a broadcast inline relation joined on its shared
+    * variables — the scalable form of the reference's FILTER(?s IN ...)
+    * changed-set idiom: a 10k-row VALUES block stays a broadcast hash join
+    * where the OR-chain would bloat the predicate tree. A variable that is
+    * UNDEF in any row is maybeNull: SQL null join keys never match while
+    * SPARQL UNDEF is compatible-with-anything, so using one as a later join
+    * key is refused by the shared guard rather than silently diverging. */
+  private def compileValues(vars: Seq[String], rows: Seq[Seq[Option[Term]]],
+                            triples: DataFrame): Frag = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+      org.apache.spark.sql.types.StructField(v,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val data: Seq[org.apache.spark.sql.Row] = rows.map { r =>
+      org.apache.spark.sql.Row(r.map(_.map {
+        case I(u) => u
+        case L(v) => v
+        case V(n) => unsupported(s"?$n inside a VALUES row") // parser refuses first
+      }.orNull): _*)
+    }
+    val df = broadcast(triples.sparkSession.createDataFrame(data.asJava, schema))
+    val undefVars = vars.zipWithIndex.collect {
+      case (v, i) if rows.exists(_(i).isEmpty) => v
+    }.toSet
+    Frag(df, vars, undefVars)
   }
 
   private def compileUnion(branches: Seq[Group], triples: DataFrame): Frag = {

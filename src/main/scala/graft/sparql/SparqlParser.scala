@@ -370,6 +370,9 @@ object SparqlParser {
       if (p.isName("FILTER")) {
         p.next()
         elems += GFilter(parseFilterExpr(p))
+      } else if (p.isName("VALUES")) {
+        p.next()
+        elems += parseValues(p)
       } else if (p.isName("OPTIONAL")) {
         p.next()
         elems += GOptional(parseGroup(p))
@@ -412,6 +415,56 @@ object SparqlParser {
       while (p.isName("UNION")) { p.next(); branches += branch() }
       GUnion(branches.result())
     }
+  }
+
+  /** VALUES ?v { t1 t2 ... } | VALUES (?a ?b) { (t1 t2) (UNDEF t3) ... } */
+  private def parseValues(p: P): GValues = {
+    def undef(): Boolean = p.peek match {
+      case TName(v, _) if v.equalsIgnoreCase("UNDEF") => p.next(); true
+      case _ => false
+    }
+    def cell(): Option[Term] =
+      if (undef()) None else Some(parseTerm(p, "VALUES entry"))
+    val vars: Seq[String] = p.peek match {
+      case TVar(v, _) => p.next(); Seq(v)
+      case TPunct("(", _) =>
+        p.next()
+        val vs = Seq.newBuilder[String]
+        while (!p.isPunct(")")) p.next() match {
+          case TVar(v, _) => vs += v
+          case other => fail(s"expected ?var in VALUES header, got ${describe(other)}", other.pos)
+        }
+        p.eatPunct(")")
+        val r = vs.result()
+        if (r.isEmpty) fail("VALUES () with no variables", p.peek.pos)
+        if (r.distinct.size != r.size) fail("duplicate variable in VALUES header", p.peek.pos)
+        r
+      case other => fail(s"expected ?var or (?vars) after VALUES, got ${describe(other)}", other.pos)
+    }
+    p.eatPunct("{")
+    val rows = Seq.newBuilder[Seq[Option[Term]]]
+    if (vars.length == 1) {
+      while (!p.isPunct("}")) rows += Seq(cell())
+    } else {
+      while (!p.isPunct("}")) {
+        p.eatPunct("(")
+        val row = Seq.newBuilder[Option[Term]]
+        while (!p.isPunct(")")) row += cell()
+        p.eatPunct(")")
+        val r = row.result()
+        if (r.length != vars.length)
+          fail(s"VALUES row has ${r.length} entries for ${vars.length} variables", p.peek.pos)
+        rows += r
+      }
+    }
+    p.eatPunct("}")
+    val rs = rows.result()
+    if (rs.isEmpty) fail("VALUES with no rows", p.peek.pos)
+    rs.flatten.flatten.foreach {
+      case V(n) => fail(s"?$n cannot appear in a VALUES row (terms only)", p.peek.pos)
+      case _ => ()
+    }
+    GValues(vars, rs)
   }
 
   /** term [p o (',' o)* (';' p o (',' o)*)*] — the standard same-subject

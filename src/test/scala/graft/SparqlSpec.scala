@@ -163,6 +163,12 @@ class SparqlSpec extends AnyFunSuite {
         }
       case GUnion(bs) => acc = joinB(acc, bs.flatMap(evalGroup(_, ts)))
       case GSub(sub) => acc = joinB(acc, evalSelect(sub, ts))
+      case GValues(vs, rows) =>
+        // UNDEF = absent from the mapping = compatible with anything
+        val vb = rows.map(r => vs.zip(r).collect {
+          case (v, Some(t)) => v -> term(t, Map.empty).get
+        }.toMap)
+        acc = joinB(acc, vb)
       case GFilter(_) => () // group-scoped: applied below
     }
     filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
@@ -403,6 +409,46 @@ class SparqlSpec extends AnyFunSuite {
         |    OPTIONAL { ?c <urn:q> ?d . FILTER(?d != ?a) } } }""".stripMargin,
       toDf(ts))).getMessage
     assert(msg.contains("outside the enclosing group"))
+  }
+
+  test("VALUES: single- and multi-var forms, broadcast join, UNDEF rules") {
+    val ts = Seq(
+      ("urn:a", "urn:t", "urn:c0"), ("urn:b", "urn:t", "urn:c1"),
+      ("urn:c", "urn:t", "urn:c2"))
+    // multi-var VALUES joined on the shared var; the unshared var rides in
+    val df = SparqlCompiler.compile(
+      """SELECT ?s ?c ?tier WHERE {
+        |  VALUES (?c ?tier) { (<urn:c0> "gold") (<urn:c1> "silver") }
+        |  ?s <urn:t> ?c .
+        |} ORDER BY ?s""".stripMargin, toDf(ts))
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(rows(df).map(_.flatten) == Seq(
+      Seq("urn:a", "urn:c0", "gold"), Seq("urn:b", "urn:c1", "silver")))
+    // single-var form; differential vs the evaluator on random graphs
+    for (seed <- 1 to 3) {
+      diffSelect(
+        """SELECT ?a ?b WHERE {
+          |  VALUES ?a { <urn:n:0> <urn:n:1> <urn:n:2> }
+          |  ?a <urn:p:knows> ?b }""".stripMargin, randomTriples(seed, 20))
+      diffSelect(
+        """SELECT ?a ?b ?x WHERE { ?a <urn:p:knows> ?b .
+          |  VALUES (?b ?x) { (<urn:n:1> "one") (<urn:n:2> UNDEF) } }""".stripMargin,
+        randomTriples(seed, 20))
+    }
+    // an UNDEF-bearing var used as a later JOIN key is refused (SQL null
+    // keys never match; SPARQL UNDEF is compatible-with-anything)
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a ?b WHERE {
+        |  VALUES ?a { <urn:a> UNDEF }
+        |  ?a <urn:t> ?b }""".stripMargin, toDf(ts))).getMessage
+    assert(msg.contains("?a"))
+    // parser rejections: arity mismatch, vars in rows, empty blocks
+    intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?a WHERE { VALUES (?a ?b) { (<urn:x>) } ?a <urn:t> ?c }"))
+    intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?a WHERE { VALUES ?a { ?oops } ?a <urn:t> ?c }"))
+    intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?a WHERE { VALUES ?a { } ?a <urn:t> ?c }"))
   }
 
   // ---------------------------------------------------------------------------
