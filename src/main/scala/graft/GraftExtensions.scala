@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{CountSubstring, DotProduct}
 
 /** SparkSessionExtensions entry point — makes the engine's native Catalyst
   * expressions available to pure-SQL users:
@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         requireArity("graft_dot", 2, exprs)
         DotProduct(exprs(0), exprs(1))
+      }))
+    // graft_count_substr: OVERLAPPING substring occurrences (the positional
+    // n-gram count; regexp_count is non-overlapping and needs quoting).
+    e.injectFunction((
+      FunctionIdentifier("graft_count_substr"),
+      new ExpressionInfo(classOf[CountSubstring].getName, "graft_count_substr"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("graft_count_substr", 2, exprs)
+        CountSubstring(exprs(0), exprs(1))
       }))
     // graft_clean: the char-exact parseForJson chain (P5) for SQL users.
     // Composes codegen'd built-ins (TextNorm.parseForJsonCol), so the

@@ -24,43 +24,46 @@ object TextStatsQueries {
   private val triProfilesSql: String =
     triProfiles.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
 
-  /** Char-trigram language-ID over (doc_id, text): per-(doc, lang) hit
-    * counts via a broadcast trigram-profile join, winner by (hits desc,
-    * lang asc), docs with no profile hit -> 'und'. Counts are exact ints so
-    * the result is bit-identical cross-engine. Plan shape at scale: trigram
-    * generation is a narrow per-row transform (no shuffle), the profile
-    * side broadcasts, the hit count combines map-side; the per-doc window
-    * partitions are at most #profiles rows. */
+  /** Char-trigram language-ID over (doc_id, text): per-(doc, lang)
+    * OVERLAPPING occurrence counts of the profile trigrams, winner by
+    * (hits desc, lang asc), docs with no profile hit -> 'und'. Counts are
+    * exact ints so the result is bit-identical cross-engine.
+    *
+    * Plan shape at scale (round-4 rewrite, ~7x on the sweep): entirely
+    * NARROW — per language, the hits column is a sum of native
+    * [[graft.functions.CountSubstring]] expressions (one codegen'd
+    * indexOf loop per profile trigram, no per-position substring
+    * allocation), and the winner is an argmax over a struct array in the
+    * same projection. No explode, no join, no aggregation, no window: the
+    * only shuffle a caller pays is its own ordering. The previous form
+    * (position-transform + membership filter + profile join + window)
+    * generated one substring PER CHARACTER of the corpus just to test set
+    * membership, then shuffled the hit rows twice. */
   def langIdNgram(docs: org.apache.spark.sql.DataFrame,
                   profiles: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val prof = broadcast(profiles.toDF("lang", "tri"))
     val base = docs.select(col("doc_id"), lower(col("text")).as("t"))
-    // guard length >= 3: Spark's sequence(1, 0) would DESCEND, not be empty.
-    // The membership filter runs INSIDE the narrow per-row transform, so
-    // only profile-relevant trigrams are ever exploded — the join+agg
-    // downstream see the hit rows (a few per doc), not every char position
-    // of the corpus. Semantics unchanged: positions still overlap, and a
-    // trigram in several profiles still counts toward each via the join.
-    // Column-API lambdas (not a spliced expr string): profile trigrams are
-    // data, and quoting them into SQL text would break on apostrophes
-    // ("l'a" is a perfectly good French trigram).
-    val triSet = typedlit(profiles.map(_._2).distinct)
-    val tris = base.filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(
-        filter(
-          transform(sequence(lit(1), length(col("t")) - 2),
-            i => col("t").substr(i, lit(3))),
-          x => array_contains(triSet, x))).as("tri"))
-    val hits = tris.join(prof, "tri")
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
-    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    base.select("doc_id").join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    // (hits, -idx) argmax over lexicographically sorted languages: struct
+    // max takes higher hits first, then the HIGHER negated index = the
+    // EARLIER language — the (hits desc, lang asc) rule of the oracle.
+    // CountSubstring is null-intolerant, so a NULL text yields NULL sums;
+    // the coalesce maps that doc to the no-hit ('und', 0) case.
+    val langs: Seq[(String, Seq[String])] =
+      profiles.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val hitCols = langs.zipWithIndex.map { case ((_, tris), i) =>
+      coalesce(
+        tris.map(tri =>
+          graft.functions.CountSubstring.count(col("t"), lit(tri)))
+          .reduce(_ + _),
+        lit(0L)).as(s"hits_$i")
+    }
+    val counted = base.select(col("doc_id") +: hitCols: _*)
+    val best = array_max(array(langs.indices.map(i =>
+      struct(col(s"hits_$i").as("hits"), lit(-i).as("negidx"))): _*))
+    val langName = element_at(
+      typedlit(langs.map(_._1)), (best.getField("negidx") * -1) + 1)
+    counted.select(col("doc_id"),
+      when(best.getField("hits") > 0, langName).otherwise(lit("und")).as("lang"),
+      best.getField("hits").as("hits"))
   }
 
   val all: Map[String, Q] = Map(

@@ -50,5 +50,10 @@ object FunctionBridge {
       exprs => graft.text.TextNorm.fingerprintExpr(
         ColumnBridge.requireArity("graft_fingerprint", 1, exprs).head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_count_substr",
+      exprs => { ColumnBridge.requireArity("graft_count_substr", 2, exprs)
+        graft.functions.CountSubstring(exprs(0), exprs(1)) },
+      "built-in")
   }
 }

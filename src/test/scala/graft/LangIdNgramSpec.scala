@@ -34,6 +34,23 @@ class LangIdNgramSpec extends AnyFunSuite {
     assert(got(4L) == ("und", 0L))
   }
 
+  test("counts are OVERLAPPING occurrences, and the plan is narrow: no " +
+       "explode, no join, no aggregation (round-4 CountSubstring rewrite)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // "aaaa" contains "aaa" at positions 1 and 2 — the positional n-gram
+    // definition the DuckDB oracle enumerates; null text lands on und/0
+    val docs = Seq((1L, "aaaa"), (2L, null: String)).toDF("doc_id", "text")
+    val df = TextStatsQueries.langIdNgram(docs, Seq(("trip_lang", "aaa")))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("trip_lang", 2L), "overlapping occurrences must count")
+    assert(got(2L) == ("und", 0L))
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("Generate", "Join", "HashAggregate", "Window", "Exchange"))
+      assert(!plan.contains(bad), s"language-ID must stay narrow, found $bad")
+  }
+
   test("the registered profile fixture really contains a collision (the " +
        "spec above is exercised by the oracle query's own profiles)") {
     val byTri = TextStatsQueries.triProfiles.groupBy(_._2)

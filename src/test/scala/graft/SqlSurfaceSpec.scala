@@ -19,6 +19,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("graft_count_substr counts OVERLAPPING occurrences from SQL") {
+    val spark = SparkTestSession.get
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_count_substr('aaaa', 'aa') AS overlap,
+        |       graft_count_substr('abcabc', 'abc') AS plain,
+        |       graft_count_substr('abc', '') AS empty,
+        |       graft_count_substr(NULL, 'a') AS nul""".stripMargin).head()
+    assert(r.getLong(0) == 3L, "overlapping definition: aa at 1,2,3")
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L, "empty pattern counts 0, never loops")
+    assert(r.isNullAt(3))
+  }
+
   test("graft_clean and graft_fingerprint are callable from SQL and agree " +
        "with their Scala forms") {
     val spark = SparkTestSession.get
