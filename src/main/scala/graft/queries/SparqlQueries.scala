@@ -194,6 +194,26 @@ object SparqlQueries {
         tripleFrame(s, d))
     },
 
+    // ---- FILTER NOT EXISTS: the modern SPARQL spelling of the reference
+    // template's OPTIONAL+!BOUND has-no-label idiom, compiled DIRECTLY to
+    // the LEFT ANTI hash join the optimizer only derives for the old form.
+    "sparql_not_exists" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT t.s AS s, t.p AS p, t.o AS o
+         |FROM tr t
+         |WHERE t.s IN ($syncSetSql)
+         |  AND NOT EXISTS (SELECT 1 FROM tr l
+         |                  WHERE l.s = t.o AND l.p = 'urn:p:label')
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        s"""SELECT ?s ?p ?o WHERE {
+           |  ?s ?p ?o
+           |  . FILTER (?s in $syncSet )
+           |  . FILTER NOT EXISTS { ?o <urn:p:label> ?l }
+           |} ORDER BY ?s ?p ?o""".stripMargin,
+        tripleFrame(s, d))
+    },
+
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
     // Harvester.java:1529-1540): all triples of every class-1 document.
     // The subject set semi-joins the triple frame — no duplication, and

@@ -63,6 +63,8 @@ object SparqlAst {
   /** VALUES (?a ?b) { ("x" <y>) (UNDEF "z") } — inline bindings; None is
     * UNDEF */
   final case class GValues(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends GElem
+  /** FILTER EXISTS { g } (positive) / FILTER NOT EXISTS { g } */
+  final case class GExists(g: Group, positive: Boolean) extends GElem
 
   final case class Group(elems: Seq[GElem])
 

@@ -269,6 +269,7 @@ object SparqlCompiler {
     val elems = g.elems
     var idx = 0
     var deferredFilters = List.empty[FExpr]
+    var deferredExists = List.empty[(Group, Boolean)]
     while (idx < elems.length) {
       elems(idx) match {
         case GTriple(_) =>
@@ -287,6 +288,10 @@ object SparqlCompiler {
           joinInto(compileUnion(branches, triples), "inner"); idx += 1
         case GValues(vvars, rows) =>
           joinInto(compileValues(vvars, rows, triples), "inner"); idx += 1
+        case GExists(eg, pos) =>
+          // group-scoped like plain filters: applied over the group's
+          // solutions, as one LEFT SEMI / LEFT ANTI hash join
+          deferredExists ::= (eg, pos); idx += 1
         case GFilter(e) =>
           // group-scoped: applies to the whole group's solutions
           deferredFilters ::= e; idx += 1
@@ -323,11 +328,41 @@ object SparqlCompiler {
     deferredFilters.reverse.foreach { e =>
       val outerRefs = (fvars(e) -- result.vars.toSet).intersect(leftVars)
       if (outerRefs.nonEmpty)
-        unsupported(s"FILTER in OPTIONAL references outer " +
+        unsupported(s"FILTER references " +
           outerRefs.toSeq.sorted.map("?" + _).mkString(", ") +
-          ": left-join conditions are not compiled — move the filter after " +
-          "the OPTIONAL (scaladoc: compileGroup)")
+          " bound only in the enclosing group: substitute semantics are " +
+          "not compiled at this nesting — move the filter up a level " +
+          "(scaladoc: compileGroup/compileOptional)")
       result = result.copy(df = result.df.filter(compileFilter(e, result.vars)))
+    }
+    // FILTER [NOT] EXISTS { P }: per-solution existence over the shared
+    // variables = ONE left semi / left anti hash join against P — the plan
+    // the reference's OPTIONAL+!BOUND idiom only reaches via the optimizer.
+    // P sharing NO variable is a global gate (query-constant truth value):
+    // the zero-key equality against P's limit(1) keeps it a hash join. A
+    // filter inside P that references this group's vars would need SPARQL
+    // substitute semantics — the compileGroup(leftVars) outer-ref guard
+    // refuses it.
+    deferredExists.reverse.foreach { case (eg, pos) =>
+      val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars)
+      val shared = result.vars.filter(c.vars.contains)
+      (shared.filter(result.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
+        unsupported(s"?$v is only optionally bound and used as an EXISTS " +
+          "join key: SPARQL unbound-compatibility differs from SQL " +
+          "null-join semantics")
+      }
+      if (shared.nonEmpty) {
+        val probe = c.df.select(shared.map(col): _*)
+        result = result.copy(df = result.df.join(probe, shared,
+          if (pos) "left_semi" else "left_anti"))
+      } else {
+        gateId += 1
+        val k = s"__gate$gateId"
+        val gate = broadcast(c.df.limit(1).select(zeroKey(c.df).as(k)))
+        val left = result.df.withColumn(k, zeroKey(result.df))
+        result = result.copy(df = left.join(gate, Seq(k),
+          if (pos) "left_semi" else "left_anti").drop(k))
+      }
     }
     result
   }

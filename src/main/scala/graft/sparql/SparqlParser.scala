@@ -369,7 +369,17 @@ object SparqlParser {
     while (!p.isPunct("}")) {
       if (p.isName("FILTER")) {
         p.next()
-        elems += GFilter(parseFilterExpr(p))
+        // FILTER [NOT] EXISTS { group } is a join-shaped filter, not a
+        // boolean expression (the subset does not allow EXISTS nested
+        // inside && / || / ! — it would not compile to a column)
+        if (p.isName("EXISTS")) {
+          p.next(); elems += GExists(parseGroup(p), positive = true)
+        } else if (p.isName("NOT")) {
+          p.next(); p.eatName("EXISTS")
+          elems += GExists(parseGroup(p), positive = false)
+        } else {
+          elems += GFilter(parseFilterExpr(p))
+        }
       } else if (p.isName("VALUES")) {
         p.next()
         elems += parseValues(p)

@@ -104,7 +104,8 @@ class PlanRegressionSpec extends AnyFunSuite {
        "OPTIONAL/!BOUND anti-join, the DESCRIBE semi-join and the " +
        "reference template's redundant-clause gate included") {
     for (q <- Seq("sparql_select_bgp", "sparql_construct_sync",
-                  "sparql_sync_query", "sparql_describe", "sparql_values_bind")) {
+                  "sparql_sync_query", "sparql_describe", "sparql_values_bind",
+                  "sparql_not_exists")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")

@@ -169,9 +169,16 @@ class SparqlSpec extends AnyFunSuite {
           case (v, Some(t)) => v -> term(t, Map.empty).get
         }.toMap)
         acc = joinB(acc, vb)
+      case GExists(_, _) => () // group-scoped: applied below
       case GFilter(_) => () // group-scoped: applied below
     }
-    filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
+    val filtered =
+      filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
+    g.elems.collect { case GExists(eg, pos) => (eg, pos) }
+      .foldLeft(filtered) { case (a, (eg, pos)) =>
+        val r = evalGroup(eg, ts)
+        a.filter(m => r.exists(compatible(m, _)) == pos)
+      }
   }
 
   private def evalSelect(sel: SelectQ, ts: Seq[(String, String, String)]): Seq[B] = {
@@ -449,6 +456,52 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ?a WHERE { VALUES ?a { ?oops } ?a <urn:t> ?c }"))
     intercept[SparqlParseException](SparqlParser.parse(
       "SELECT ?a WHERE { VALUES ?a { } ?a <urn:t> ?c }"))
+  }
+
+  test("FILTER [NOT] EXISTS: semi/anti joins, gates, and the !BOUND equivalence") {
+    // differential on random graphs
+    for (seed <- 1 to 3) {
+      val ts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?b WHERE { ?a <urn:p:knows> ?b .
+          |  FILTER NOT EXISTS { ?b <urn:p:knows> ?c } }""".stripMargin, ts)
+      diffSelect(
+        """SELECT DISTINCT ?a WHERE { ?a <urn:p:knows> ?b .
+          |  FILTER EXISTS { ?a <urn:p:name> ?n } }""".stripMargin, ts)
+    }
+    // NOT EXISTS == the reference's OPTIONAL+!BOUND idiom, on the same data
+    val viaNotExists = rows(SparqlCompiler.compile(
+      """SELECT ?s ?p ?o WHERE { ?s ?p ?o
+        |  . FILTER (?s in (<urn:d:1>, <urn:d:2>) )
+        |  . FILTER NOT EXISTS { ?o <urn:p:label> ?l } }""".stripMargin,
+      toDf(refTriples))).map(_.flatten).toSet
+    val viaBound = rows(SparqlCompiler.compile(
+      """SELECT ?s ?p ?o WHERE { ?s ?p ?o
+        |  . FILTER (?s in (<urn:d:1>, <urn:d:2>) )
+        |  . OPTIONAL { ?o <urn:p:label> ?l } . FILTER(!BOUND(?l)) }""".stripMargin,
+      toDf(refTriples))).map(_.flatten).toSet
+    assert(viaNotExists == viaBound && viaNotExists.nonEmpty)
+    // plan: the shared-var form is a hash semi/anti join, never a nested loop
+    val df = SparqlCompiler.compile(
+      """SELECT ?s ?o WHERE { ?s <urn:p:a> ?o .
+        |  FILTER NOT EXISTS { ?o <urn:p:label> ?l } }""".stripMargin, toDf(refTriples))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && !plan.contains("NestedLoop"))
+    // no shared vars = a global gate, both polarities
+    val ts1 = Seq(("urn:a", "urn:p", "urn:b"), ("urn:g", "urn:is", "urn:on"))
+    def gateQ(form: String) = rows(SparqlCompiler.compile(
+      s"""SELECT ?x WHERE { ?x <urn:p> ?y .
+         |  FILTER $form { <urn:g> <urn:is> <urn:on> } }""".stripMargin,
+      toDf(ts1))).map(_.flatten)
+    assert(gateQ("EXISTS") == Seq(Seq("urn:a")))
+    assert(gateQ("NOT EXISTS").isEmpty)
+    // a filter INSIDE the EXISTS pattern referencing this group's vars
+    // would need substitute semantics: refused
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a WHERE { ?a <urn:p> ?b .
+        |  FILTER NOT EXISTS { ?b <urn:q> ?c . FILTER(?c != ?a) } }""".stripMargin,
+      toDf(ts1))).getMessage
+    assert(msg.contains("?a"))
   }
 
   // ---------------------------------------------------------------------------
