@@ -318,13 +318,16 @@ object SparqlCompiler {
     // compile-time-known 1-row build side, i.e. free at any scale.
     def zeroKey(df: DataFrame): Column =
       coalesce(substring(col(df.columns.head).cast("string"), 1, 0), lit(""))
-    gates.foreach { gdf =>
+    // shared by the constant-pattern gates ("inner") and the var-free
+    // EXISTS / NOT EXISTS forms ("left_semi" / "left_anti")
+    def gateJoin(gdf: DataFrame, joinType: String): Unit = {
       gateId += 1
       val k = s"__gate$gateId"
       val gate = broadcast(gdf.limit(1).select(zeroKey(gdf).as(k)))
       val left = result.df.withColumn(k, zeroKey(result.df))
-      result = result.copy(df = left.join(gate, Seq(k), "inner").drop(k))
+      result = result.copy(df = left.join(gate, Seq(k), joinType).drop(k))
     }
+    gates.foreach(gateJoin(_, "inner"))
     deferredFilters.reverse.foreach { e =>
       val outerRefs = (fvars(e) -- result.vars.toSet).intersect(leftVars)
       if (outerRefs.nonEmpty)
@@ -339,12 +342,20 @@ object SparqlCompiler {
     // variables = ONE left semi / left anti hash join against P — the plan
     // the reference's OPTIONAL+!BOUND idiom only reaches via the optimizer.
     // P sharing NO variable is a global gate (query-constant truth value):
-    // the zero-key equality against P's limit(1) keeps it a hash join. A
-    // filter inside P that references this group's vars would need SPARQL
-    // substitute semantics — the compileGroup(leftVars) outer-ref guard
-    // refuses it.
+    // the zero-key equality against P's limit(1) keeps it a hash join.
+    // SPARQL's substitute semantics (P evaluated with the CURRENT solution's
+    // bindings) reach only this group's own vars here; a P that touches an
+    // ENCLOSING group's binding — through a filter (the compileGroup
+    // leftVars guard) or through a pattern variable (the phantom check
+    // below: such a var would silently rebind as free) — is REFUSED.
     deferredExists.reverse.foreach { case (eg, pos) =>
       val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars)
+      val phantom = (c.vars.toSet -- result.vars.toSet).intersect(leftVars)
+      if (phantom.nonEmpty)
+        unsupported(s"[NOT] EXISTS pattern references " +
+          phantom.toSeq.sorted.map("?" + _).mkString(", ") +
+          " bound only in the enclosing group: substitute semantics are " +
+          "not compiled at this nesting — move the EXISTS up a level")
       val shared = result.vars.filter(c.vars.contains)
       (shared.filter(result.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
         unsupported(s"?$v is only optionally bound and used as an EXISTS " +
@@ -356,12 +367,7 @@ object SparqlCompiler {
         result = result.copy(df = result.df.join(probe, shared,
           if (pos) "left_semi" else "left_anti"))
       } else {
-        gateId += 1
-        val k = s"__gate$gateId"
-        val gate = broadcast(c.df.limit(1).select(zeroKey(c.df).as(k)))
-        val left = result.df.withColumn(k, zeroKey(result.df))
-        result = result.copy(df = left.join(gate, Seq(k),
-          if (pos) "left_semi" else "left_anti").drop(k))
+        gateJoin(c.df, if (pos) "left_semi" else "left_anti")
       }
     }
     result

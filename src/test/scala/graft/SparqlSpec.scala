@@ -174,6 +174,11 @@ class SparqlSpec extends AnyFunSuite {
     }
     val filtered =
       filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
+    // NOTE: like the compiler, this evaluates EXISTS against the OWN
+    // group's bindings only — an EXISTS reaching an enclosing group's
+    // binding is exactly what the compiler REFUSES, so the differential
+    // harness never exercises (and could not catch) that scoping; the
+    // refusal itself is asserted separately
     g.elems.collect { case GExists(eg, pos) => (eg, pos) }
       .foldLeft(filtered) { case (a, (eg, pos)) =>
         val r = evalGroup(eg, ts)
@@ -502,6 +507,33 @@ class SparqlSpec extends AnyFunSuite {
         |  FILTER NOT EXISTS { ?b <urn:q> ?c . FILTER(?c != ?a) } }""".stripMargin,
       toDf(ts1))).getMessage
     assert(msg.contains("?a"))
+  }
+
+  test("EXISTS reaching an ENCLOSING group's binding via a pattern variable " +
+       "is refused, not silently rebound as free") {
+    // {(a1,p,b1),(b1,q,n1),(a2,r,n1)}: a semi-join on ?n alone would match
+    // a2's triple and wrongly extend (a1,n1); SPARQL substitute semantics
+    // evaluate EXISTS{?a r ?n} with ?a=a1 => false => (a1, null)
+    val ts = Seq(("urn:a1", "urn:p", "urn:b1"), ("urn:b1", "urn:q", "urn:n1"),
+      ("urn:a2", "urn:r", "urn:n1"))
+    val m1 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?n . FILTER EXISTS { ?a <urn:r> ?n } } }""".stripMargin,
+      toDf(ts))).getMessage
+    assert(m1.contains("?a") && m1.contains("enclosing"))
+    // nested EXISTS-in-EXISTS reaching the outermost scope: same refusal
+    val m2 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a WHERE { ?a <urn:p> ?b .
+        |  FILTER NOT EXISTS { ?b <urn:q> ?c .
+        |    FILTER NOT EXISTS { ?a <urn:r> ?c } } }""".stripMargin,
+      toDf(ts))).getMessage
+    assert(m2.contains("?a") && m2.contains("enclosing"))
+    // the shared-nothing GATE variant must not slip through either
+    val m3 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?n . FILTER EXISTS { ?a <urn:r> <urn:n1> } } }""".stripMargin,
+      toDf(ts))).getMessage
+    assert(m3.contains("?a") && m3.contains("enclosing"))
   }
 
   // ---------------------------------------------------------------------------
