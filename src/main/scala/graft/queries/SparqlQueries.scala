@@ -214,6 +214,23 @@ object SparqlQueries {
         tripleFrame(s, d))
     },
 
+    // ---- MINUS: solution set-difference on the shared variable — one
+    // LEFT ANTI hash join (docs with an op cue, minus the class-2 docs).
+    "sparql_minus" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT t.s AS s, t.o AS o FROM tr t
+         |WHERE t.p = 'urn:p:op'
+         |  AND NOT EXISTS (SELECT 1 FROM tr m
+         |                  WHERE m.s = t.s AND m.p = 'urn:p:type' AND m.o = 'urn:c:2')
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o WHERE {
+          |  ?s <urn:p:op> ?o .
+          |  MINUS { ?s <urn:p:type> <urn:c:2> }
+          |} ORDER BY ?s ?o""".stripMargin,
+        tripleFrame(s, d))
+    },
+
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
     // Harvester.java:1529-1540): all triples of every class-1 document.
     // The subject set semi-joins the triple frame — no duplication, and

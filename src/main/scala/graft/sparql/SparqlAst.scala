@@ -65,6 +65,10 @@ object SparqlAst {
   final case class GValues(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends GElem
   /** FILTER EXISTS { g } (positive) / FILTER NOT EXISTS { g } */
   final case class GExists(g: Group, positive: Boolean) extends GElem
+  /** MINUS { g } — set-difference on compatible solutions sharing >=1 var;
+    * unlike NOT EXISTS there are NO substitute semantics, and a pattern
+    * sharing no variable removes NOTHING (the SPARQL-spec pitfall) */
+  final case class GMinus(g: Group) extends GElem
 
   final case class Group(elems: Seq[GElem])
 

@@ -292,6 +292,28 @@ object SparqlCompiler {
           // group-scoped like plain filters: applied over the group's
           // solutions, as one LEFT SEMI / LEFT ANTI hash join
           deferredExists ::= (eg, pos); idx += 1
+        case GMinus(mg) =>
+          // MINUS removes solutions COMPATIBLE with the pattern on >=1
+          // shared variable — one LEFT ANTI hash join. Unlike NOT EXISTS
+          // there are NO substitute semantics (the pattern never sees this
+          // group's bindings, so no leftVars and no phantom-variable
+          // refusal is needed), and a pattern sharing NOTHING removes
+          // NOTHING per the spec — compiled as the no-op it is, not as a
+          // gate (the classic MINUS-vs-NOT-EXISTS divergence)
+          val a = acc.getOrElse(
+            unsupported("MINUS cannot be the first pattern of a group"))
+          val c = compileGroup(mg, triples)
+          val shared = a.vars.filter(c.vars.contains)
+          if (shared.nonEmpty) {
+            (shared.filter(a.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
+              unsupported(s"?$v is only optionally bound and used as a MINUS " +
+                "key: SPARQL unbound-compatibility differs from SQL " +
+                "null-join semantics")
+            }
+            acc = Some(a.copy(df = a.df.join(
+              c.df.select(shared.map(col): _*), shared, "left_anti")))
+          }
+          idx += 1
         case GFilter(e) =>
           // group-scoped: applies to the whole group's solutions
           deferredFilters ::= e; idx += 1

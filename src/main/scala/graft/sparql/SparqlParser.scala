@@ -383,6 +383,9 @@ object SparqlParser {
       } else if (p.isName("VALUES")) {
         p.next()
         elems += parseValues(p)
+      } else if (p.isName("MINUS")) {
+        p.next()
+        elems += GMinus(parseGroup(p))
       } else if (p.isName("OPTIONAL")) {
         p.next()
         elems += GOptional(parseGroup(p))

@@ -170,6 +170,12 @@ class SparqlSpec extends AnyFunSuite {
         }.toMap)
         acc = joinB(acc, vb)
       case GExists(_, _) => () // group-scoped: applied below
+      case GMinus(mg) =>
+        // spec definition: remove mu1 if some mu2 in P is compatible AND
+        // the domains intersect (disjoint domains remove nothing)
+        val r = evalGroup(mg, ts)
+        acc = acc.filterNot(m => r.exists(x =>
+          compatible(m, x) && m.keySet.intersect(x.keySet).nonEmpty))
       case GFilter(_) => () // group-scoped: applied below
     }
     val filtered =
@@ -507,6 +513,32 @@ class SparqlSpec extends AnyFunSuite {
         |  FILTER NOT EXISTS { ?b <urn:q> ?c . FILTER(?c != ?a) } }""".stripMargin,
       toDf(ts1))).getMessage
     assert(msg.contains("?a"))
+  }
+
+  test("MINUS: anti join on shared vars; a disjoint pattern removes NOTHING") {
+    for (seed <- 1 to 3) {
+      val ts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?b WHERE { ?a <urn:p:knows> ?b .
+          |  MINUS { ?b <urn:p:name> ?n } }""".stripMargin, ts)
+      // the spec pitfall: disjoint domains => MINUS is a no-op (where the
+      // NOT EXISTS spelling of the "same" check would empty the result)
+      diffSelect(
+        """SELECT ?a ?b WHERE { ?a <urn:p:knows> ?b .
+          |  MINUS { ?x <urn:p:name> ?n } }""".stripMargin, ts)
+    }
+    val ts1 = Seq(("urn:a", "urn:p", "urn:b"), ("urn:x", "urn:n", "urn:y"))
+    val noop = rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE { ?s <urn:p> ?o . MINUS { ?q <urn:n> ?r } }""",
+      toDf(ts1))).map(_.flatten)
+    assert(noop == Seq(Seq("urn:a")), "disjoint-domain MINUS must be a no-op")
+    val gone = rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE { ?s <urn:p> ?o . FILTER NOT EXISTS { ?q <urn:n> ?r } }""",
+      toDf(ts1)))
+    assert(gone.isEmpty, "...exactly where the NOT EXISTS gate empties it")
+    val refusal = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT ?s WHERE { MINUS { ?s <urn:p> ?o } }", toDf(ts1))).getMessage
+    assert(refusal.contains("MINUS cannot be the first"))
   }
 
   test("EXISTS reaching an ENCLOSING group's binding via a pattern variable " +
