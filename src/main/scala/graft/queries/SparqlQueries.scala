@@ -41,10 +41,17 @@ object SparqlQueries {
     * deliberately unlabeled (the reference sync query's OPTIONAL/!BOUND
     * keeps exactly the objects WITHOUT a label); plus the rdfs:Class gate
     * triple (always present in a real triplestore, which is why the
-    * reference calls its clause "redundant"). */
+    * reference calls its clause "redundant"), and a skos:broader-style
+    * class hierarchy CHAIN (depth 3, so a one-round doubling closure would
+    * be caught) for the property-path queries. The broader rows have class
+    * subjects, so no pre-existing query's filters (doc-subject sync sets,
+    * label/type/op predicates) can see them. */
   private val ontology = Seq(
     ("urn:c:0", "urn:p:label", "Batch Class"),
     ("urn:c:1", "urn:p:label", "Stream Class"),
+    ("urn:c:0", "urn:p:broader", "urn:c:root"),
+    ("urn:c:1", "urn:p:broader", "urn:c:0"),
+    ("urn:c:2", "urn:p:broader", "urn:c:1"),
     (RdfsClass, RdfType, RdfsClass))
 
   private val ontologySql: String =
@@ -228,6 +235,124 @@ object SparqlQueries {
           |  ?s <urn:p:op> ?o .
           |  MINUS { ?s <urn:p:type> <urn:c:2> }
           |} ORDER BY ?s ?o""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- aggregates: GROUP BY + COUNT / COUNT DISTINCT + HAVING — one
+    // map-side-combinable hash aggregate over the joined pattern (SUM/AVG
+    // are refused over string terms; COUNT outputs are genuine BIGINTs on
+    // both engines, so the type-sensitive driver hash agrees).
+    "sparql_agg_count" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT ty.o AS c, CAST(COUNT(a.s) AS BIGINT) AS n,
+         |       CAST(COUNT(DISTINCT a.o) AS BIGINT) AS cues
+         |FROM tr ty JOIN tr a ON a.s = ty.s AND a.p = 'urn:p:op'
+         |WHERE ty.p = 'urn:p:type'
+         |GROUP BY ty.o HAVING COUNT(a.s) >= 2
+         |ORDER BY c""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?c (COUNT(?s) AS ?n) (COUNT(DISTINCT ?o) AS ?cues) WHERE {
+          |  ?s <urn:p:type> ?c .
+          |  ?s <urn:p:op> ?o .
+          |} GROUP BY ?c HAVING(COUNT(?s) >= 2) ORDER BY ?c""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- aggregates: GROUP_CONCAT + MIN. The spec leaves GROUP_CONCAT
+    // order undefined; the compiler SORTS values per group so both engines
+    // agree bit-for-bit (DuckDB: string_agg(... ORDER BY ...)).
+    "sparql_agg_concat" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT s, string_agg(o, '|' ORDER BY o) AS ops, MIN(o) AS first
+         |FROM tr WHERE p = 'urn:p:op'
+         |GROUP BY s ORDER BY s""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?ops) (MIN(?o) AS ?first)
+          |WHERE { ?s <urn:p:op> ?o } GROUP BY ?s ORDER BY ?s""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- property paths, join shapes: sequence '/' compiles to one hash
+    // join per step, alternation '|' to a union — each step's constant
+    // predicate lands in PushedFilters at the scan.
+    "sparql_path_seq" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT cue.s AS d, cue.o AS cue, b.o AS anc
+         |FROM tr cue
+         |JOIN tr ty ON ty.s = cue.s AND ty.p = 'urn:p:type'
+         |JOIN tr b ON b.s = ty.o AND b.p = 'urn:p:broader'
+         |WHERE cue.p IN ('urn:p:op', 'urn:p:tech')
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?d ?cue ?anc WHERE {
+          |  ?d (<urn:p:op>|<urn:p:tech>) ?cue .
+          |  ?d <urn:p:type>/<urn:p:broader> ?anc .
+          |} ORDER BY ?d ?cue ?anc""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- property paths, transitive closure: '+' runs iterative doubling
+    // P <- P ∪ (P ∘ P) to the FIXPOINT over the predicate's own edge slice
+    // (O(log depth) self-join rounds; the 3-deep broader chain needs two
+    // rounds, so a single-round bug cannot pass). DuckDB: recursive CTE.
+    "sparql_path_closure" -> Q(
+      s"""WITH RECURSIVE $tripleFrameSql,
+         |bro AS (SELECT s, o FROM tr WHERE p = 'urn:p:broader'),
+         |anc(c, a) AS (
+         |  SELECT s, o FROM bro
+         |  UNION
+         |  SELECT anc.c, bro.o FROM anc JOIN bro ON bro.s = anc.a
+         |)
+         |SELECT ty.s AS d, anc.a AS anc
+         |FROM tr ty JOIN anc ON anc.c = ty.o
+         |WHERE ty.p = 'urn:p:type'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?d ?anc WHERE {
+          |  ?d <urn:p:type>/<urn:p:broader>+ ?anc .
+          |} ORDER BY ?d ?anc""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- property paths, '*': the closure PLUS the spec's zero-length
+    // solutions (terms occurring in the graph related to themselves) — a
+    // labeled class reaches its ancestors AND itself.
+    "sparql_path_star" -> Q(
+      s"""WITH RECURSIVE $tripleFrameSql,
+         |bro AS (SELECT s, o FROM tr WHERE p = 'urn:p:broader'),
+         |anc(c, a) AS (
+         |  SELECT s, o FROM bro
+         |  UNION
+         |  SELECT anc.c, bro.o FROM anc JOIN bro ON bro.s = anc.a
+         |),
+         |nodes AS (SELECT DISTINCT n FROM
+         |  (SELECT s AS n FROM tr UNION ALL SELECT o FROM tr)),
+         |star AS (SELECT DISTINCT c, a FROM
+         |  (SELECT c, a FROM anc UNION ALL SELECT n, n AS a FROM nodes))
+         |SELECT lbl.s AS c, star.a AS anc
+         |FROM tr lbl JOIN star ON star.c = lbl.s
+         |WHERE lbl.p = 'urn:p:label'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?c ?anc WHERE {
+          |  ?c <urn:p:label> ?lbl .
+          |  ?c <urn:p:broader>* ?anc .
+          |} ORDER BY ?c ?anc""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- BIND: computed extension column (CONCAT over the string-term
+    // model), a pure projection — no shuffle.
+    "sparql_bind_concat" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT s, o || '#v1' AS tag FROM tr
+         |WHERE p = 'urn:p:type'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?tag WHERE {
+          |  ?s <urn:p:type> ?c .
+          |  BIND(CONCAT(?c, "#v1") AS ?tag) .
+          |} ORDER BY ?s ?tag""".stripMargin,
         tripleFrame(s, d))
     },
 

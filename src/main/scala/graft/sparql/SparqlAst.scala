@@ -31,6 +31,32 @@ object SparqlAst {
   /** One triple pattern. */
   final case class TP(s: Term, p: Term, o: Term)
 
+  // ---- property paths --------------------------------------------------------
+
+  /** SPARQL 1.1 property path between two terms. Paths never contain
+    * variables (grammar-level: a path element is an IRI). Sequence and
+    * alternation keep BAG semantics (each derivation is one solution);
+    * the closure forms (+ * ?) are solution SETS per the spec's
+    * ArbitraryLengthPath / ZeroOrOnePath definitions. */
+  sealed trait Path
+  /** a single predicate step */
+  final case class PLink(iri: String) extends Path
+  /** negated property set !(iri1|iri2|...) — any predicate NOT listed
+    * (forward direction only) */
+  final case class PNeg(iris: Seq[String]) extends Path
+  /** ^p — inverse */
+  final case class PInv(p: Path) extends Path
+  /** p1 / p2 — sequence */
+  final case class PSeq(a: Path, b: Path) extends Path
+  /** p1 | p2 — alternation */
+  final case class PAlt(a: Path, b: Path) extends Path
+  /** p+ — one or more */
+  final case class PPlus(p: Path) extends Path
+  /** p* — zero or more */
+  final case class PStar(p: Path) extends Path
+  /** p? — zero or one */
+  final case class POpt(p: Path) extends Path
+
   // ---- FILTER expressions --------------------------------------------------
 
   sealed trait FExpr
@@ -69,25 +95,63 @@ object SparqlAst {
     * unlike NOT EXISTS there are NO substitute semantics, and a pattern
     * sharing no variable removes NOTHING (the SPARQL-spec pitfall) */
   final case class GMinus(g: Group) extends GElem
+  /** a triple pattern whose predicate position is a non-trivial property
+    * path (a trivial single-IRI path parses as a plain GTriple) */
+  final case class GPath(s: Term, path: Path, o: Term) extends GElem
+  /** BIND(expr AS ?v) — extends each solution-so-far with ?v; per the
+    * spec, ?v must not already be bound at this point in the group */
+  final case class GBind(expr: BExpr, name: String) extends GElem
 
   final case class Group(elems: Seq[GElem])
 
+  // ---- BIND expressions ------------------------------------------------------
+
+  /** BIND expression subset over the string-term model: variables,
+    * constants, and CONCAT; STR()/IRI() are identity wrappers (terms are
+    * strings end-to-end). */
+  sealed trait BExpr
+  final case class BVar(name: String) extends BExpr
+  final case class BConst(value: String) extends BExpr
+  final case class BConcat(parts: Seq[BExpr]) extends BExpr
+
   // ---- projections ----------------------------------------------------------
 
-  /** One SELECT projection: plain ?v, or (expr AS ?v) where expr is ?x or
-    * str(?x) (identity over string terms). */
-  final case class Proj(name: String, source: Option[String])
+  /** An aggregate call: fn is COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT;
+    * arg None means COUNT(*); sep is GROUP_CONCAT's SEPARATOR (default " "
+    * per spec). SUM/AVG are refused at parse time: terms are strings
+    * end-to-end, and silently summing lexical forms would diverge from
+    * SPARQL numeric semantics (same contract as the numeric-ordering
+    * refusal in FILTER). */
+  final case class Agg(fn: String, arg: Option[String], distinct: Boolean,
+      sep: Option[String])
+
+  sealed trait PExpr
+  /** ?x or str(?x) (identity over string terms) */
+  final case class PVarRef(src: String) extends PExpr
+  final case class PAggRef(agg: Agg) extends PExpr
+
+  /** One SELECT projection: plain ?v, (expr AS ?v), or (aggregate AS ?v). */
+  final case class Proj(name: String, expr: PExpr)
+
+  /** HAVING condition: aggregate `op` constant. Numeric ordering ops are
+    * only meaningful for COUNT (a genuine numeric); for the string-valued
+    * aggregates only = and != are accepted. */
+  final case class HCmp(agg: Agg, op: String, rhs: String)
 
   // ---- query forms ----------------------------------------------------------
 
   sealed trait SparqlQuery
 
   /** SELECT [DISTINCT] (?v | (expr AS ?v))+ | * WHERE? { ... } modifiers.
-    * projs == Nil means SELECT * (all vars in first-bound order). */
+    * projs == Nil means SELECT * (all vars in first-bound order).
+    * groupBy lists plain grouping variables; an aggregate projection with
+    * an empty groupBy is the spec's implicit single-group aggregation. */
   final case class SelectQ(
       distinct: Boolean,
       projs: Seq[Proj],
       where: Group,
+      groupBy: Seq[String],
+      having: Seq[HCmp],
       orderBy: Seq[(String, Boolean)],
       limit: Option[Long],
       offset: Option[Long]) extends SparqlQuery

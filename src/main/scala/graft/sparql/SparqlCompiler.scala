@@ -39,6 +39,16 @@ import SparqlAst._
   *    must not be used as a later join key: SPARQL joins treat unbound as
   *    compatible-with-anything while SQL nulls never match, so such plans
   *    are REFUSED rather than silently diverging.
+  *  - Property paths stay equality-hash-join shaped: sequence = a join per
+  *    step, alternation = union, inverse = endpoint swap, '+'/'*' = an
+  *    iterative-doubling closure of the path's OWN predicate-filtered edge
+  *    slice run to the fixpoint (see [[pathPairs]]).
+  *  - GROUP BY / aggregates compile to one map-side-combinable hash
+  *    aggregate; COUNT outputs are genuine BIGINTs tracked per-variable so
+  *    a number never silently joins/unions against a string term; SUM and
+  *    AVG are refused over the string-term model (see [[compileAggSelect]]).
+  *  - BIND is a projection extension (withColumn); re-binding and
+  *    enclosing-scope references are refused per the same scope rules.
   */
 object SparqlCompiler {
 
@@ -47,9 +57,13 @@ object SparqlCompiler {
   private def unsupported(msg: String): Nothing = throw new SparqlUnsupported(msg)
 
   /** A compiled fragment: the frame, its bound variables in first-bound
-    * order, and the subset of vars that may be NULL (bound only in an
-    * OPTIONAL or only in some UNION branches). */
-  private final case class Frag(df: DataFrame, vars: Seq[String], maybeNull: Set[String])
+    * order, the subset of vars that may be NULL (bound only in an
+    * OPTIONAL or only in some UNION branches), and the subset that are
+    * NUMERIC (COUNT aggregate outputs — BIGINT columns in an otherwise
+    * all-string model; joining one against a string term would silently
+    * coerce, so such joins are refused unless both sides are numeric). */
+  private final case class Frag(df: DataFrame, vars: Seq[String],
+      maybeNull: Set[String], numeric: Set[String] = Set.empty)
 
   /** Parse + compile in one step. `triples` must have string columns
     * (s, p, o). ASK compiles to a 0-or-1-row frame with a single `ask`
@@ -76,7 +90,10 @@ object SparqlCompiler {
       val wdf = limit.fold(w.df)(n => w.df.limit(checkedInt(n, "LIMIT")))
       def out(t: Term): Column = t match {
         case V(n) =>
-          if (w.vars.contains(n)) col(n)
+          // cast: an aggregate-valued var (sub-select COUNT) renders as its
+          // canonical lexical form — a CONSTRUCT emits RDF terms, so the
+          // string boundary is the right one here
+          if (w.vars.contains(n)) col(n).cast("string")
           else lit(null).cast("string") // unbound template var: rows drop below
         case I(u) => lit(u)
         case L(v) => lit(v)
@@ -102,6 +119,7 @@ object SparqlCompiler {
             "DESCRIBE ?var requires a WHERE group")), triples)
           vs.foreach { v =>
             if (!w.vars.contains(v)) unsupported(s"DESCRIBE ?$v: variable not bound in WHERE")
+            if (w.numeric(v)) unsupported(s"DESCRIBE ?$v: an aggregate value is not a resource")
           }
           // subjects to describe = union of the described vars' bindings;
           // LEFT SEMI keeps the scan-side pruned and never duplicates
@@ -129,6 +147,9 @@ object SparqlCompiler {
 
   private def compileSelect(sel: SelectQ, triples: DataFrame): Frag = {
     val w = compileGroup(sel.where, triples)
+    val isAgg = sel.groupBy.nonEmpty || sel.having.nonEmpty ||
+      sel.projs.exists(_.expr.isInstanceOf[PAggRef])
+    if (isAgg) return compileAggSelect(sel, w)
     if (sel.projs.isEmpty && w.vars.isEmpty)
       unsupported("SELECT * over an all-constant pattern binds no variables " +
         "(a zero-column result): use ASK for existence checks")
@@ -136,14 +157,30 @@ object SparqlCompiler {
       if (sel.projs.isEmpty) { // SELECT *
         (w.df.select(w.vars.map(col): _*), w.vars)
       } else {
-        val cols = sel.projs.map { case Proj(name, source) =>
-          val src = source.getOrElse(name)
-          if (!w.vars.contains(src)) unsupported(s"projected variable ?$src is not bound")
-          col(src).as(name)
+        val cols = sel.projs.map {
+          case Proj(name, PVarRef(src)) =>
+            if (!w.vars.contains(src)) unsupported(s"projected variable ?$src is not bound")
+            col(src).as(name)
+          case Proj(name, _) => unsupported(s"aggregate projection ?$name slipped " +
+            "past the aggregate path") // unreachable: isAgg covers it
         }
         (w.df.select(cols: _*), sel.projs.map(_.name))
       }
     var df = if (sel.distinct) projected.distinct() else projected
+    df = applyOrderLimit(df, sel, outVars)
+    // projection renames can re-bind names; everything projected is now
+    // top-level, and null-ness / numeric-ness survive the rename
+    def renamed(src: Set[String]): Set[String] = sel.projs match {
+      case Seq() => src
+      case ps => ps.collect {
+        case Proj(name, PVarRef(s)) if src(s) => name
+      }.toSet
+    }
+    Frag(df, outVars, renamed(w.maybeNull), renamed(w.numeric))
+  }
+
+  private def applyOrderLimit(df0: DataFrame, sel: SelectQ, outVars: Seq[String]): DataFrame = {
+    var df = df0
     if (sel.orderBy.nonEmpty) {
       sel.orderBy.foreach { case (v, _) =>
         if (!outVars.contains(v)) unsupported(s"ORDER BY ?$v is not in the projection")
@@ -155,15 +192,109 @@ object SparqlCompiler {
     }
     sel.offset.foreach(n => df = df.offset(checkedInt(n, "OFFSET")))
     sel.limit.foreach(n => df = df.limit(checkedInt(n, "LIMIT")))
-    // projection renames can re-bind names; everything projected is now
-    // top-level, and null-ness survives the rename
-    val nullable = sel.projs match {
-      case Seq() => w.maybeNull
-      case ps => ps.collect {
-        case Proj(name, source) if w.maybeNull(source.getOrElse(name)) => name
-      }.toSet
+    df
+  }
+
+  /** GROUP BY / aggregate SELECT: one hash aggregate (map-side combinable —
+    * COUNT/MIN/MAX partial-aggregate; GROUP_CONCAT collects then sorts
+    * per group). Semantics choices over the string-term model, all
+    * spec-conformant and cross-engine deterministic:
+    *  - SAMPLE is implementation-defined by the spec; compiled as MIN so
+    *    both engines pick the same witness.
+    *  - GROUP_CONCAT order is undefined by the spec; values are SORTED
+    *    before joining (DuckDB: string_agg(... ORDER BY ...)).
+    *  - COUNT outputs are genuine BIGINTs (marked `numeric`); SUM/AVG are
+    *    refused at parse time.
+    *  - Aggregates skip NULL (unbound) inputs in both engines, matching
+    *    the spec's error-row elision; COUNT(*) counts all solutions. */
+  private def compileAggSelect(sel: SelectQ, w: Frag): Frag = {
+    if (sel.projs.isEmpty)
+      unsupported("SELECT * cannot be combined with GROUP BY / aggregates")
+    sel.groupBy.foreach { v =>
+      if (!w.vars.contains(v)) unsupported(s"GROUP BY ?$v is not bound in the pattern")
     }
-    Frag(df, outVars, nullable)
+    def checkArg(a: Agg): Unit = a.arg.foreach { v =>
+      if (!w.vars.contains(v)) unsupported(s"aggregate over unbound variable ?$v")
+      if (w.numeric(v)) unsupported(s"aggregating the aggregate-valued ?$v is not supported")
+    }
+    sel.projs.foreach {
+      case Proj(name, PVarRef(src)) =>
+        if (!sel.groupBy.contains(src))
+          unsupported(s"?$src is projected but not in GROUP BY (SPARQL requires " +
+            "projected variables of an aggregate query to be grouped)")
+        if (name != src && w.vars.contains(name))
+          unsupported(s"(?$src AS ?$name) re-binds the in-scope variable ?$name")
+      case Proj(name, PAggRef(a)) =>
+        checkArg(a)
+        if (w.vars.contains(name))
+          unsupported(s"(${a.fn}(...) AS ?$name) re-binds the in-scope variable ?$name")
+    }
+    sel.having.foreach(h => checkArg(h.agg))
+
+    def aggCol(a: Agg): Column = a match {
+      case Agg("COUNT", None, _, _) => count(lit(1))
+      case Agg("COUNT", Some(v), true, _) => countDistinct(col(v))
+      case Agg("COUNT", Some(v), false, _) => count(col(v))
+      case Agg("MIN", Some(v), _, _) => min(col(v))
+      case Agg("MAX", Some(v), _, _) => max(col(v))
+      case Agg("SAMPLE", Some(v), _, _) => min(col(v))
+      case Agg("GROUP_CONCAT", Some(v), d, sep) =>
+        val vals = if (d) collect_set(col(v)) else collect_list(col(v))
+        array_join(array_sort(vals), sep.getOrElse(" "))
+      case other => unsupported(s"unsupported aggregate ${other.fn}")
+    }
+
+    // internal names dodge collisions between agg aliases and key vars;
+    // HAVING aggregates ride the same hash aggregate as extra columns
+    val projAggs = sel.projs.zipWithIndex.collect {
+      case (Proj(_, PAggRef(a)), i) => s"__agg_$i" -> a
+    }
+    val havingAggs = sel.having.zipWithIndex.map { case (h, i) => s"__having_$i" -> h }
+    val aggExprs = projAggs.map { case (n, a) => aggCol(a).as(n) } ++
+      havingAggs.map { case (n, h) => aggCol(h.agg).as(n) }
+
+    var df =
+      if (aggExprs.isEmpty)
+        // GROUP BY with only key projections degenerates to DISTINCT keys
+        w.df.select(sel.groupBy.map(col): _*).distinct()
+      else if (sel.groupBy.isEmpty)
+        w.df.agg(aggExprs.head, aggExprs.tail: _*)
+      else
+        w.df.groupBy(sel.groupBy.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+
+    havingAggs.foreach { case (cn, HCmp(agg, op, rhs)) =>
+      val c = col(cn)
+      val r: Column = if (agg.fn == "COUNT") lit(rhs.toLong) else lit(rhs)
+      df = df.filter(op match {
+        case "=" => c === r
+        case "!=" => c =!= r
+        case "<" => c < r
+        case "<=" => c <= r
+        case ">" => c > r
+        case ">=" => c >= r
+      })
+    }
+    if (havingAggs.nonEmpty) df = df.drop(havingAggs.map(_._1): _*)
+
+    val projCols = sel.projs.zipWithIndex.map {
+      case (Proj(name, PVarRef(src)), _) => col(src).as(name)
+      case (Proj(name, PAggRef(_)), i) => col(s"__agg_$i").as(name)
+    }
+    df = df.select(projCols: _*)
+    if (sel.distinct) df = df.distinct()
+    val outVars = sel.projs.map(_.name)
+    df = applyOrderLimit(df, sel, outVars)
+    val numeric = sel.projs.collect {
+      case Proj(name, PAggRef(a)) if a.fn == "COUNT" => name
+    }.toSet
+    // a non-COUNT aggregate can be NULL: over the implicit single group of
+    // an empty input, or when every group member's arg is unbound
+    val nullable = sel.projs.collect {
+      case Proj(name, PAggRef(a)) if a.fn != "COUNT" &&
+        (sel.groupBy.isEmpty || a.arg.exists(w.maybeNull)) => name
+      case Proj(name, PVarRef(src)) if w.maybeNull(src) => name
+    }.toSet
+    Frag(df, outVars, nullable, numeric)
   }
 
   // ---- group graph patterns -----------------------------------------------------
@@ -197,13 +328,14 @@ object SparqlCompiler {
         shared.filter(f.maybeNull).foreach { v =>
           unsupported(s"?$v is only optionally bound in a sub-pattern used as a join key")
         }
+        checkNumericAligned(a, f, shared)
         val joined = a.df.join(f.df, shared, if (kind == "optional") "left_outer" else "inner")
         val vars = a.vars ++ f.vars.filterNot(a.vars.contains)
         val fresh = f.vars.filterNot(a.vars.contains).toSet
         val maybeNull =
           if (kind == "optional") a.maybeNull ++ fresh ++ (f.maybeNull -- shared.toSet)
           else a.maybeNull ++ (f.maybeNull -- shared.toSet)
-        acc = Some(Frag(joined, vars, maybeNull))
+        acc = Some(Frag(joined, vars, maybeNull, a.numeric ++ f.numeric))
     }
 
     /** SPARQL `OPTIONAL { P FILTER F }` is LeftJoin(left, P, F): F sees the
@@ -241,11 +373,13 @@ object SparqlCompiler {
           unsupported(s"FILTER in OPTIONAL references ?$v bound outside the " +
             "enclosing group: only one level of left-join condition scope is compiled")
       }
+      checkNumericAligned(a, c, shared)
       val freshVars = c.vars.filterNot(a.vars.contains)
       if (pending.isEmpty) {
         acc = Some(Frag(a.df.join(c.df, shared, "left_outer"),
           a.vars ++ freshVars,
-          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet)))
+          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet),
+          a.numeric ++ c.numeric))
       } else {
         // disambiguate the optional side, then join on shared-var equality
         // AND the residual condition
@@ -260,7 +394,8 @@ object SparqlCompiler {
         val joined = a.df.join(cdf, eq && cond, "left_outer")
           .select(a.vars.map(col) ++ freshVars.map(v => col(ren(v)).as(v)): _*)
         acc = Some(Frag(joined, a.vars ++ freshVars,
-          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet)))
+          a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet),
+          a.numeric ++ c.numeric))
       }
     }
 
@@ -282,6 +417,42 @@ object SparqlCompiler {
           greedyBgp(withVars).foreach(joinInto(_, "inner"))
         case GOptional(og) =>
           compileOptional(og); idx += 1
+        case GPath(s, path, o) =>
+          val f = compilePathElem(s, path, o, triples)
+          if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
+          idx += 1
+        case GBind(expr, name) =>
+          val refs = bvars(expr)
+          refs.intersect(leftVars).diff(acc.map(_.vars.toSet).getOrElse(Set.empty))
+            .toSeq.sorted.foreach { v =>
+              unsupported(s"BIND references ?$v bound only in the enclosing " +
+                "group: substitute semantics are not compiled at this nesting")
+            }
+          acc match {
+            case Some(a) =>
+              if (a.vars.contains(name))
+                unsupported(s"BIND(... AS ?$name): ?$name is already bound " +
+                  "(the spec forbids re-binding with BIND)")
+              a.numeric.intersect(refs).foreach { v =>
+                unsupported(s"BIND over the aggregate-valued ?$v would coerce " +
+                  "a number into the string-term model")
+              }
+              val c = compileBind(expr,
+                v => if (a.vars.contains(v)) Some(col(v)) else None)
+              // a reference to an unbound / optionally-bound var follows
+              // SPARQL error semantics: the bound var is simply unbound
+              val mayNull = refs.exists(v => !a.vars.contains(v) || a.maybeNull(v))
+              acc = Some(Frag(a.df.withColumn(name, c), a.vars :+ name,
+                if (mayNull) a.maybeNull + name else a.maybeNull, a.numeric))
+            case None =>
+              if (refs.nonEmpty)
+                unsupported("BIND referencing variables cannot start a group " +
+                  "(nothing is bound yet)")
+              val df = triples.sparkSession.range(1)
+                .select(compileBind(expr, _ => None).as(name))
+              acc = Some(Frag(df, Seq(name), Set.empty))
+          }
+          idx += 1
         case GSub(sub) =>
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
@@ -310,6 +481,7 @@ object SparqlCompiler {
                 "key: SPARQL unbound-compatibility differs from SQL " +
                 "null-join semantics")
             }
+            checkNumericAligned(a, c, shared)
             acc = Some(a.copy(df = a.df.join(
               c.df.select(shared.map(col): _*), shared, "left_anti")))
           }
@@ -385,6 +557,7 @@ object SparqlCompiler {
           "null-join semantics")
       }
       if (shared.nonEmpty) {
+        checkNumericAligned(result, c, shared)
         val probe = c.df.select(shared.map(col): _*)
         result = result.copy(df = result.df.join(probe, shared,
           if (pos) "left_semi" else "left_anti"))
@@ -408,6 +581,30 @@ object SparqlCompiler {
   private def tvars(t: Term): Set[String] = t match {
     case V(n) => Set(n)
     case _ => Set.empty
+  }
+
+  private def bvars(e: BExpr): Set[String] = e match {
+    case BVar(n) => Set(n)
+    case BConst(_) => Set.empty
+    case BConcat(parts) => parts.flatMap(bvars).toSet
+  }
+
+  /** String-vs-aggregate join keys would silently coerce (Spark widens a
+    * BIGINT=STRING equality to DOUBLE); both-numeric keys are fine. */
+  private def checkNumericAligned(a: Frag, b: Frag, shared: Seq[String]): Unit =
+    shared.foreach { v =>
+      if (a.numeric(v) != b.numeric(v))
+        unsupported(s"?$v is aggregate-valued on one side of a join and a " +
+          "string term on the other: the comparison would silently coerce")
+    }
+
+  /** BIND expression -> Column; an unresolved variable is SPARQL's
+    * evaluation error, which leaves the bound variable unbound (NULL —
+    * concat propagates it, matching error propagation). */
+  private def compileBind(e: BExpr, resolve: String => Option[Column]): Column = e match {
+    case BVar(n) => resolve(n).getOrElse(lit(null).cast("string"))
+    case BConst(v) => lit(v)
+    case BConcat(parts) => concat(parts.map(compileBind(_, resolve)): _*)
   }
 
   /** Fold every-gate-and-no-triples case safely and join var-bearing
@@ -466,14 +663,24 @@ object SparqlCompiler {
     val frags = branches.map(compileGroup(_, triples))
     if (frags.length == 1) return frags.head // plain nested group
     val allVars = frags.flatMap(_.vars).distinct
+    // a var aggregate-valued in one branch and a string term in another
+    // would silently widen under union type coercion — refuse the mix
+    val numeric = allVars.filter { v =>
+      val statuses = frags.filter(_.vars.contains(v)).map(_.numeric(v)).distinct
+      if (statuses.length > 1)
+        unsupported(s"?$v is aggregate-valued in one UNION branch and a " +
+          "string term in another: the union would silently coerce")
+      statuses.headOption.contains(true)
+    }.toSet
     val aligned = frags.map { f =>
       val cols = allVars.map(v =>
-        if (f.vars.contains(v)) col(v) else lit(null).cast("string").as(v))
+        if (f.vars.contains(v)) col(v)
+        else lit(null).cast(if (numeric(v)) "bigint" else "string").as(v))
       f.df.select(cols: _*)
     }
     val everywhere = allVars.filter(v => frags.forall(_.vars.contains(v))).toSet
     val maybeNull = allVars.filterNot(everywhere).toSet ++ frags.flatMap(_.maybeNull)
-    Frag(aligned.reduce(_ unionAll _), allVars, maybeNull)
+    Frag(aligned.reduce(_ unionAll _), allVars, maybeNull, numeric)
   }
 
   // ---- triple patterns ---------------------------------------------------------
@@ -501,6 +708,100 @@ object SparqlCompiler {
       Frag(df, Seq.empty, Set.empty)
     else
       Frag(df.select(keep.map { case (c, n) => col(c).as(n) }: _*), keep.map(_._2), Set.empty)
+  }
+
+  // ---- property paths --------------------------------------------------------
+
+  /** Pairs (pa, pb) related by the path. Every step stays an EQUALITY hash
+    * join over a predicate-FILTERED slice of the triple table (the constant
+    * predicate lands in PushedFilters at the scan):
+    *  - sequence = one hash join per step, alternation = union (both keep
+    *    the spec's BAG semantics — each derivation is one solution);
+    *  - inverse swaps the endpoints (free);
+    *  - '+' is the transitive closure of the step's OWN edge slice by
+    *    ITERATIVE DOUBLING to the fixpoint: rounds of P <- P ∪ (P ∘ P),
+    *    O(log depth) self-join rounds, each round localCheckpoint'ed
+    *    because the next round consumes it on both join sides (same shape
+    *    as kg_transitive_pred, GraphQueries.transitiveClosure — but run to
+    *    convergence, which the spec requires, with one bounded count()
+    *    action per round as the fixpoint test);
+    *  - '*' and '?' add the spec's zero-length solutions, restricted to
+    *    terms OCCURRING in the graph (subjects ∪ objects): identical to
+    *    the spec whenever a constant endpoint occurs in the graph, and a
+    *    set—the closure forms are solution SETS per ArbitraryLengthPath /
+    *    ZeroOrOnePath.
+    * Compiling '+' / '*' runs the fixpoint loop at COMPILE time (bounded
+    * driver-side counts, never row collection). */
+  private def pathPairs(path: Path, triples: DataFrame): DataFrame = path match {
+    case PLink(iri) =>
+      triples.filter(col("p") === iri).select(col("s").as("pa"), col("o").as("pb"))
+    case PNeg(iris) =>
+      triples.filter(!col("p").isin(iris: _*)).select(col("s").as("pa"), col("o").as("pb"))
+    case PInv(p0) =>
+      pathPairs(p0, triples).select(col("pb").as("pa"), col("pa").as("pb"))
+    case PSeq(a, b) =>
+      val l = pathPairs(a, triples)
+      val r = pathPairs(b, triples)
+        .withColumnRenamed("pa", "__pm").withColumnRenamed("pb", "__pn")
+      l.join(r, col("pb") === col("__pm"))
+        .select(col("pa"), col("__pn").as("pb"))
+    case PAlt(a, b) =>
+      pathPairs(a, triples).unionAll(pathPairs(b, triples))
+    case PPlus(p0) => pathClosure(pathPairs(p0, triples))
+    case PStar(p0) =>
+      pathClosure(pathPairs(p0, triples)).unionAll(zeroPairs(triples)).distinct()
+    case POpt(p0) =>
+      pathPairs(p0, triples).unionAll(zeroPairs(triples)).distinct()
+  }
+
+  /** transitive closure to the FIXPOINT by iterative doubling (see
+    * [[pathPairs]]); empty input short-circuits without a join round. */
+  private def pathClosure(base: DataFrame): DataFrame = {
+    var p = base.distinct().localCheckpoint(true)
+    var n = p.count()
+    var converged = n == 0
+    while (!converged) {
+      val ext = p.alias("a").join(p.alias("b"), col("a.pb") === col("b.pa"))
+        .select(col("a.pa").as("pa"), col("b.pb").as("pb"))
+      val nxt = p.unionAll(ext).distinct().localCheckpoint(true)
+      val n2 = nxt.count()
+      if (n2 == n) converged = true else { p = nxt; n = n2 }
+    }
+    p
+  }
+
+  /** zero-length path solutions: every term occurring in the graph,
+    * related to itself. */
+  private def zeroPairs(triples: DataFrame): DataFrame =
+    triples.select(col("s").as("pa"))
+      .unionAll(triples.select(col("o").as("pa")))
+      .distinct()
+      .withColumn("pb", col("pa"))
+
+  /** endpoint application for a path pattern — same contract as
+    * [[compilePattern]]: constants filter, variables project (a repeated
+    * variable adds the in-pattern equality), constant-only paths gate. */
+  private def compilePathElem(s: Term, path: Path, o: Term, triples: DataFrame): Frag = {
+    var df = pathPairs(path, triples)
+    s match {
+      case I(u) => df = df.filter(col("pa") === u)
+      case L(v) => df = df.filter(col("pa") === v)
+      case _ => ()
+    }
+    o match {
+      case I(u) => df = df.filter(col("pb") === u)
+      case L(v) => df = df.filter(col("pb") === v)
+      case _ => ()
+    }
+    (s, o) match {
+      case (V(a), V(b)) if a == b =>
+        Frag(df.filter(col("pa") === col("pb")).select(col("pa").as(a)), Seq(a), Set.empty)
+      case (V(a), V(b)) =>
+        Frag(df.select(col("pa").as(a), col("pb").as(b)), Seq(a, b), Set.empty)
+      case (V(a), _) => Frag(df.select(col("pa").as(a)), Seq(a), Set.empty)
+      case (_, V(b)) => Frag(df.select(col("pb").as(b)), Seq(b), Set.empty)
+      case _ => Frag(df, Seq.empty, Set.empty) // constant-only: existence gate
+    }
   }
 
   // ---- filters -------------------------------------------------------------------

@@ -59,8 +59,11 @@ object SparqlParser {
       else if (c == '?' || c == '$') {
         var j = i + 1
         while (j < n && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
-        if (j == i + 1) fail("empty variable name", i)
-        out += TVar(q.substring(i + 1, j), i); i = j
+        if (j == i + 1) {
+          // a bare '?' is the zero-or-one path modifier, not a variable
+          if (c == '?') { out += TPunct("?", i); i += 1 }
+          else fail("empty variable name", i)
+        } else { out += TVar(q.substring(i + 1, j), i); i = j }
       }
       else if (c == '"' || c == '\'') {
         val quote = c
@@ -116,7 +119,7 @@ object SparqlParser {
         out += TName(q.substring(i, j), i); i = j
       }
       else c match {
-        case '{' | '}' | '(' | ')' | '.' | ';' | ',' | '*' =>
+        case '{' | '}' | '(' | ')' | '.' | ';' | ',' | '*' | '/' | '^' | '+' =>
           out += TPunct(c.toString, i); i += 1
         case '=' => out += TPunct("=", i); i += 1
         case '!' =>
@@ -129,8 +132,9 @@ object SparqlParser {
           if (i + 1 < n && q.charAt(i + 1) == '&') { out += TPunct("&&", i); i += 2 }
           else fail("single '&' is not an operator", i)
         case '|' =>
+          // '||' is boolean OR in filters; a single '|' is path alternation
           if (i + 1 < n && q.charAt(i + 1) == '|') { out += TPunct("||", i); i += 2 }
-          else fail("single '|' is not an operator", i)
+          else { out += TPunct("|", i); i += 1 }
         case other => fail(s"unexpected character '$other'", i)
       }
     }
@@ -220,12 +224,118 @@ object SparqlParser {
     val projs = parseProjection(p)
     if (p.isName("WHERE")) p.next()
     val where = parseGroup(p)
+    val groupBy =
+      if (p.isName("GROUP")) {
+        p.next(); p.eatName("BY")
+        val vs = Seq.newBuilder[String]
+        var done = false
+        while (!done) p.peek match {
+          case TVar(v, _) => p.next(); vs += v
+          case TPunct("(", pos) =>
+            fail("GROUP BY expressions are not supported (group by plain " +
+              "variables; BIND the expression first)", pos)
+          case _ => done = true
+        }
+        val r = vs.result()
+        if (r.isEmpty) fail("GROUP BY needs at least one ?var", p.peek.pos)
+        if (r.distinct.size != r.size) fail("duplicate GROUP BY variable", p.peek.pos)
+        r
+      } else Seq.empty
+    val having =
+      if (p.isName("HAVING")) { p.next(); parseHaving(p) } else Seq.empty
     parseModifiers(p, allowOrder = true) match {
-      case (order, limit, offset) => SelectQ(distinct, projs, where, order, limit, offset)
+      case (order, limit, offset) =>
+        SelectQ(distinct, projs, where, groupBy, having, order, limit, offset)
     }
   }
 
-  /** projection list: '*' | (?v | '(' (?x | STR(?x)) AS ?v ')')+ */
+  private val aggNames = Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+
+  private def isAggName(p: P): Boolean = p.peek match {
+    case TName(v, _) =>
+      aggNames(v.toUpperCase) || v.equalsIgnoreCase("SUM") || v.equalsIgnoreCase("AVG")
+    case _ => false
+  }
+
+  /** aggregate call, keyword not yet consumed:
+    * COUNT([DISTINCT] * | ?v) | MIN/MAX/SAMPLE([DISTINCT] ?v) |
+    * GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]). SUM/AVG are refused:
+    * terms are strings end-to-end and summing lexical forms would silently
+    * diverge from SPARQL numeric semantics. */
+  private def parseAggCall(p: P): Agg = {
+    val (fn, fnPos) = p.next() match {
+      case TName(v, pos) => (v.toUpperCase, pos)
+      case other => fail(s"expected aggregate, got ${describe(other)}", other.pos)
+    }
+    if (fn == "SUM" || fn == "AVG")
+      fail(s"$fn is not supported: terms are strings end-to-end, and summing " +
+        "lexical forms would silently diverge from SPARQL numeric semantics " +
+        "(same contract as the numeric-ordering refusal)", fnPos)
+    if (!aggNames(fn)) fail(s"unsupported aggregate $fn", fnPos)
+    p.eatPunct("(")
+    val distinct = if (p.isName("DISTINCT")) { p.next(); true } else false
+    val arg: Option[String] = p.peek match {
+      case TPunct("*", pos) =>
+        if (fn != "COUNT") fail(s"$fn(*) is not valid SPARQL", pos)
+        p.next(); None
+      case TVar(v, _) => p.next(); Some(v)
+      case other => fail(s"aggregate argument must be ?var" +
+        (if (fn == "COUNT") " or *" else "") + s", got ${describe(other)}", other.pos)
+    }
+    if (fn == "COUNT" && distinct && arg.isEmpty)
+      fail("COUNT(DISTINCT *) is not supported (DISTINCT over full solutions: " +
+        "wrap the pattern in SELECT DISTINCT instead)", fnPos)
+    var sep: Option[String] = None
+    if (p.isPunct(";")) {
+      if (fn != "GROUP_CONCAT") fail("only GROUP_CONCAT takes a SEPARATOR", p.peek.pos)
+      p.next(); p.eatName("SEPARATOR"); p.eatPunct("=")
+      sep = Some(p.next() match {
+        case TLit(v, _) => v
+        case other => fail(s"SEPARATOR takes a string literal, got ${describe(other)}", other.pos)
+      })
+    }
+    p.eatPunct(")")
+    Agg(fn, arg, distinct, sep)
+  }
+
+  /** HAVING '(' agg op rhs ('&&' agg op rhs)* ')' — a conjunction of
+    * aggregate comparisons. */
+  private def parseHaving(p: P): Seq[HCmp] = {
+    p.eatPunct("(")
+    val out = Seq.newBuilder[HCmp]
+    var more = true
+    while (more) {
+      if (!isAggName(p))
+        fail(s"HAVING condition must start with an aggregate, got ${describe(p.peek)}",
+          p.peek.pos)
+      val agg = parseAggCall(p)
+      val opPos = p.peek.pos
+      val op = p.peek match {
+        case TPunct(o, _) if Set("=", "!=", "<", "<=", ">", ">=")(o) => p.next(); o
+        case other => fail(s"expected comparison in HAVING, got ${describe(other)}", other.pos)
+      }
+      val rhs = p.next() match {
+        case TNum(v, pos) =>
+          if (agg.fn != "COUNT")
+            fail(s"${agg.fn} is string-valued: comparing it to a number would " +
+              "be lexicographic, not numeric", pos)
+          v
+        case TLit(v, pos) =>
+          if (agg.fn == "COUNT") fail("COUNT compares to an integer", pos)
+          if (op != "=" && op != "!=")
+            fail("numeric ordering comparisons are not supported over string " +
+              "aggregates (lexicographic '<' would silently diverge)", opPos)
+          v
+        case other => fail(s"HAVING compares to a literal, got ${describe(other)}", other.pos)
+      }
+      out += HCmp(agg, op, rhs)
+      if (p.isPunct("&&")) p.next() else more = false
+    }
+    p.eatPunct(")")
+    out.result()
+  }
+
+  /** projection list: '*' | (?v | '(' (?x | STR(?x) | aggregate) AS ?v ')')+ */
   private def parseProjection(p: P): Seq[Proj] = {
     if (p.isPunct("*")) { p.next(); return Seq.empty }
     val out = Seq.newBuilder[Proj]
@@ -233,11 +343,11 @@ object SparqlParser {
     var done = false
     while (!done) {
       p.peek match {
-        case TVar(v, _) => p.next(); out += Proj(v, None); seen = true
+        case TVar(v, _) => p.next(); out += Proj(v, PVarRef(v)); seen = true
         case TPunct("(", _) =>
           p.next()
-          val src = p.peek match {
-            case TVar(v, _) => p.next(); v
+          val expr: PExpr = p.peek match {
+            case TVar(v, _) => p.next(); PVarRef(v)
             case TName(f, _) if f.equalsIgnoreCase("STR") =>
               p.next(); p.eatPunct("(")
               val inner = p.next() match {
@@ -245,7 +355,8 @@ object SparqlParser {
                 case other => fail(s"STR() takes a variable, got ${describe(other)}", other.pos)
               }
               p.eatPunct(")")
-              inner
+              PVarRef(inner)
+            case TName(_, _) if isAggName(p) => PAggRef(parseAggCall(p))
             case other => fail(s"unsupported projection expression ${describe(other)}", other.pos)
           }
           p.eatName("AS")
@@ -254,7 +365,7 @@ object SparqlParser {
             case other => fail(s"expected ?var after AS, got ${describe(other)}", other.pos)
           }
           p.eatPunct(")")
-          out += Proj(name, Some(src)); seen = true
+          out += Proj(name, expr); seen = true
         case _ => done = true
       }
     }
@@ -270,7 +381,13 @@ object SparqlParser {
     p.eatPunct("{")
     val template = Seq.newBuilder[TP]
     while (!p.isPunct("}")) {
-      template ++= parseTriplesSameSubject(p)
+      val at = p.peek.pos
+      template ++= parseTriplesSameSubject(p).map {
+        case GTriple(tp) => tp
+        case _: GPath => fail("property paths are not allowed in a CONSTRUCT " +
+          "template (a template instantiates triples, not path matches)", at)
+        case other => fail(s"unexpected $other in CONSTRUCT template", at)
+      }
       if (p.isPunct(".")) p.next()
     }
     p.eatPunct("}")
@@ -389,13 +506,23 @@ object SparqlParser {
       } else if (p.isName("OPTIONAL")) {
         p.next()
         elems += GOptional(parseGroup(p))
+      } else if (p.isName("BIND")) {
+        p.next(); p.eatPunct("(")
+        val e = parseBindExpr(p)
+        p.eatName("AS")
+        val name = p.next() match {
+          case TVar(v, _) => v
+          case other => fail(s"expected ?var after AS in BIND, got ${describe(other)}", other.pos)
+        }
+        p.eatPunct(")")
+        elems += GBind(e, name)
       } else if (p.isPunct("{")) {
         // nested group, sub-select, or a UNION chain
         elems += parseGroupOrUnionOrSub(p)
       } else if (p.isPunct(".")) {
         p.next() // stray separators are fine anywhere in a group
       } else {
-        parseTriplesSameSubject(p).foreach(tp => elems += GTriple(tp))
+        elems ++= parseTriplesSameSubject(p)
         if (p.isPunct(".")) p.next()
       }
     }
@@ -481,17 +608,21 @@ object SparqlParser {
   }
 
   /** term [p o (',' o)* (';' p o (',' o)*)*] — the standard same-subject
-    * shorthand. Returns the expanded triples. */
-  private def parseTriplesSameSubject(p: P): Seq[TP] = {
+    * shorthand; each predicate position may be a property path. Returns
+    * GTriple elems for plain predicates and GPath for non-trivial paths. */
+  private def parseTriplesSameSubject(p: P): Seq[GElem] = {
     val subj = parseTerm(p, "subject")
-    val out = Seq.newBuilder[TP]
+    val out = Seq.newBuilder[GElem]
     var morePreds = true
     while (morePreds) {
-      val pred = parsePredicate(p)
+      val pred = parsePredicateOrPath(p)
       var moreObjs = true
       while (moreObjs) {
         val obj = parseTerm(p, "object")
-        out += TP(subj, pred, obj)
+        out += (pred match {
+          case Left(t) => GTriple(TP(subj, t, obj))
+          case Right(path) => GPath(subj, path, obj)
+        })
         if (p.isPunct(",")) p.next() else moreObjs = false
       }
       if (p.isPunct(";")) p.next() else morePreds = false
@@ -499,9 +630,94 @@ object SparqlParser {
     out.result()
   }
 
-  private def parsePredicate(p: P): Term = p.peek match {
-    case TName(v, _) if v == "a" => p.next(); I(RdfType)
-    case _ => parseTerm(p, "predicate")
+  /** predicate position: a variable, or a property path (a path that is a
+    * single plain IRI collapses to a Left term). */
+  private def parsePredicateOrPath(p: P): Either[Term, Path] = p.peek match {
+    case TVar(v, _) => p.next(); Left(V(v))
+    case _ => parsePath(p) match {
+      case PLink(iri) => Left(I(iri))
+      case path => Right(path)
+    }
+  }
+
+  // ---- property paths ---------------------------------------------------------
+
+  /** SPARQL 1.1 path grammar subset: alternation '|' (lowest), sequence
+    * '/', inverse '^' (prefix), modifiers + * ? (postfix), negated
+    * property set !iri / !(iri|...) (forward members only), parens.
+    * Per the grammar, '^elt+' parses as '^(elt+)'. */
+  private def parsePath(p: P): Path = {
+    var e = parsePathSeq(p)
+    while (p.isPunct("|")) { p.next(); e = PAlt(e, parsePathSeq(p)) }
+    e
+  }
+
+  private def parsePathSeq(p: P): Path = {
+    var e = parsePathElt(p)
+    while (p.isPunct("/")) { p.next(); e = PSeq(e, parsePathElt(p)) }
+    e
+  }
+
+  private def parsePathElt(p: P): Path = {
+    val inv = if (p.isPunct("^")) { p.next(); true } else false
+    val prim = parsePathPrimary(p)
+    val modded = p.peek match {
+      case TPunct("+", _) => p.next(); PPlus(prim)
+      case TPunct("*", _) => p.next(); PStar(prim)
+      case TPunct("?", _) => p.next(); POpt(prim)
+      case _ => prim
+    }
+    if (inv) PInv(modded) else modded
+  }
+
+  private def parsePathPrimary(p: P): Path = p.peek match {
+    case TIri(v, _) => p.next(); PLink(v)
+    case TName(v, pos) =>
+      p.next()
+      PLink(if (v == "a") RdfType else p.expand(v, pos))
+    case TPunct("!", _) =>
+      p.next()
+      val iris = Seq.newBuilder[String]
+      def one(): Unit = p.next() match {
+        case TIri(v, _) => iris += v
+        case TName(v, pos) => iris += (if (v == "a") RdfType else p.expand(v, pos))
+        case TPunct("^", pos) =>
+          fail("inverse members in a negated property set are not supported", pos)
+        case other => fail(s"expected IRI in negated property set, got ${describe(other)}",
+          other.pos)
+      }
+      if (p.isPunct("(")) {
+        p.next(); one()
+        while (p.isPunct("|")) { p.next(); one() }
+        p.eatPunct(")")
+      } else one()
+      PNeg(iris.result())
+    case TPunct("(", _) =>
+      p.next(); val e = parsePath(p); p.eatPunct(")"); e
+    case other => fail(s"expected path element, got ${describe(other)}", other.pos)
+  }
+
+  // ---- BIND expressions ---------------------------------------------------------
+
+  /** BIND expr subset over string terms: ?v, constants, CONCAT(...);
+    * STR() and IRI()/URI() are identity wrappers. */
+  private def parseBindExpr(p: P): BExpr = p.peek match {
+    case TVar(v, _) => p.next(); BVar(v)
+    case TIri(v, _) => p.next(); BConst(v)
+    case TLit(v, _) => p.next(); BConst(v)
+    case TNum(v, _) => p.next(); BConst(v)
+    case TName(f, _) if f.equalsIgnoreCase("STR") || f.equalsIgnoreCase("IRI") ||
+        f.equalsIgnoreCase("URI") =>
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(")"); e
+    case TName(f, _) if f.equalsIgnoreCase("CONCAT") =>
+      p.next(); p.eatPunct("(")
+      val parts = Seq.newBuilder[BExpr]
+      parts += parseBindExpr(p)
+      while (p.isPunct(",")) { p.next(); parts += parseBindExpr(p) }
+      p.eatPunct(")")
+      BConcat(parts.result())
+    case TName(v, pos) => p.next(); BConst(p.expand(v, pos))
+    case other => fail(s"unsupported BIND expression ${describe(other)}", other.pos)
   }
 
   private def parseTerm(p: P, role: String): Term = p.next() match {

@@ -176,6 +176,19 @@ class SparqlSpec extends AnyFunSuite {
         val r = evalGroup(mg, ts)
         acc = acc.filterNot(m => r.exists(x =>
           compatible(m, x) && m.keySet.intersect(x.keySet).nonEmpty))
+      case GPath(s, path, o) =>
+        val pairs = evalPath(path, ts)
+        val binds = pairs.flatMap { case (x, y) =>
+          bindT(s, x, Map.empty).flatMap(bindT(o, y, _))
+        }
+        acc = joinB(acc, binds)
+      case GBind(expr, name) =>
+        acc = acc.map { m =>
+          evalB(expr, m) match {
+            case Some(v) => m + (name -> v)
+            case None => m // expression error: ?name stays unbound
+          }
+        }
       case GFilter(_) => () // group-scoped: applied below
     }
     val filtered =
@@ -192,15 +205,106 @@ class SparqlSpec extends AnyFunSuite {
       }
   }
 
+  private def bindT(t: Term, v: String, m: B): Option[B] = t match {
+    case V(n) => m.get(n) match {
+      case Some(x) => if (x == v) Some(m) else None
+      case None => Some(m + (n -> v))
+    }
+    case I(u) => if (u == v) Some(m) else None
+    case L(l) => if (l == v) Some(m) else None
+  }
+
+  /** path pairs, bag semantics for link/seq/alt/inverse, set for closures;
+    * zero-length solutions over terms occurring in the graph (the
+    * compiler's documented contract) */
+  private def evalPath(path: Path, ts: Seq[(String, String, String)]): Seq[(String, String)] = {
+    def nodes = (ts.map(_._1) ++ ts.map(_._3)).distinct
+    def closure(base: Seq[(String, String)]): Seq[(String, String)] = {
+      var p = base.distinct
+      var grown = true
+      while (grown) {
+        val ext = for ((a, b) <- p; (c, d) <- p if b == c) yield (a, d)
+        val nxt = (p ++ ext).distinct
+        grown = nxt.size != p.size
+        p = nxt
+      }
+      p
+    }
+    path match {
+      case PLink(i) => ts.collect { case (s, p, o) if p == i => (s, o) }
+      case PNeg(is) => ts.collect { case (s, p, o) if !is.contains(p) => (s, o) }
+      case PInv(p0) => evalPath(p0, ts).map(_.swap)
+      case PSeq(a, b) =>
+        val l = evalPath(a, ts); val r = evalPath(b, ts)
+        for ((x, m) <- l; (m2, y) <- r if m == m2) yield (x, y)
+      case PAlt(a, b) => evalPath(a, ts) ++ evalPath(b, ts)
+      case PPlus(p0) => closure(evalPath(p0, ts))
+      case PStar(p0) => (closure(evalPath(p0, ts)) ++ nodes.map(n => (n, n))).distinct
+      case POpt(p0) => (evalPath(p0, ts) ++ nodes.map(n => (n, n))).distinct
+    }
+  }
+
+  /** BIND expression; None = SPARQL evaluation error (unbound ref) */
+  private def evalB(e: BExpr, m: B): Option[String] = e match {
+    case BVar(n) => m.get(n)
+    case BConst(v) => Some(v)
+    case BConcat(parts) =>
+      val vs = parts.map(evalB(_, m))
+      if (vs.forall(_.isDefined)) Some(vs.flatten.mkString) else None
+  }
+
+  /** aggregate over a group's solutions; None = unbound result (MIN/MAX/
+    * SAMPLE of an empty value list). Matches the compiler's deterministic
+    * choices: SAMPLE = MIN, GROUP_CONCAT sorted (empty list -> ""). */
+  private def evalAgg(a: Agg, ms: Seq[B]): Option[String] = {
+    def vals: Seq[String] = {
+      val raw = a.arg.toSeq.flatMap(v => ms.flatMap(_.get(v)))
+      if (a.distinct) raw.distinct else raw
+    }
+    a.fn match {
+      case "COUNT" => Some((if (a.arg.isEmpty) ms.size else vals.size).toString)
+      case "MIN" | "SAMPLE" => vals.minOption
+      case "MAX" => vals.maxOption
+      case "GROUP_CONCAT" => Some(vals.sorted.mkString(a.sep.getOrElse(" ")))
+      case other => fail(s"evaluator: unsupported aggregate $other")
+    }
+  }
+
   private def evalSelect(sel: SelectQ, ts: Seq[(String, String, String)]): Seq[B] = {
     require(sel.orderBy.isEmpty && sel.limit.isEmpty && sel.offset.isEmpty,
       "evaluator subset: no modifiers inside differential sub-selects")
     val sols = evalGroup(sel.where, ts)
+    val isAgg = sel.groupBy.nonEmpty || sel.having.nonEmpty ||
+      sel.projs.exists(_.expr.isInstanceOf[PAggRef])
     val projected =
-      if (sel.projs.isEmpty) sols
+      if (isAgg) {
+        val groups: Seq[Seq[B]] =
+          if (sel.groupBy.isEmpty) Seq(sols) // implicit single group, even when empty
+          else sols.groupBy(m => sel.groupBy.map(m.get)).values.toSeq
+        groups.flatMap { ms =>
+          val keep = sel.having.forall { case HCmp(agg, op, rhs) =>
+            evalAgg(agg, ms).exists { v =>
+              if (agg.fn == "COUNT") {
+                val (l, r) = (v.toLong, rhs.toLong)
+                op match {
+                  case "=" => l == r; case "!=" => l != r
+                  case "<" => l < r; case "<=" => l <= r
+                  case ">" => l > r; case ">=" => l >= r
+                }
+              } else if (op == "=") v == rhs else v != rhs
+            }
+          }
+          if (!keep) None
+          else Some(sel.projs.flatMap {
+            case Proj(name, PVarRef(src)) => ms.head.get(src).map(name -> _)
+            case Proj(name, PAggRef(agg)) => evalAgg(agg, ms).map(name -> _)
+          }.toMap)
+        }
+      } else if (sel.projs.isEmpty) sols
       else sols.map { m =>
-        sel.projs.flatMap { case Proj(name, src) =>
-          m.get(src.getOrElse(name)).map(name -> _)
+        sel.projs.flatMap {
+          case Proj(name, PVarRef(src)) => m.get(src).map(name -> _)
+          case Proj(name, _) => fail(s"evaluator: aggregate ?$name outside agg path")
         }.toMap
       }
     if (sel.distinct) projected.distinct else projected
@@ -656,6 +760,241 @@ class SparqlSpec extends AnyFunSuite {
     val out = rows(SparqlCompiler.compile(cfg.queries.head, tr))
     assert(out.nonEmpty && out.size <= 5 && out.forall(_.size == 2))
     assert(out == out.sorted(Ordering.by((r: Seq[Option[String]]) => r.flatten.mkString("|"))))
+  }
+
+  // ---------------------------------------------------------------------------
+  // 4. property paths / aggregates / BIND
+  // ---------------------------------------------------------------------------
+
+  test("parser: property path grammar and precedence") {
+    def pathOf(q: String): Path =
+      SparqlParser.parse(q).asInstanceOf[SelectQ].where.elems
+        .collectFirst { case GPath(_, p, _) => p }.get
+    // '|' binds loosest, '/' tighter, modifiers tightest
+    assert(pathOf("SELECT ?x ?y WHERE { ?x <urn:a>/<urn:b>|<urn:c> ?y }") ==
+      PAlt(PSeq(PLink("urn:a"), PLink("urn:b")), PLink("urn:c")))
+    // '^elt+' is '^(elt+)' per the grammar
+    assert(pathOf("SELECT ?x ?y WHERE { ?x ^<urn:a>+ ?y }") ==
+      PInv(PPlus(PLink("urn:a"))))
+    assert(pathOf("SELECT ?x ?y WHERE { ?x !(<urn:a>|<urn:b>) ?y }") ==
+      PNeg(Seq("urn:a", "urn:b")))
+    assert(pathOf("SELECT ?x ?y WHERE { ?x <urn:a>? ?y }") == POpt(PLink("urn:a")))
+    assert(pathOf("SELECT ?x ?y WHERE { ?x (<urn:a>|<urn:b>)/<urn:c>* ?y }") ==
+      PSeq(PAlt(PLink("urn:a"), PLink("urn:b")), PStar(PLink("urn:c"))))
+    // 'a' works inside paths; a single plain IRI stays a GTriple
+    assert(pathOf("SELECT ?x ?y WHERE { ?x a/<urn:b> ?y }") ==
+      PSeq(PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), PLink("urn:b")))
+    val plain = SparqlParser.parse("SELECT ?x ?y WHERE { ?x <urn:a> ?y }")
+      .asInstanceOf[SelectQ].where.elems
+    assert(plain == Seq(GTriple(TP(V("x"), I("urn:a"), V("y")))))
+    // paths in a CONSTRUCT template are refused
+    val msg = intercept[SparqlParseException](SparqlParser.parse(
+      "CONSTRUCT { ?x <urn:a>+ ?y } WHERE { ?x <urn:a> ?y }")).getMessage
+    assert(msg.contains("CONSTRUCT template"))
+    // inverse members of a negated set are refused
+    intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?x ?y WHERE { ?x !(<urn:a>|^<urn:b>) ?y }"))
+  }
+
+  test("parser: aggregates, GROUP BY, HAVING — and the SUM/AVG refusal") {
+    val q = SparqlParser.parse(
+      """SELECT ?c (COUNT(?s) AS ?n) (GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?os)
+        |WHERE { ?s <urn:t> ?c . ?s <urn:v> ?o }
+        |GROUP BY ?c HAVING(COUNT(?s) >= 2 && MIN(?o) != "zz") ORDER BY ?c""".stripMargin)
+      .asInstanceOf[SelectQ]
+    assert(q.groupBy == Seq("c"))
+    assert(q.projs == Seq(
+      Proj("c", PVarRef("c")),
+      Proj("n", PAggRef(Agg("COUNT", Some("s"), distinct = false, None))),
+      Proj("os", PAggRef(Agg("GROUP_CONCAT", Some("o"), distinct = true, Some("|"))))))
+    assert(q.having == Seq(
+      HCmp(Agg("COUNT", Some("s"), distinct = false, None), ">=", "2"),
+      HCmp(Agg("MIN", Some("o"), distinct = false, None), "!=", "zz")))
+    def bad(s: String): String =
+      intercept[SparqlParseException](SparqlParser.parse(s)).getMessage
+    assert(bad("SELECT (SUM(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
+      .contains("strings end-to-end"))
+    assert(bad("SELECT (AVG(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
+      .contains("strings end-to-end"))
+    assert(bad("SELECT (COUNT(?x) AS ?n) WHERE { ?a <urn:v> ?x } GROUP BY (str(?a))")
+      .contains("GROUP BY expressions"))
+    assert(bad("SELECT ?a WHERE { ?a <urn:v> ?x } GROUP BY ?a HAVING(MIN(?x) > 3)")
+      .contains("string-valued"))
+    assert(bad("SELECT ?a WHERE { ?a <urn:v> ?x } GROUP BY ?a HAVING(MIN(?x) < \"b\")")
+      .contains("numeric ordering"))
+    assert(bad("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?a <urn:v> ?x }")
+      .contains("COUNT(DISTINCT *)"))
+  }
+
+  test("differential: property paths == reachability evaluator on random graphs") {
+    for (seed <- 1 to 4; n <- Seq(6, 20)) {
+      val ts = randomTriples(seed, n)
+      diffSelect("SELECT ?a ?b WHERE { ?a <urn:p:knows>+ ?b }", ts)
+      diffSelect("SELECT ?a ?b WHERE { ?a <urn:p:knows>* ?b }", ts)
+      diffSelect("SELECT ?a ?b WHERE { ?a <urn:p:knows>? ?b }", ts)
+      diffSelect("SELECT ?a ?b WHERE { ?a ^<urn:p:knows> ?b }", ts)
+      diffSelect("SELECT ?a ?n WHERE { ?a <urn:p:knows>/<urn:p:name> ?n }", ts)
+      diffSelect("SELECT ?a ?x WHERE { ?a (<urn:p:knows>|<urn:p:name>) ?x }", ts)
+      diffSelect("SELECT ?a ?x WHERE { ?a !(<urn:p:name>) ?x }", ts)
+      diffSelect("SELECT ?a ?n WHERE { ?a (<urn:p:knows>|^<urn:p:knows>)/<urn:p:name> ?n }", ts)
+      // closure composed with a plain pattern join
+      diffSelect(
+        """SELECT DISTINCT ?a ?n WHERE { ?a <urn:p:knows>+ ?b .
+          |  ?b <urn:p:name> ?n }""".stripMargin, ts)
+      // endpoint forms: constant subject, repeated variable
+      diffSelect("SELECT ?b WHERE { <urn:n:1> <urn:p:knows>* ?b }", ts)
+      diffSelect("SELECT ?a WHERE { ?a <urn:p:knows>+ ?a }", ts)
+    }
+  }
+
+  test("paths: closure fixpoint on a chain; zero-length includes occurring terms") {
+    val chain = Seq(("urn:a", "urn:n", "urn:b"), ("urn:b", "urn:n", "urn:c"),
+      ("urn:c", "urn:n", "urn:d"))
+    val plus = rows(SparqlCompiler.compile(
+      "SELECT ?x ?y WHERE { ?x <urn:n>+ ?y }", toDf(chain))).map(_.flatten).toSet
+    assert(plus == Set(
+      Seq("urn:a", "urn:b"), Seq("urn:a", "urn:c"), Seq("urn:a", "urn:d"),
+      Seq("urn:b", "urn:c"), Seq("urn:b", "urn:d"), Seq("urn:c", "urn:d")),
+      "a 3-edge chain closes to all 6 reachable pairs (depth > doubling round 1)")
+    val star = rows(SparqlCompiler.compile(
+      "SELECT ?y WHERE { <urn:a> <urn:n>* ?y } ORDER BY ?y", toDf(chain))).map(_.flatten)
+    assert(star == Seq(Seq("urn:a"), Seq("urn:b"), Seq("urn:c"), Seq("urn:d")),
+      "* includes the zero-length self-solution for an occurring term")
+    // a cycle must not loop the fixpoint forever
+    val cyc = Seq(("urn:a", "urn:n", "urn:b"), ("urn:b", "urn:n", "urn:a"))
+    val cplus = rows(SparqlCompiler.compile(
+      "SELECT ?x ?y WHERE { ?x <urn:n>+ ?y }", toDf(cyc))).map(_.flatten).toSet
+    assert(cplus == Set(Seq("urn:a", "urn:b"), Seq("urn:b", "urn:a"),
+      Seq("urn:a", "urn:a"), Seq("urn:b", "urn:b")))
+    // plan: a path join chain stays hash-join shaped
+    val df = SparqlCompiler.compile(
+      "SELECT ?x ?n WHERE { ?x <urn:n>+ ?y . ?y <urn:p:name> ?n }",
+      toDf(chain :+ (("urn:d", "urn:p:name", "dee"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
+  test("differential: aggregates == group evaluator on random graphs") {
+    for (seed <- 1 to 4; n <- Seq(6, 20)) {
+      val ts = randomTriples(seed, n)
+      diffSelect(
+        """SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p:knows> ?b }
+          |GROUP BY ?a""".stripMargin, ts)
+      diffSelect(
+        """SELECT ?a (COUNT(DISTINCT ?b) AS ?n) (MIN(?b) AS ?first)
+          |WHERE { ?a <urn:p:knows> ?b } GROUP BY ?a""".stripMargin, ts)
+      diffSelect(
+        """SELECT ?a (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names)
+          |WHERE { ?a <urn:p:name> ?n } GROUP BY ?a""".stripMargin, ts)
+      diffSelect(
+        """SELECT ?a (SAMPLE(?b) AS ?one) WHERE { ?a <urn:p:knows> ?b }
+          |GROUP BY ?a HAVING(COUNT(?b) >= 2)""".stripMargin, ts)
+      // implicit single group
+      diffSelect("SELECT (COUNT(*) AS ?n) WHERE { ?a <urn:p:knows> ?b }", ts)
+      diffSelect(
+        "SELECT (COUNT(DISTINCT ?a) AS ?n) (MAX(?a) AS ?top) WHERE { ?a <urn:p:knows> ?b }", ts)
+      // aggregate over an optionally-bound arg (COUNT skips unbound)
+      diffSelect(
+        """SELECT ?a (COUNT(?n) AS ?named) WHERE { ?a <urn:p:knows> ?b .
+          |  OPTIONAL { ?b <urn:p:name> ?n } } GROUP BY ?a""".stripMargin, ts)
+      // GROUP BY without aggregates degenerates to DISTINCT keys
+      diffSelect("SELECT ?a WHERE { ?a <urn:p:knows> ?b } GROUP BY ?a", ts)
+    }
+    // COUNT over an empty match is one row of 0 (implicit group over nothing)
+    val empty = rows(SparqlCompiler.compile(
+      "SELECT (COUNT(*) AS ?n) WHERE { ?a <urn:p:nothere> ?b }",
+      toDf(randomTriples(1, 6)))).map(_.flatten)
+    assert(empty == Seq(Seq("0")))
+    // the aggregate compiles to a hash aggregate, not a sort aggregate
+    val plan = SparqlCompiler.compile(
+      "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p:knows> ?b } GROUP BY ?a",
+      toDf(randomTriples(1, 20))).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"))
+  }
+
+  test("aggregates: scope and type-boundary refusals") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("urn:a", "urn:p", "urn:c"))
+    def refuse(q: String): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(q, toDf(ts)).collect()).getMessage
+    // projected var not grouped
+    assert(refuse("SELECT ?a ?b (COUNT(*) AS ?n) WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+      .contains("GROUP BY"))
+    // a COUNT output joined against a string term would silently coerce
+    assert(refuse(
+      """SELECT ?a ?n WHERE {
+        |  { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p> ?b } GROUP BY ?a }
+        |  ?x <urn:p> ?n }""".stripMargin)
+      .contains("coerce"))
+    // ...same through a UNION branch mix
+    assert(refuse(
+      """SELECT ?a ?n WHERE {
+        |  { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p> ?b } GROUP BY ?a }
+        |  UNION { ?a <urn:p> ?n } }""".stripMargin)
+      .contains("UNION"))
+    // aggregating an aggregate
+    assert(refuse(
+      """SELECT (MIN(?n) AS ?m) WHERE {
+        |  { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p> ?b } GROUP BY ?a } }""".stripMargin)
+      .contains("aggregate-valued"))
+    // SELECT * with GROUP BY
+    assert(refuse("SELECT * WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+      .contains("SELECT *"))
+    // re-binding an in-scope var with an aggregate alias
+    assert(refuse("SELECT (COUNT(?b) AS ?a) WHERE { ?a <urn:p> ?b } GROUP BY ?a")
+      .contains("re-binds"))
+    // two sub-selects joined ON a count var are fine (both numeric)
+    val ok = rows(SparqlCompiler.compile(
+      """SELECT ?a ?c ?n WHERE {
+        |  { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p> ?b } GROUP BY ?a }
+        |  { SELECT ?c (COUNT(?d) AS ?n) WHERE { ?c <urn:p> ?d } GROUP BY ?c } }""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(ok == Seq(Seq("urn:a", "urn:a", "2")))
+  }
+
+  test("BIND: extension, join on the bound var, and scope refusals") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"), ("doc-urn:b", "urn:q", "urn:z"))
+    // bind then JOIN on the computed var (the build-a-key idiom)
+    val out = rows(SparqlCompiler.compile(
+      """SELECT ?a ?z WHERE { ?a <urn:p> ?b .
+        |  BIND(CONCAT("doc-", ?b) AS ?k) . ?k <urn:q> ?z }""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(out == Seq(Seq("urn:a", "urn:z")))
+    // differential: bind + filter, constants, STR/IRI wrappers
+    for (seed <- 1 to 3) {
+      val rts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?tag WHERE { ?a <urn:p:knows> ?b .
+          |  BIND(CONCAT(STR(?a), "->", ?b) AS ?tag) }""".stripMargin, rts)
+      diffSelect(
+        """SELECT ?a ?c WHERE { ?a <urn:p:knows> ?b . BIND(IRI("urn:k") AS ?c)
+          |  . FILTER(?c = <urn:k>) }""".stripMargin, rts)
+    }
+    def refuse(q: String): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(q, toDf(ts)).collect()).getMessage
+    // re-binding a bound var
+    assert(refuse("SELECT ?a WHERE { ?a <urn:p> ?b . BIND(\"x\" AS ?b) }")
+      .contains("already bound"))
+    // BIND over an enclosing group's var inside an OPTIONAL
+    assert(refuse(
+      """SELECT ?a WHERE { ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?c . BIND(CONCAT(?a, "x") AS ?t) . ?t <urn:q> ?z } }""".stripMargin)
+      .contains("enclosing"))
+    // BIND over a count var would coerce
+    assert(refuse(
+      """SELECT ?t WHERE {
+        |  { SELECT (COUNT(?b) AS ?n) WHERE { ?a <urn:p> ?b } }
+        |  BIND(CONCAT("c=", ?n) AS ?t) }""".stripMargin)
+      .contains("aggregate-valued"))
+    // a BIND referencing an UNBOUND var leaves the target unbound (error
+    // semantics), and the maybe-null guard then refuses join use
+    val unb = rows(SparqlCompiler.compile(
+      "SELECT ?a ?t WHERE { ?a <urn:p> ?b . BIND(CONCAT(?ghost, \"x\") AS ?t) }",
+      toDf(ts)))
+    assert(unb == Seq(Seq(Some("urn:a"), None)))
+    assert(refuse(
+      """SELECT ?a WHERE { ?a <urn:p> ?b .
+        |  BIND(CONCAT(?ghost, "x") AS ?t) . ?t <urn:q> ?z }""".stripMargin)
+      .contains("optionally bound"))
   }
 
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
