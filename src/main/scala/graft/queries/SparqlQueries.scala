@@ -98,6 +98,55 @@ object SparqlQueries {
        |    UNION ALL
        |    SELECT s, p, o FROM onto))""".stripMargin
 
+  /** Language-TAGGED labels for the lang()/langMatches() queries —
+    * ol = the object's language tag, '' when untagged (IRIs, plain
+    * literals). Mirrors the reference's home domain: Czech open-data
+    * vocabularies carry skos labels in several languages. */
+  private val langOntology = Seq(
+    ("urn:c:0", "urn:p:label", "Batch Class", "en"),
+    ("urn:c:0", "urn:p:label", "Trida davky", "cs"),
+    ("urn:c:1", "urn:p:label", "Stream Class", "en-US"),
+    ("urn:c:2", "urn:p:label", "Clase flujo", "es"))
+
+  private val langOntologySql: String =
+    langOntology.map { case (s, p, o, l) => s"('$s','$p','$o','$l')" }.mkString(", ")
+
+  /** A tagged triple frame (s, p, o, ol): per-doc title literals tagged
+    * with the document's lang column, untagged type triples, and the
+    * multilingual ontology labels. */
+  private[graft] def langFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val titles = docs.select(
+      concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+      lit("urn:p:title").as("p"),
+      substring(lower(col("text")), 1, 12).as("o"),
+      col("lang").as("ol"))
+    val types = docs.select(
+      concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+      lit("urn:p:type").as("p"),
+      concat(lit("urn:c:"), (col("doc_id") % 3).cast("string")).as("o"),
+      lit("").as("ol"))
+    titles.unionAll(types)
+      .unionAll(langOntology.toDF("s", "p", "o", "ol")).distinct()
+  }
+
+  /** The same derivation in DuckDB SQL (CTE body producing table `ltr`). */
+  private val langFrameSql: String =
+    s"""lonto(s, p, o, ol) AS (VALUES $langOntologySql),
+       |ltr AS (
+       |  SELECT DISTINCT s, p, o, ol FROM (
+       |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s,
+       |           'urn:p:title' AS p, substr(lower(text), 1, 12) AS o,
+       |           lang AS ol
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:type',
+       |           'urn:c:' || CAST(doc_id % 3 AS VARCHAR), ''
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT s, p, o, ol FROM lonto))""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- a user-written SELECT: 3-pattern BGP chain (cue -> doc type ->
@@ -354,6 +403,54 @@ object SparqlQueries {
           |  BIND(CONCAT(?c, "#v1") AS ?tag) .
           |} ORDER BY ?s ?tag""".stripMargin,
         tripleFrame(s, d))
+    },
+
+    // ---- join over a branch-ASYMMETRIC union (the reference's own
+    // SparqlSelectTest.java:19 shape): branch 1 shares ?d with the outer
+    // pattern, branch 2 shares ?c. The compiler distributes —
+    // Join(A, Union(B1,B2)) = Union(Join(A,B1), Join(A,B2)) — so each
+    // branch joins as an equality HASH join on the vars it really binds
+    // (a combined union column would put SQL NULLs in the join keys,
+    // which never match, while SPARQL unbound matches anything).
+    "sparql_union_join" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT * FROM (
+         |  SELECT ty.s AS d, ty.o AS c, a.o AS cue
+         |  FROM tr ty JOIN tr a ON a.s = ty.s AND a.p = 'urn:p:op'
+         |  WHERE ty.p = 'urn:p:type'
+         |  UNION ALL
+         |  SELECT ty.s, ty.o, l.o
+         |  FROM tr ty JOIN tr l ON l.s = ty.o AND l.p = 'urn:p:label'
+         |  WHERE ty.p = 'urn:p:type')
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?d ?c ?cue WHERE {
+          |  ?d <urn:p:type> ?c .
+          |  { ?d <urn:p:op> ?cue } UNION { ?c <urn:p:label> ?cue }
+          |} ORDER BY ?d ?c ?cue""".stripMargin,
+        tripleFrame(s, d))
+    },
+
+    // ---- lang()/langMatches() over a language-TAGGED frame: the tag
+    // rides an `ol` column (the term model stays a string), and the
+    // filter compiles INTO the binding pattern's scan. langMatches uses
+    // RFC 4647 basic filtering ("en" also matches "en-US").
+    "sparql_lang_filter" -> Q(
+      s"""WITH $langFrameSql
+         |SELECT ty.s AS d, ti.o AS t, lbl.o AS lbl
+         |FROM ltr ty
+         |JOIN ltr ti ON ti.s = ty.s AND ti.p = 'urn:p:title' AND ti.ol = 'fr'
+         |JOIN ltr lbl ON lbl.s = ty.o AND lbl.p = 'urn:p:label'
+         |  AND (lower(lbl.ol) = 'en' OR lower(lbl.ol) LIKE 'en-%')
+         |WHERE ty.p = 'urn:p:type'
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?d ?t ?lbl WHERE {
+          |  ?d <urn:p:type> ?c .
+          |  ?d <urn:p:title> ?t . FILTER(lang(?t) = "fr")
+          |  ?c <urn:p:label> ?lbl . FILTER(langMatches(lang(?lbl), "en"))
+          |} ORDER BY ?d ?t ?lbl""".stripMargin,
+        langFrame(s, d))
     },
 
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,

@@ -68,6 +68,15 @@ object SparqlAst {
   final case class FBound(v: V) extends FExpr
   /** REGEX(?v, "pattern") */
   final case class FRegex(t: Term, pattern: String) extends FExpr
+  /** lang(?v) = "tag" (eq) or lang(?v) != "tag"; compiled by pushing the
+    * tag condition into the ONE pattern that binds ?v in object position
+    * (the term model is a string, so the tag lives in the frame's `ol`
+    * column, not in the term) — see SparqlCompiler's lang scaladoc */
+  final case class FLangCmp(v: String, eq: Boolean, value: String) extends FExpr
+  /** langMatches(lang(?v), "range") — RFC 4647 basic filtering: range "*"
+    * matches any nonempty tag; otherwise case-insensitive equality or a
+    * "range-" prefix ("en" matches "en-US") */
+  final case class FLangMatches(v: String, range: String) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr

@@ -66,8 +66,10 @@ object SparqlCompiler {
       maybeNull: Set[String], numeric: Set[String] = Set.empty)
 
   /** Parse + compile in one step. `triples` must have string columns
-    * (s, p, o). ASK compiles to a 0-or-1-row frame with a single `ask`
-    * column (use [[ask]] for the boolean). */
+    * (s, p, o), plus optionally `ol` (the object's language tag, ''/null
+    * when untagged) — required only by lang()/langMatches() filters. ASK
+    * compiles to a 0-or-1-row frame with a single `ask` column (use
+    * [[ask]] for the boolean). */
   def compile(query: String, triples: DataFrame): DataFrame =
     compileAst(SparqlParser.parse(query), triples)
 
@@ -354,8 +356,16 @@ object SparqlCompiler {
       val a = acc.getOrElse(
         unsupported("OPTIONAL cannot be the first pattern of a group"))
       val bound = a.vars.toSet ++ leftVars
-      val (filterElems, core) = og.elems.partition(_.isInstanceOf[GFilter])
-      val fs = filterElems.collect { case GFilter(e) => e }
+      val (filterElems, core0) = og.elems.partition(_.isInstanceOf[GFilter])
+      val split = filterElems.collect { case GFilter(e) =>
+        conjuncts(e).partition(isLangCond)
+      }
+      // lang conjuncts never reference left-side vars usefully (the tag
+      // column exists only at the binding pattern's scan), so they compile
+      // INSIDE the optional group via the group-level pushdown; only
+      // genuine boolean filters join the LeftJoin-condition machinery
+      val core = core0 ++ split.flatMap(_._1).map(GFilter(_))
+      val fs = split.flatMap(s => s._2.reduceOption(FAnd))
       val c0 = compileGroup(Group(core), triples, bound)
       val (pending, local) = fs.partition(e => (fvars(e) -- c0.vars.toSet).exists(bound))
       val c = local.foldLeft(c0)((f, e) =>
@@ -399,9 +409,46 @@ object SparqlCompiler {
       }
     }
 
+    // ---- lang() pushdown: pull top-level lang conjuncts out of this
+    // group's filters and compile each into the ONE plain triple pattern
+    // that binds its variable in object position — the term model is a
+    // string, so the tag lives in the frame's `ol` column, which exists
+    // only at that pattern's scan (and the condition prunes there, right
+    // next to the constant-position PushedFilters)
+    val langBuf = Seq.newBuilder[FExpr]
+    val elems0: Seq[GElem] = g.elems.flatMap {
+      case GFilter(e) =>
+        val (langs, rest) = conjuncts(e).partition(isLangCond)
+        langBuf ++= langs
+        rest.reduceOption(FAnd).map(GFilter(_)).toSeq
+      case other => Seq(other)
+    }
+    val langList = langBuf.result()
+    val langConds: Map[String, Column] =
+      if (langList.isEmpty) Map.empty
+      else {
+        if (!triples.columns.contains("ol"))
+          unsupported("lang()/langMatches() need a triple frame with an `ol` " +
+            "(object language tag) column; this frame has columns " +
+            triples.columns.mkString("(", ", ", ")"))
+        langList.groupBy(e => fvars(e).head).map { case (v, es) =>
+          val objBinds = elems0.count {
+            case GTriple(TP(_, _, V(n))) => n == v
+            case _ => false
+          }
+          val totalBinds = bindingOccurrences(elems0).count(_ == v)
+          if (objBinds != 1 || totalBinds != 1)
+            unsupported(s"lang(?$v): ?$v must be bound by exactly ONE object " +
+              s"position of a plain triple pattern in the same group (found " +
+              s"$objBinds object bindings out of $totalBinds binding " +
+              "occurrences) — the tag column exists only at that scan")
+          v -> es.map(langCondCol).reduce(_ && _)
+        }
+      }
+
     // source order matters for OPTIONAL scoping; runs of adjacent triple
     // patterns form one BGP and are join-ordered greedily within the run
-    val elems = g.elems
+    val elems = elems0
     var idx = 0
     var deferredFilters = List.empty[FExpr]
     var deferredExists = List.empty[(Group, Boolean)]
@@ -411,7 +458,7 @@ object SparqlCompiler {
           val run = elems.drop(idx).takeWhile(_.isInstanceOf[GTriple])
             .collect { case GTriple(tp) => tp }
           idx += run.length
-          val frags = run.map(compilePattern(_, triples))
+          val frags = run.map(compilePattern(_, triples, langConds))
           val (constOnly, withVars) = frags.partition(_.vars.isEmpty)
           gates :::= constOnly.map(_.df).toList
           greedyBgp(withVars).foreach(joinInto(_, "inner"))
@@ -456,7 +503,22 @@ object SparqlCompiler {
         case GSub(sub) =>
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
-          joinInto(compileUnion(branches, triples), "inner"); idx += 1
+          val frags = branches.map(compileGroup(_, triples))
+          // Join(A, Union(B1..Bn)) with branch-ASYMMETRIC variable sets:
+          // a combined union column would carry NULLs into the join keys
+          // (SQL null never matches; SPARQL unbound matches anything), so
+          // distribute the join over the branches instead — SPARQL join
+          // distributes over union EXACTLY, and each per-branch join stays
+          // an equality hash join on the vars that branch really binds
+          val distribute = acc match {
+            case Some(a) if frags.length > 1 =>
+              val sh = a.vars.filter(v => frags.exists(_.vars.contains(v)))
+              sh.nonEmpty && !sh.forall(v => frags.forall(_.vars.contains(v)))
+            case _ => false
+          }
+          if (distribute) acc = Some(joinUnionDistributed(acc.get, frags))
+          else joinInto(unionFrags(frags), "inner")
+          idx += 1
         case GValues(vvars, rows) =>
           joinInto(compileValues(vvars, rows, triples), "inner"); idx += 1
         case GExists(eg, pos) =>
@@ -573,9 +635,37 @@ object SparqlCompiler {
     case FCmp(_, l, r) => tvars(l) ++ tvars(r)
     case FBound(v) => Set(v.name)
     case FRegex(t, _) => tvars(t)
+    case FLangCmp(v, _, _) => Set(v)
+    case FLangMatches(v, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
     case FOr(a, b) => fvars(a) ++ fvars(b)
     case FNot(a) => fvars(a)
+  }
+
+  /** flatten a FILTER expression's top-level conjunction */
+  private def conjuncts(e: FExpr): Seq[FExpr] = e match {
+    case FAnd(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def isLangCond(e: FExpr): Boolean = e match {
+    case _: FLangCmp | _: FLangMatches => true
+    case _ => false
+  }
+
+  /** the `ol`-column condition for one lang conjunct */
+  private def langCondCol(e: FExpr): Column = {
+    val tag = coalesce(col("ol"), lit("")) // untagged terms have lang ""
+    e match {
+      case FLangCmp(_, eq, value) => if (eq) tag === value else tag =!= value
+      case FLangMatches(_, "*") => tag =!= ""
+      // RFC 4647 basic filtering: case-insensitive exact, or "range-" prefix
+      case FLangMatches(_, range) =>
+        val lt = lower(tag)
+        val lr = range.toLowerCase
+        lt === lr || lt.startsWith(lr + "-")
+      case other => unsupported(s"not a lang condition: $other")
+    }
   }
 
   private def tvars(t: Term): Set[String] = t match {
@@ -659,8 +749,71 @@ object SparqlCompiler {
     Frag(df, vars, undefVars)
   }
 
-  private def compileUnion(branches: Seq[Group], triples: DataFrame): Frag = {
-    val frags = branches.map(compileGroup(_, triples))
+  private def compileUnion(branches: Seq[Group], triples: DataFrame): Frag =
+    unionFrags(branches.map(compileGroup(_, triples)))
+
+  /** Join(A, Union(B1..Bn)) = Union(Join(A,B1), ..., Join(A,Bn)) — SPARQL
+    * join distributes over union, and the distributed form is the only
+    * SQL-exact compilation when the branches bind DIFFERENT variable sets
+    * (the reference's own SparqlSelectTest.java:19 query is this shape:
+    * an outer triple joined to a UNION whose branches bind ?symptom vs
+    * ?disease). Each per-branch join is an equality hash join on the vars
+    * that branch REALLY binds; missing output vars null-fill per branch
+    * AFTER its join, so no null ever serves as a key. n bounded branches =
+    * n hash joins — same shuffle keys a hand-written UNION ALL of joins
+    * would use. */
+  private def joinUnionDistributed(a: Frag, frags: Seq[Frag]): Frag = {
+    val branchVars = frags.flatMap(_.vars).distinct
+    val outVars = a.vars ++ branchVars.filterNot(a.vars.contains)
+    val numeric = outVars.filter { v =>
+      val st = (frags.filter(_.vars.contains(v)).map(_.numeric(v)) ++
+        (if (a.vars.contains(v)) Seq(a.numeric(v)) else Nil)).distinct
+      if (st.length > 1)
+        unsupported(s"?$v is aggregate-valued on one side of the union join " +
+          "and a string term on another: the union would silently coerce")
+      st.headOption.contains(true)
+    }.toSet
+    val joined = frags.map { f =>
+      val shared = a.vars.filter(f.vars.contains)
+      if (shared.isEmpty)
+        unsupported(s"UNION branch {${f.vars.mkString(",")}} shares no " +
+          s"variable with the bound set {${a.vars.mkString(",")}}: refusing " +
+          "the cross product")
+      (shared.filter(a.maybeNull) ++ shared.filter(f.maybeNull)).foreach { v =>
+        unsupported(s"?$v is only optionally bound and used as a join key: " +
+          "SPARQL unbound-compatibility differs from SQL null-join semantics")
+      }
+      checkNumericAligned(a, f, shared)
+      val present = (a.vars ++ f.vars).toSet
+      a.df.join(f.df, shared, "inner").select(outVars.map(v =>
+        if (present(v)) col(v)
+        else lit(null).cast(if (numeric(v)) "bigint" else "string").as(v)): _*)
+    }
+    val maybeNull: Set[String] =
+      a.maybeNull ++ frags.flatMap(_.maybeNull) ++
+        outVars.filter(v => !a.vars.contains(v) && !frags.forall(_.vars.contains(v)))
+    Frag(joined.reduce(_ unionAll _), outVars, maybeNull, numeric)
+  }
+
+  /** Syntactic BINDING occurrences of variables in a group's elements —
+    * every position that can bind (pattern positions, path endpoints, BIND
+    * targets, VALUES vars, sub-select projections), recursively; filter
+    * references and EXISTS/MINUS probes do not bind. Used by the lang()
+    * pushdown to prove its variable has exactly one binding site. */
+  private def bindingOccurrences(elems: Seq[GElem]): Seq[String] = elems.flatMap {
+    case GTriple(TP(s, p, o)) => Seq(s, p, o).collect { case V(n) => n }
+    case GPath(s, _, o) => Seq(s, o).collect { case V(n) => n }
+    case GBind(_, name) => Seq(name)
+    case GValues(vars, _) => vars
+    case GSub(sub) =>
+      if (sub.projs.nonEmpty) sub.projs.map(_.name)
+      else bindingOccurrences(sub.where.elems)
+    case GUnion(branches) => branches.flatMap(b => bindingOccurrences(b.elems))
+    case GOptional(og) => bindingOccurrences(og.elems)
+    case _: GFilter | _: GExists | _: GMinus => Seq.empty
+  }
+
+  private def unionFrags(frags: Seq[Frag]): Frag = {
     if (frags.length == 1) return frags.head // plain nested group
     val allVars = frags.flatMap(_.vars).distinct
     // a var aggregate-valued in one branch and a string term in another
@@ -685,12 +838,20 @@ object SparqlCompiler {
 
   // ---- triple patterns ---------------------------------------------------------
 
-  private def compilePattern(tp: TP, triples: DataFrame): Frag = {
+  private def compilePattern(tp: TP, triples: DataFrame,
+      langConds: Map[String, Column] = Map.empty): Frag = {
     val pos: Seq[(String, Term)] = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     var df = triples
     pos.foreach {
       case (c, I(u)) => df = df.filter(col(c) === u)
       case (c, L(v)) => df = df.filter(col(c) === v)
+      case _ => ()
+    }
+    // a lang condition on the object var filters on the frame's `ol`
+    // column HERE — before projection drops it (so it prunes at the scan,
+    // right next to the constant-position PushedFilters)
+    tp.o match {
+      case V(n) => langConds.get(n).foreach(c => df = df.filter(c))
       case _ => ()
     }
     val varPos = pos.collect { case (c, V(n)) => (c, n) }
@@ -836,6 +997,16 @@ object SparqlCompiler {
         }
       case FBound(V(n)) => resolve(n).map(_.isNotNull).getOrElse(lit(false))
       case FRegex(t, pat) => term(t).rlike(pat)
+      case FLangCmp(v, _, _) =>
+        unsupported(s"lang(?$v) is only supported as a top-level FILTER " +
+          "conjunct over a variable bound in exactly one object position of " +
+          "the same group (the tag lives in the frame's `ol` column, not in " +
+          "the string term, so it cannot ride into ||/! expressions or " +
+          "lifted join conditions)")
+      case FLangMatches(v, _) =>
+        unsupported(s"langMatches(lang(?$v), ...) is only supported as a " +
+          "top-level FILTER conjunct over a variable bound in exactly one " +
+          "object position of the same group")
       case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
       case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
       case FNot(a) =>

@@ -497,6 +497,15 @@ object SparqlParser {
         } else {
           elems += GFilter(parseFilterExpr(p))
         }
+      } else if (p.isName("SERVICE")) {
+        fail("SPARQL federation (SERVICE) is not compiled: there is no " +
+          "remote endpoint in a Spark-local graph — drop the clause (label " +
+          "SERVICEs are usually decorative) or materialize the remote graph " +
+          "as a source table and query it directly", p.peek.pos)
+      } else if (p.isName("GRAPH")) {
+        fail("named graphs (GRAPH) are not compiled: the triple frame is a " +
+          "single default graph — add a graph column to the source and " +
+          "filter it instead", p.peek.pos)
       } else if (p.isName("VALUES")) {
         p.next()
         elems += parseValues(p)
@@ -755,6 +764,36 @@ object SparqlParser {
     else parsePrimary(p)
 
   private def parsePrimary(p: P): FExpr = {
+    if (p.isName("LANG")) {
+      val v = parseLangOf(p)
+      val opPos = p.peek.pos
+      val eq = p.peek match {
+        case TPunct("=", _) => p.next(); true
+        case TPunct("!=", _) => p.next(); false
+        case _ => fail("lang() supports = and != against a string literal " +
+          "(ordering over language tags has no meaning)", opPos)
+      }
+      val tag = p.next() match {
+        case TLit(t, _) => t
+        case other => fail(s"lang() compares to a string literal, got ${describe(other)}",
+          other.pos)
+      }
+      return FLangCmp(v, eq, tag)
+    }
+    if (p.isName("LANGMATCHES")) {
+      p.next(); p.eatPunct("(")
+      if (!p.isName("LANG"))
+        fail("langMatches() is supported as langMatches(lang(?v), \"range\")", p.peek.pos)
+      val v = parseLangOf(p)
+      p.eatPunct(",")
+      val range = p.next() match {
+        case TLit(t, _) => t
+        case other => fail(s"langMatches() range must be a string literal, got " +
+          describe(other), other.pos)
+      }
+      p.eatPunct(")")
+      return FLangMatches(v, range)
+    }
     if (p.isName("BOUND")) {
       p.next(); p.eatPunct("(")
       val v = p.next() match {
@@ -805,6 +844,17 @@ object SparqlParser {
           "numeric semantics)", opPos)
       FCmp(op, l, r)
     }
+  }
+
+  /** LANG '(' ?v ')' — the LANG keyword not yet consumed. */
+  private def parseLangOf(p: P): String = {
+    p.eatName("LANG"); p.eatPunct("(")
+    val v = p.next() match {
+      case TVar(x, _) => x
+      case other => fail(s"lang() takes a variable, got ${describe(other)}", other.pos)
+    }
+    p.eatPunct(")")
+    v
   }
 
   private def parseOperand(p: P): Term = parseOperandN(p)._1

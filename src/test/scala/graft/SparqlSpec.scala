@@ -997,6 +997,181 @@ class SparqlSpec extends AnyFunSuite {
       .contains("optionally bound"))
   }
 
+  // ---------------------------------------------------------------------------
+  // 5. union-join distribution, lang()/langMatches(), and the reference's
+  //    OWN test queries (SparqlSelectTest.java:19, SparqlConstructTest.java:17)
+  // ---------------------------------------------------------------------------
+
+  private def toDf4(ts: Seq[(String, String, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ts.toDF("s", "p", "o", "ol")
+  }
+
+  test("differential: join-over-union distributes when branches bind different vars") {
+    for (seed <- 1 to 3; n <- Seq(6, 20)) {
+      val ts = randomTriples(seed, n)
+      // branch-asymmetric shared vars: {b} vs {a} — refused before, exact now
+      diffSelect(
+        """SELECT ?a ?b ?n WHERE { ?a <urn:p:knows> ?b .
+          |  { ?b <urn:p:name> ?n } UNION { ?a <urn:p:name> ?n } }""".stripMargin, ts)
+      // disjoint fresh vars: ?n null-fills in branch-2 rows, ?m in branch-1
+      diffSelect(
+        """SELECT ?a ?n ?m WHERE { ?a <urn:p:knows> ?b .
+          |  { ?a <urn:p:name> ?n } UNION { ?b <urn:p:name> ?m } }""".stripMargin, ts)
+      // three branches, one rebinding both outer vars (bag semantics)
+      diffSelect(
+        """SELECT ?a ?b ?n WHERE { ?a <urn:p:knows> ?b .
+          |  { ?b <urn:p:name> ?n } UNION { ?a <urn:p:name> ?n }
+          |  UNION { ?a <urn:p:knows> ?b . ?b <urn:p:name> ?n } }""".stripMargin, ts)
+    }
+    // symmetric branches keep the single-join path (plan sanity: compiles, runs)
+    diffSelect(
+      """SELECT DISTINCT ?a ?n WHERE { ?a <urn:p:knows> ?b .
+        |  { ?a <urn:p:name> ?n } UNION { ?a <urn:p:name> ?n } }""".stripMargin,
+      randomTriples(9, 20))
+  }
+
+  test("union-join distribution stays hash joins; a no-shared branch is refused") {
+    val ts = randomTriples(2, 20)
+    val df = SparqlCompiler.compile(
+      """SELECT ?a ?n WHERE { ?a <urn:p:knows> ?b .
+        |  { ?b <urn:p:name> ?n } UNION { ?a <urn:p:name> ?n } }""".stripMargin, toDf(ts))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"distributed union join must stay hash joins:\n$plan")
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a WHERE { ?a <urn:p:knows> ?b .
+        |  { ?b <urn:p:name> ?n } UNION { ?x <urn:p:name> ?n } }""".stripMargin,
+      toDf(ts)).collect()).getMessage
+    assert(msg.contains("cross product"))
+  }
+
+  test("the reference's own CONSTRUCT test query compiles and round-trips verbatim") {
+    // SparqlConstructTest.java:17 — the identity CONSTRUCT
+    val q = "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"
+    val ts = randomTriples(5, 12)
+    val got = rows(SparqlCompiler.compile(q, toDf(ts))).map(_.flatten)
+    assert(got.map(r => (r(0), r(1), r(2))).toSet == ts.toSet,
+      "CONSTRUCT {?s ?p ?o} WHERE {?s ?p ?o} must reproduce the graph as a set")
+  }
+
+  // SparqlSelectTest.java:19 verbatim (Java string unescaped): the wikidata
+  // disease/symptom query — 30 PREFIX decls, (?x as ?y) projections, a
+  // branch-asymmetric UNION, lang()= and langMatches() filters, constant
+  // BINDs, and a SERVICE clause.
+  private val refSelectPrefixes =
+    """PREFIX bd: <http://www.bigdata.com/rdf#> PREFIX cc: <http://creativecommons.org/ns#> PREFIX dct: <http://purl.org/dc/terms/> PREFIX geo: <http://www.opengis.net/ont/geosparql#> PREFIX ontolex: <http://www.w3.org/ns/lemon/ontolex#> PREFIX owl: <http://www.w3.org/2002/07/owl#> PREFIX p: <http://www.wikidata.org/prop/> PREFIX pq: <http://www.wikidata.org/prop/qualifier/> PREFIX pqn: <http://www.wikidata.org/prop/qualifier/value-normalized/> PREFIX pqv: <http://www.wikidata.org/prop/qualifier/value/> PREFIX pr: <http://www.wikidata.org/prop/reference/> PREFIX prn: <http://www.wikidata.org/prop/reference/value-normalized/> PREFIX prov: <http://www.w3.org/ns/prov#> PREFIX prv: <http://www.wikidata.org/prop/reference/value/> PREFIX ps: <http://www.wikidata.org/prop/statement/> PREFIX psn: <http://www.wikidata.org/prop/statement/value-normalized/> PREFIX psv: <http://www.wikidata.org/prop/statement/value/> PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> PREFIX schema: <http://schema.org/> PREFIX skos: <http://www.w3.org/2004/02/skos/core#> PREFIX wd: <http://www.wikidata.org/entity/> PREFIX wdata: <http://www.wikidata.org/wiki/Special:EntityData/> PREFIX wdno: <http://www.wikidata.org/prop/novalue/> PREFIX wdref: <http://www.wikidata.org/reference/> PREFIX wds: <http://www.wikidata.org/entity/statement/> PREFIX wdt: <http://www.wikidata.org/prop/direct/> PREFIX wdtn: <http://www.wikidata.org/prop/direct-normalized/> PREFIX wdv: <http://www.wikidata.org/value/> PREFIX wikibase: <http://wikiba.se/ontology#> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> """
+
+  private val refSelectService =
+    """SERVICE wikibase:label { bd:serviceParam wikibase:language "en". }       """
+
+  private val refSelectBody =
+    """SELECT       distinct (?disease as ?s) ?p (?symptom_label as ?o) WHERE {       ?disease wdt:P780 ?symptom .        {       ?symptom rdfs:label ?symptom_label . FILTER(lang(?symptom_label) = "en")       """ +
+      refSelectService +
+      """Bind( wdt:P780 as ?p)       } Union{         ?disease rdfs:label ?symptom_label .         FILTER (langMatches( lang(?symptom_label), "EN" ) )         Bind(  rdfs:label as ?p)       } }"""
+
+  test("the reference's own SELECT test query: SERVICE refused loudly, runs without it") {
+    val verbatim = refSelectPrefixes + refSelectBody
+    val msg = intercept[SparqlParseException](SparqlParser.parse(verbatim)).getMessage
+    assert(msg.contains("SERVICE") && msg.contains("federation"),
+      s"SERVICE must refuse with a federation message, got: $msg")
+
+    // drop ONLY the SERVICE clause (the reference uses it decoratively for
+    // labels); everything else — the asymmetric UNION, both lang filters,
+    // the constant BINDs, the aliased projections — compiles and runs
+    val runnable = refSelectPrefixes + refSelectBody.replace(refSelectService, "")
+    val wd = "http://www.wikidata.org/entity/"
+    val wdt = "http://www.wikidata.org/prop/direct/"
+    val rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    val g = Seq(
+      (wd + "Q1", wdt + "P780", wd + "Q2", ""),
+      (wd + "Q3", wdt + "P780", wd + "Q2", ""),
+      (wd + "Q2", rdfs + "label", "fever", "en"),
+      (wd + "Q2", rdfs + "label", "Fieber", "de"),   // lang()="en" excludes
+      (wd + "Q1", rdfs + "label", "flu", "en-US"),   // langMatches("EN") matches
+      (wd + "Q3", rdfs + "label", "rýma", "cs"))     // langMatches("EN") excludes
+    val got = rows(SparqlCompiler.compile(runnable, toDf4(g))).map(_.flatten).toSet
+    assert(got == Set(
+      Seq(wd + "Q1", wdt + "P780", "fever"),
+      Seq(wd + "Q3", wdt + "P780", "fever"),
+      Seq(wd + "Q1", rdfs + "label", "flu")))
+  }
+
+  test("lang()/langMatches(): tag semantics over the ol column") {
+    val g = Seq(
+      ("urn:a", "urn:p:label", "hello", "en"),
+      ("urn:a", "urn:p:label", "hallo", "de"),
+      ("urn:a", "urn:p:label", "howdy", "en-US"),
+      ("urn:a", "urn:p:label", "plain", ""),
+      ("urn:b", "urn:p:label", "salut", "fr"))
+    def run(filter: String): Set[String] =
+      rows(SparqlCompiler.compile(
+        s"SELECT ?l WHERE { ?s <urn:p:label> ?l . FILTER($filter) }", toDf4(g)))
+        .flatMap(_.flatten).toSet
+    assert(run("lang(?l) = \"en\"") == Set("hello"))
+    assert(run("lang(?l) != \"en\"") == Set("hallo", "howdy", "plain", "salut"))
+    assert(run("lang(?l) = \"\"") == Set("plain"))
+    assert(run("langMatches(lang(?l), \"en\")") == Set("hello", "howdy"),
+      "RFC 4647 basic filtering: 'en' matches 'en' and 'en-US'")
+    assert(run("langMatches(lang(?l), \"EN\")") == Set("hello", "howdy"),
+      "ranges are case-insensitive")
+    assert(run("langMatches(lang(?l), \"*\")") == Set("hello", "hallo", "howdy", "salut"),
+      "'*' matches any nonempty tag")
+    // conjunction with an ordinary filter in the same FILTER()
+    assert(run("lang(?l) = \"en-US\" && ?l != \"nope\"") == Set("howdy"))
+    // inside OPTIONAL: the tag condition prunes the optional side's scan
+    val opt = rows(SparqlCompiler.compile(
+      """SELECT ?s ?l WHERE { ?s <urn:p:label> "plain" .
+        |  OPTIONAL { ?s <urn:p:label> ?l . FILTER(langMatches(lang(?l), "en")) } }""".stripMargin,
+      toDf4(g))).map(_.flatten).toSet
+    assert(opt == Set(Seq("urn:a", "hello"), Seq("urn:a", "howdy")))
+    // a null ol is the same as '' (untagged)
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(("urn:x", "urn:p:label", "bare", null: String))
+      .toDF("s", "p", "o", "ol")
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?l WHERE { ?s <urn:p:label> ?l . FILTER(lang(?l) = \"\") }", withNull))
+      .flatMap(_.flatten) == Seq("bare"))
+  }
+
+  test("lang(): scope and frame refusals") {
+    val g4 = Seq(("urn:a", "urn:p", "x", "en"))
+    def refuse(q: String, df: DataFrame): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(q, df).collect()).getMessage
+    // frame without the tag column
+    assert(refuse("SELECT ?l WHERE { ?s <urn:p> ?l . FILTER(lang(?l) = \"en\") }",
+      toDf(Seq(("urn:a", "urn:p", "x")))).contains("ol"))
+    // not a top-level conjunct (inside ||)
+    assert(refuse(
+      "SELECT ?l WHERE { ?s <urn:p> ?l . FILTER(lang(?l) = \"en\" || ?l = \"x\") }",
+      toDf4(g4)).contains("top-level FILTER conjunct"))
+    // variable bound in subject position, not object
+    assert(refuse("SELECT ?s WHERE { ?s <urn:p> \"x\" . FILTER(lang(?s) = \"en\") }",
+      toDf4(g4)).contains("object position"))
+    // variable bound twice (two object positions)
+    assert(refuse(
+      """SELECT ?l WHERE { ?s <urn:p> ?l . ?s <urn:q> ?l .
+        |  FILTER(lang(?l) = "en") }""".stripMargin, toDf4(g4))
+      .contains("exactly ONE object position"))
+    // enclosing-scope reference from inside OPTIONAL (binding is outside)
+    assert(refuse(
+      """SELECT ?l WHERE { ?s <urn:p> ?l .
+        |  OPTIONAL { ?s <urn:q> ?z . FILTER(lang(?l) = "en") } }""".stripMargin,
+      toDf4(g4)).contains("object position"))
+    // parse-time: ordering over tags, non-literal range
+    def badParse(q: String): String =
+      intercept[SparqlParseException](SparqlParser.parse(q)).getMessage
+    assert(badParse("SELECT ?l WHERE { ?s <urn:p> ?l . FILTER(lang(?l) < \"en\") }")
+      .contains("= and !="))
+    assert(badParse("SELECT ?l WHERE { ?s <urn:p> ?l . FILTER(langMatches(?l, \"en\")) }")
+      .contains("langMatches"))
+    // GRAPH refusal (same family as SERVICE)
+    assert(badParse("SELECT ?l WHERE { GRAPH <urn:g> { ?s <urn:p> ?l } }")
+      .contains("named graphs"))
+  }
+
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
     // triple frame over real parquet (the registered fixture); the gate
     // pattern matches a token-derived triple, so its scan cannot be folded
