@@ -453,6 +453,24 @@ object SparqlQueries {
         langFrame(s, d))
     },
 
+    // ---- string builtins: STRSTARTS/CONTAINS/STRLEN compose freely in
+    // the boolean tree (plain codegen'd columns), UCASE rides BIND — all
+    // stay inside the scan's WholeStageCodegen span.
+    "sparql_str_builtins" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT s, o, upper(o) AS u FROM tr
+         |WHERE p = 'urn:p:op'
+         |  AND (starts_with(o, 'j') OR contains(o, 'ue')) AND length(o) >= 4
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o ?u WHERE {
+          |  ?s <urn:p:op> ?o .
+          |  FILTER((STRSTARTS(?o, "j") || CONTAINS(?o, "ue")) && STRLEN(?o) >= 4)
+          |  BIND(UCASE(?o) AS ?u)
+          |} ORDER BY ?s ?o ?u""".stripMargin,
+        tripleFrame(s, d))
+    },
+
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
     // Harvester.java:1529-1540): all triples of every class-1 document.
     // The subject set semi-joins the triple frame — no duplication, and

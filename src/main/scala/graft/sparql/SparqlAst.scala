@@ -68,6 +68,13 @@ object SparqlAst {
   final case class FBound(v: V) extends FExpr
   /** REGEX(?v, "pattern") */
   final case class FRegex(t: Term, pattern: String) extends FExpr
+  /** STRSTARTS / STRENDS / CONTAINS(term, "literal") — boolean string
+    * builtins over the lexical form; fully composable (plain columns,
+    * unlike lang()) */
+  final case class FStrFn(fn: String, t: Term, arg: String) extends FExpr
+  /** STRLEN(?v) op integer — lengths are genuine numbers in both engines
+    * (codepoint counts), so numeric ordering is exact here */
+  final case class FStrLenCmp(v: String, op: String, n: Long) extends FExpr
   /** lang(?v) = "tag" (eq) or lang(?v) != "tag"; compiled by pushing the
     * tag condition into the ONE pattern that binds ?v in object position
     * (the term model is a string, so the tag lives in the frame's `ol`
@@ -122,6 +129,8 @@ object SparqlAst {
   final case class BVar(name: String) extends BExpr
   final case class BConst(value: String) extends BExpr
   final case class BConcat(parts: Seq[BExpr]) extends BExpr
+  /** UCASE / LCASE wrapper (ASCII-stable case mapping on both engines) */
+  final case class BCase(upper: Boolean, e: BExpr) extends BExpr
 
   // ---- projections ----------------------------------------------------------
 

@@ -635,6 +635,8 @@ object SparqlCompiler {
     case FCmp(_, l, r) => tvars(l) ++ tvars(r)
     case FBound(v) => Set(v.name)
     case FRegex(t, _) => tvars(t)
+    case FStrFn(_, t, _) => tvars(t)
+    case FStrLenCmp(v, _, _) => Set(v)
     case FLangCmp(v, _, _) => Set(v)
     case FLangMatches(v, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
@@ -677,6 +679,7 @@ object SparqlCompiler {
     case BVar(n) => Set(n)
     case BConst(_) => Set.empty
     case BConcat(parts) => parts.flatMap(bvars).toSet
+    case BCase(_, inner) => bvars(inner)
   }
 
   /** String-vs-aggregate join keys would silently coerce (Spark widens a
@@ -695,6 +698,9 @@ object SparqlCompiler {
     case BVar(n) => resolve(n).getOrElse(lit(null).cast("string"))
     case BConst(v) => lit(v)
     case BConcat(parts) => concat(parts.map(compileBind(_, resolve)): _*)
+    case BCase(up, inner) =>
+      val c = compileBind(inner, resolve)
+      if (up) upper(c) else lower(c)
   }
 
   /** Fold every-gate-and-no-triples case safely and join var-bearing
@@ -997,6 +1003,21 @@ object SparqlCompiler {
         }
       case FBound(V(n)) => resolve(n).map(_.isNotNull).getOrElse(lit(false))
       case FRegex(t, pat) => term(t).rlike(pat)
+      case FStrFn("STRSTARTS", t, arg) => term(t).startsWith(arg)
+      case FStrFn("STRENDS", t, arg) => term(t).endsWith(arg)
+      case FStrFn("CONTAINS", t, arg) => term(t).contains(arg)
+      case FStrFn(fn, _, _) => unsupported(s"unknown string builtin $fn")
+      case FStrLenCmp(v, op, n) =>
+        val l = length(resolve(v).getOrElse(lit(null).cast("string")))
+        val r = lit(n)
+        op match {
+          case "=" => l === r
+          case "!=" => l =!= r
+          case "<" => l < r
+          case "<=" => l <= r
+          case ">" => l > r
+          case ">=" => l >= r
+        }
       case FLangCmp(v, _, _) =>
         unsupported(s"lang(?$v) is only supported as a top-level FILTER " +
           "conjunct over a variable bound in exactly one object position of " +

@@ -725,6 +725,10 @@ object SparqlParser {
       while (p.isPunct(",")) { p.next(); parts += parseBindExpr(p) }
       p.eatPunct(")")
       BConcat(parts.result())
+    case TName(f, _) if f.equalsIgnoreCase("UCASE") || f.equalsIgnoreCase("LCASE") =>
+      val upper = f.equalsIgnoreCase("UCASE")
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(")")
+      BCase(upper, e)
     case TName(v, pos) => p.next(); BConst(p.expand(v, pos))
     case other => fail(s"unsupported BIND expression ${describe(other)}", other.pos)
   }
@@ -802,6 +806,42 @@ object SparqlParser {
       }
       p.eatPunct(")")
       return FBound(v)
+    }
+    val strFns = Seq("STRSTARTS", "STRENDS", "CONTAINS")
+    strFns.find(p.isName) match {
+      case Some(fn) =>
+        p.next(); p.eatPunct("(")
+        val t = parseOperand(p)
+        p.eatPunct(",")
+        val arg = p.next() match {
+          case TLit(v, _) => v
+          case other => fail(s"$fn() takes a string literal argument, got " +
+            describe(other), other.pos)
+        }
+        p.eatPunct(")")
+        return FStrFn(fn, t, arg)
+      case None => ()
+    }
+    if (p.isName("STRLEN")) {
+      p.next(); p.eatPunct("(")
+      val v = p.next() match {
+        case TVar(x, _) => x
+        case other => fail(s"STRLEN() takes a variable, got ${describe(other)}", other.pos)
+      }
+      p.eatPunct(")")
+      val op = p.peek match {
+        case TPunct(o, _) if Set("=", "!=", "<", "<=", ">", ">=")(o) => p.next(); o
+        case other => fail(s"expected comparison after STRLEN(), got ${describe(other)}",
+          other.pos)
+      }
+      val n = p.next() match {
+        case TNum(x, pos) =>
+          if (x.contains(".")) fail("STRLEN compares to an integer", pos)
+          x.toLong
+        case other => fail(s"STRLEN compares to an integer, got ${describe(other)}",
+          other.pos)
+      }
+      return FStrLenCmp(v, op, n)
     }
     if (p.isName("REGEX")) {
       p.next(); p.eatPunct("(")

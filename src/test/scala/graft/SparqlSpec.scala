@@ -113,6 +113,17 @@ class SparqlSpec extends AnyFunSuite {
 
   /** three-valued filter eval: None = SPARQL type error (unbound var) */
   private def evalF(e: FExpr, m: B): Option[Boolean] = e match {
+    case FStrFn("STRSTARTS", t, a) => term(t, m).map(_.startsWith(a))
+    case FStrFn("STRENDS", t, a) => term(t, m).map(_.endsWith(a))
+    case FStrFn("CONTAINS", t, a) => term(t, m).map(_.contains(a))
+    case FStrLenCmp(v, op, n) => m.get(v).map { s =>
+      val l = s.codePointCount(0, s.length).toLong
+      op match {
+        case "=" => l == n; case "!=" => l != n
+        case "<" => l < n; case "<=" => l <= n
+        case ">" => l > n; case ">=" => l >= n
+      }
+    }
     case FIn(t, vals) => term(t, m).map(v => vals.flatMap(x => term(x, m)).contains(v))
     case FCmp(op, l, r) =>
       for (a <- term(l, m); b <- term(r, m)) yield op match {
@@ -251,6 +262,8 @@ class SparqlSpec extends AnyFunSuite {
     case BConcat(parts) =>
       val vs = parts.map(evalB(_, m))
       if (vs.forall(_.isDefined)) Some(vs.flatten.mkString) else None
+    case BCase(up, inner) =>
+      evalB(inner, m).map(s => if (up) s.toUpperCase else s.toLowerCase)
   }
 
   /** aggregate over a group's solutions; None = unbound result (MIN/MAX/
@@ -1134,6 +1147,33 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(SparqlCompiler.compile(
       "SELECT ?l WHERE { ?s <urn:p:label> ?l . FILTER(lang(?l) = \"\") }", withNull))
       .flatMap(_.flatten) == Seq("bare"))
+  }
+
+  test("differential: string builtins (STRSTARTS/STRENDS/CONTAINS/STRLEN, UCASE/LCASE)") {
+    for (seed <- 1 to 3) {
+      val ts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?n WHERE { ?a <urn:p:name> ?n .
+          |  FILTER(STRSTARTS(?n, "a") || STRENDS(?n, "b") || CONTAINS(?n, "at")) }""".stripMargin,
+        ts)
+      // composable with negation and comparisons, unlike lang()
+      diffSelect(
+        """SELECT ?a ?n WHERE { ?a <urn:p:name> ?n .
+          |  FILTER(!CONTAINS(?n, "a") && STRLEN(?n) >= 3) }""".stripMargin, ts)
+      diffSelect(
+        """SELECT ?a ?u WHERE { ?a <urn:p:name> ?n .
+          |  BIND(UCASE(?n) AS ?u) . FILTER(STRSTARTS(?u, "A")) }""".stripMargin, ts)
+      diffSelect(
+        """SELECT ?a ?t WHERE { ?a <urn:p:name> ?n .
+          |  BIND(CONCAT(LCASE(?n), "-x") AS ?t) }""".stripMargin, ts)
+    }
+    // parse-time rejects: non-literal args, STRLEN vs non-integer
+    def badParse(q: String): String =
+      intercept[SparqlParseException](SparqlParser.parse(q)).getMessage
+    assert(badParse("SELECT ?n WHERE { ?s <urn:p> ?n . FILTER(CONTAINS(?n, ?m)) }")
+      .contains("string literal"))
+    assert(badParse("SELECT ?n WHERE { ?s <urn:p> ?n . FILTER(STRLEN(?n) > \"x\") }")
+      .contains("integer"))
   }
 
   test("lang(): scope and frame refusals") {
