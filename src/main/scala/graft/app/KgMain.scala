@@ -212,7 +212,15 @@ object KgMain {
         "query mode needs a .rq file, GRAFT_SPARQL, or query[] in GRAFT_CONFIG_JSON")
       val edges = pipeline.edgeTable.read(spark).getOrElse(
         sys.error(s"no published edges table under $workDir — run full/sync first"))
-      val tr = edges.select(col("subj").as("s"), col("pred").as("p"), col("obj").as("o"))
+      // `ol` exposes the edge's language stamp so lang()/langMatches()
+      // filters work over the published graph. The stamp is the source
+      // turn's language (config `language`, or detected under
+      // detectLanguage) on EVERY edge — the reference's addLanguage
+      // semantics exactly (ESNormalizer attaches `language` to the whole
+      // document, not per-literal), so lang(?o) over a resource object
+      // answers the turn's language, not RDF's no-tag-on-IRIs rule.
+      val tr = edges.select(col("subj").as("s"), col("pred").as("p"),
+        col("obj").as("o"), col("lang").as("ol"))
       queryTexts.zipWithIndex.foreach { case (q, i) =>
         val out = graft.sparql.SparqlCompiler.compile(q, tr)
         val outDir = s"$workDir/query_out/q$i"

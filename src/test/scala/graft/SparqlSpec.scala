@@ -769,10 +769,24 @@ class SparqlSpec extends AnyFunSuite {
     // ...and run it over the published edge table viewed as (s, p, o)
     import org.apache.spark.sql.functions.col
     val edges = p.edgeTable.read(s).get
-    val tr = edges.select(col("subj").as("s"), col("pred").as("p"), col("obj").as("o"))
+    // same (s, p, o, ol) view KgMain's query mode builds: the edge's
+    // language stamp rides `ol` so lang filters work on the published KG
+    val tr = edges.select(col("subj").as("s"), col("pred").as("p"),
+      col("obj").as("o"), col("lang").as("ol"))
     val out = rows(SparqlCompiler.compile(cfg.queries.head, tr))
     assert(out.nonEmpty && out.size <= 5 && out.forall(_.size == 2))
     assert(out == out.sorted(Ordering.by((r: Seq[Option[String]]) => r.flatten.mkString("|"))))
+    // lang() runs against the REAL published graph: every edge is stamped
+    // with the pipeline's configured language ("en" default), so an "en"
+    // range keeps everything and a "cs" one keeps nothing
+    def langCount(range: String): Long = SparqlCompiler.compile(
+      s"""SELECT ?s ?o WHERE { ?s <urn:p:mentions> ?o .
+         |  FILTER(langMatches(lang(?o), "$range")) }""".stripMargin, tr).count()
+    val allMentions = SparqlCompiler.compile(
+      "SELECT ?s ?o WHERE { ?s <urn:p:mentions> ?o }", tr).count()
+    assert(allMentions > 0)
+    assert(langCount("en") == allMentions, "every edge is stamped en")
+    assert(langCount("cs") == 0L)
   }
 
   // ---------------------------------------------------------------------------
