@@ -655,15 +655,25 @@ object SparqlCompiler {
     case _ => false
   }
 
-  /** the `ol`-column condition for one lang conjunct */
+  /** The `ol`-column condition for one lang conjunct. A null `ol` means
+    * untagged (lang ""), same as ''. The null handling is spelled as
+    * isNull/isNotNull DISJUNCTS of bare-column predicates instead of a
+    * coalesce() wrapper, because only attribute-vs-literal shapes convert
+    * to data-source filters — lang(?x) = "fr" must land in the parquet
+    * scan's PushedFilters (plan-locked), not evaluate as a post-scan
+    * residual. langMatches' case-insensitive compare is inherently
+    * non-convertible and stays a residual. */
   private def langCondCol(e: FExpr): Column = {
-    val tag = coalesce(col("ol"), lit("")) // untagged terms have lang ""
+    val ol = col("ol")
     e match {
-      case FLangCmp(_, eq, value) => if (eq) tag === value else tag =!= value
-      case FLangMatches(_, "*") => tag =!= ""
+      case FLangCmp(_, true, "") => ol.isNull || ol === ""
+      case FLangCmp(_, true, value) => ol === value
+      case FLangCmp(_, false, "") => ol.isNotNull && ol =!= ""
+      case FLangCmp(_, false, value) => ol.isNull || ol =!= value
+      case FLangMatches(_, "*") => ol.isNotNull && ol =!= ""
       // RFC 4647 basic filtering: case-insensitive exact, or "range-" prefix
       case FLangMatches(_, range) =>
-        val lt = lower(tag)
+        val lt = lower(coalesce(ol, lit("")))
         val lr = range.toLowerCase
         lt === lr || lt.startsWith(lr + "-")
       case other => unsupported(s"not a lang condition: $other")

@@ -39,6 +39,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("sparql_lang_filter: the lang tag condition reaches the parquet scan " +
+       "as a pushed filter") {
+    val p = plan("sparql_lang_filter")
+    // lang(?t)="fr" compiles into the title pattern, whose `ol` column is
+    // documents.lang under the projection — Catalyst must push the equality
+    // through to the scan (so at 100 TB only fr-stamped row groups survive
+    // the scan's filter, not a post-join residual)
+    assert(p.contains("EqualTo(lang,fr)"),
+      s"ol equality must land in PushedFilters:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("sparql_union_join: distributed union join is hash joins over pruned " +
+       "scans, never a nested loop") {
+    val p = plan("sparql_union_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Union"), "the distributed form union-alls the per-branch joins")
+  }
+
   test("ann_lsh_buckets: bucket join is hash-based, not a cartesian product") {
     val p = plan("ann_lsh_buckets")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
