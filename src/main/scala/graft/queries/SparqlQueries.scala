@@ -453,6 +453,28 @@ object SparqlQueries {
         langFrame(s, d))
     },
 
+    // ---- aggregate SUB-SELECT joined into an outer pattern — the
+    // Virtuoso idiom the reference's generated queries use for scoped
+    // work (Harvester.java:1009-1016). The inner hash aggregate's COUNT
+    // column is tracked numeric per-variable, joins the outer pattern on
+    // the shared ?d, and orders NUMERICALLY on both engines (a BIGINT on
+    // both; DuckDB COUNT is already BIGINT, no HUGEINT width trap).
+    "sparql_agg_subselect" -> Q(
+      s"""WITH $tripleFrameSql
+         |SELECT ty.o AS c, cnt.n AS n
+         |FROM tr ty
+         |JOIN (SELECT s, CAST(COUNT(o) AS BIGINT) AS n FROM tr
+         |      WHERE p = 'urn:p:op' GROUP BY s) cnt ON cnt.s = ty.s
+         |WHERE ty.p = 'urn:p:type'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?c ?n WHERE {
+          |  ?d <urn:p:type> ?c .
+          |  { SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d <urn:p:op> ?o } GROUP BY ?d }
+          |} ORDER BY ?c ?n""".stripMargin,
+        tripleFrame(s, d))
+    },
+
     // ---- string builtins: STRSTARTS/CONTAINS/STRLEN compose freely in
     // the boolean tree (plain codegen'd columns), UCASE rides BIND — all
     // stay inside the scan's WholeStageCodegen span.

@@ -1163,6 +1163,16 @@ class SparqlSpec extends AnyFunSuite {
       .flatMap(_.flatten) == Seq("bare"))
   }
 
+  test("differential: aggregate sub-select joined into an outer pattern") {
+    for (seed <- 1 to 3) {
+      val ts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?b ?n WHERE { ?a <urn:p:knows> ?b .
+          |  { SELECT ?b (COUNT(?c) AS ?n) WHERE { ?b <urn:p:knows> ?c } GROUP BY ?b }
+          |}""".stripMargin, ts)
+    }
+  }
+
   test("differential: string builtins (STRSTARTS/STRENDS/CONTAINS/STRLEN, UCASE/LCASE)") {
     for (seed <- 1 to 3) {
       val ts = randomTriples(seed, 20)
