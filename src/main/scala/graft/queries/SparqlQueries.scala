@@ -147,7 +147,67 @@ object SparqlQueries {
        |    UNION ALL
        |    SELECT s, p, o, ol FROM lonto))""".stripMargin
 
+  /** A QUAD frame (s, p, o, g) for the GRAPH queries: each doc's type
+    * triple lives in graph urn:g:(doc_id % 10); each graph's
+    * modified-time triple lives in the default graph (g = '') with a
+    * deterministic ISO timestamp — the reference's fixed
+    * yyyy-MM-dd'T'HH:mm:ss layout (Harvester.java:1246). */
+  private[graft] def quadFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val types = docs.select(
+      concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+      lit("urn:p:type").as("p"),
+      concat(lit("urn:c:"), (col("doc_id") % 3).cast("string")).as("o"),
+      concat(lit("urn:g:"), (col("doc_id") % 10).cast("string")).as("g"))
+    val modified = docs.select((col("doc_id") % 10).as("k")).distinct().select(
+      concat(lit("urn:g:"), col("k").cast("string")).as("s"),
+      lit("urn:p:modified").as("p"),
+      concat(lit("2024-01-"), lpad((col("k") + 1).cast("string"), 2, "0"),
+        lit("T00:00:00")).as("o"),
+      lit("").as("g"))
+    types.unionAll(modified).distinct()
+  }
+
+  /** The same derivation in DuckDB SQL (CTE body producing table `qr`). */
+  private val quadFrameSql: String =
+    """qr AS (
+      |  SELECT DISTINCT s, p, o, g FROM (
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s, 'urn:p:type' AS p,
+      |           'urn:c:' || CAST(doc_id % 3 AS VARCHAR) AS o,
+      |           'urn:g:' || CAST(doc_id % 10 AS VARCHAR) AS g
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT DISTINCT 'urn:g:' || CAST(doc_id % 10 AS VARCHAR),
+      |           'urn:p:modified',
+      |           '2024-01-' || lpad(CAST(doc_id % 10 + 1 AS VARCHAR), 2, '0') || 'T00:00:00',
+      |           ''
+      |    FROM documents))""".stripMargin
+
   val all: Map[String, Q] = Map(
+
+    // ---- the reference's CHANGE-DETECTION query (Harvester.java:1204-1215
+    // rdfQueryTemplate): GRAPH ?graph { conditions } + the graph's
+    // modified-time triple + the xsd:dateTime watermark filter. GRAPH ?g
+    // binds the quad frame's g column on every inner pattern (one graph per
+    // solution); the watermark ordering is exact because the reference's
+    // fixed ISO layout orders lexicographically == chronologically. The
+    // template's only addition here is ORDER BY for the driver compare.
+    "sparql_graph_sync" -> Q(
+      s"""WITH $quadFrameSql
+         |SELECT DISTINCT q.s AS resource
+         |FROM qr q
+         |JOIN qr t ON t.s = q.g AND t.p = 'urn:p:modified'
+         |WHERE q.p = 'urn:p:type' AND t.o > '2024-01-05T00:00:00'
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>
+          |SELECT DISTINCT ?resource WHERE {
+          |  GRAPH ?graph { ?resource <urn:p:type> ?o . }
+          |  ?graph <urn:p:modified> ?time .
+          |  FILTER (?time > xsd:dateTime("2024-01-05T00:00:00")) }
+          |ORDER BY ?resource""".stripMargin,
+        quadFrame(s, d))
+    },
 
     // ---- a user-written SELECT: 3-pattern BGP chain (cue -> doc type ->
     // class label) + inequality FILTER. Compiles to two hash joins whose

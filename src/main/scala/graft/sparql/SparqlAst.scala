@@ -114,6 +114,10 @@ object SparqlAst {
   /** a triple pattern whose predicate position is a non-trivial property
     * path (a trivial single-IRI path parses as a plain GTriple) */
   final case class GPath(s: Term, path: Path, o: Term) extends GElem
+  /** GRAPH <iri> { P } or GRAPH ?g { P } — the reference's change-detection
+    * template wraps its sync conditions in GRAPH ?graph
+    * (Harvester.java:1204-1215); needs a quad frame with a `g` column */
+  final case class GGraph(g: Term, group: Group) extends GElem
   /** BIND(expr AS ?v) — extends each solution-so-far with ?v; per the
     * spec, ?v must not already be bound at this point in the group */
   final case class GBind(expr: BExpr, name: String) extends GElem

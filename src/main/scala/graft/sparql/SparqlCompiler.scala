@@ -468,6 +468,23 @@ object SparqlCompiler {
           val f = compilePathElem(s, path, o, triples)
           if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
           idx += 1
+        case GGraph(gt, gg) =>
+          if (!triples.columns.contains("g"))
+            unsupported("GRAPH needs a quad frame with a `g` (named graph) " +
+              "column; this frame has columns " +
+              triples.columns.mkString("(", ", ", ")"))
+          gt match {
+            case I(u) =>
+              // constant graph: the whole body compiles (full recursion)
+              // against the g-filtered quad slice — the constant lands in
+              // PushedFilters like any pattern constant
+              val f = compileGroup(gg, triples.filter(col("g") === u))
+              if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
+            case V(gv) =>
+              joinInto(compileGraphVarGroup(gv, gg, triples), "inner")
+            case L(_) => unsupported("GRAPH takes an IRI or variable, not a literal")
+          }
+          idx += 1
         case GBind(expr, name) =>
           val refs = bvars(expr)
           refs.intersect(leftVars).diff(acc.map(_.vars.toSet).getOrElse(Set.empty))
@@ -811,6 +828,32 @@ object SparqlCompiler {
     Frag(joined.reduce(_ unionAll _), outVars, maybeNull, numeric)
   }
 
+  /** GRAPH ?g { P }: every pattern in P binds ?g from the quad frame's `g`
+    * column, so solutions stay within ONE graph per row and ?g joins the
+    * enclosing group like any variable (the reference's change-detection
+    * template then matches `?graph <timeProp> ?time` OUTSIDE the block —
+    * default-graph patterns here read the quad frame as-is, the
+    * union-of-graphs view Virtuoso gives the reference). The body is
+    * restricted to triple patterns + FILTERs — the template's exact shape;
+    * nested groups want per-graph recompilation, use GRAPH <iri> for that. */
+  private def compileGraphVarGroup(gv: String, gg: Group, triples: DataFrame): Frag = {
+    val (filterElems, rest) = gg.elems.partition(_.isInstanceOf[GFilter])
+    val tps = rest.map {
+      case GTriple(tp) => tp
+      case other => unsupported(s"GRAPH ?$gv body supports triple patterns " +
+        s"and FILTERs only (got ${other.getClass.getSimpleName}); wrap " +
+        "nested groups in GRAPH <iri> instead")
+    }
+    if (tps.isEmpty) unsupported(s"GRAPH ?$gv needs at least one triple pattern")
+    val frags = tps.map(compilePattern(_, triples, Map.empty, Some(gv)))
+    // every pattern binds ?gv, so the BGP is connected by construction
+    var f = greedyBgp(frags).get
+    filterElems.collect { case GFilter(e) => e }.foreach { e =>
+      f = f.copy(df = f.df.filter(compileFilter(e, f.vars)))
+    }
+    f
+  }
+
   /** Syntactic BINDING occurrences of variables in a group's elements —
     * every position that can bind (pattern positions, path endpoints, BIND
     * targets, VALUES vars, sub-select projections), recursively; filter
@@ -826,6 +869,9 @@ object SparqlCompiler {
       else bindingOccurrences(sub.where.elems)
     case GUnion(branches) => branches.flatMap(b => bindingOccurrences(b.elems))
     case GOptional(og) => bindingOccurrences(og.elems)
+    case GGraph(gt, gg) =>
+      (gt match { case V(n) => Seq(n); case _ => Seq.empty }) ++
+        bindingOccurrences(gg.elems)
     case _: GFilter | _: GExists | _: GMinus => Seq.empty
   }
 
@@ -855,7 +901,8 @@ object SparqlCompiler {
   // ---- triple patterns ---------------------------------------------------------
 
   private def compilePattern(tp: TP, triples: DataFrame,
-      langConds: Map[String, Column] = Map.empty): Frag = {
+      langConds: Map[String, Column] = Map.empty,
+      graphVar: Option[String] = None): Frag = {
     val pos: Seq[(String, Term)] = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
     var df = triples
     pos.foreach {
@@ -870,7 +917,11 @@ object SparqlCompiler {
       case V(n) => langConds.get(n).foreach(c => df = df.filter(c))
       case _ => ()
     }
-    val varPos = pos.collect { case (c, V(n)) => (c, n) }
+    // inside GRAPH ?g, every pattern additionally binds ?g from the quad
+    // frame's `g` column — the dup-var machinery below then also covers
+    // GRAPH ?g { ?g <p> ?o } (graph node described inside its own graph)
+    val varPos = pos.collect { case (c, V(n)) => (c, n) } ++
+      graphVar.map(gv => ("g", gv))
     // same var twice in one pattern (?s ?p ?s): in-pattern equality
     varPos.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { dup =>
       dup.map(_._1).sliding(2).foreach {

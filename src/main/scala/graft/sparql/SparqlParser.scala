@@ -503,9 +503,15 @@ object SparqlParser {
           "SERVICEs are usually decorative) or materialize the remote graph " +
           "as a source table and query it directly", p.peek.pos)
       } else if (p.isName("GRAPH")) {
-        fail("named graphs (GRAPH) are not compiled: the triple frame is a " +
-          "single default graph — add a graph column to the source and " +
-          "filter it instead", p.peek.pos)
+        p.next()
+        val t = p.peek match {
+          case TVar(v, _) => p.next(); V(v)
+          case TIri(u, _) => p.next(); I(u)
+          case TName(n, pos) => p.next(); I(p.expand(n, pos))
+          case other => fail(s"GRAPH takes an IRI or ?variable, got ${describe(other)}",
+            other.pos)
+        }
+        elems += GGraph(t, parseGroup(p))
       } else if (p.isName("VALUES")) {
         p.next()
         elems += parseValues(p)
@@ -856,7 +862,7 @@ object SparqlParser {
       p.eatPunct(")")
       return FRegex(t, pat)
     }
-    val (l, lNum) = parseOperandN(p)
+    val (l, lNum, _) = parseOperandN(p)
     if (p.isName("IN")) {
       p.next(); p.eatPunct("(")
       val vals = Seq.newBuilder[Term]
@@ -874,10 +880,13 @@ object SparqlParser {
         case TPunct(o, _) if Set("=", "!=", "<", "<=", ">", ">=")(o) => p.next(); o
         case other => fail(s"expected comparison/IN after operand, got ${describe(other)}", other.pos)
       }
-      val (r, rNum) = parseOperandN(p)
+      val (r, rNum, _) = parseOperandN(p)
       // terms are strings end-to-end; an ordering comparison against a
       // NUMERIC literal would silently compare lexicographically
-      // ("10" < "9"), so REJECT it — equality on the lexical form is fine
+      // ("10" < "9"), so REJECT it — equality on the lexical form is fine.
+      // (String-literal ordering stays allowed — that is what makes the
+      // reference's xsd:dateTime watermark compare work: its fixed ISO
+      // layout is ordered lexicographically == chronologically.)
       if ((lNum || rNum) && op != "=" && op != "!=")
         fail("numeric ordering comparisons are not supported over string " +
           "terms (lexicographic '<' would silently diverge from SPARQL " +
@@ -900,8 +909,9 @@ object SparqlParser {
   private def parseOperand(p: P): Term = parseOperandN(p)._1
 
   /** filter operand: ?v | STR(?v) (identity) | <iri> | "lit" | number |
-    * prefixed name; the boolean marks a numeric literal */
-  private def parseOperandN(p: P): (Term, Boolean) = p.peek match {
+    * prefixed name | xsd:dateTime("lit"); booleans mark (numeric literal,
+    * temporal cast) */
+  private def parseOperandN(p: P): (Term, Boolean, Boolean) = p.peek match {
     case TName(f, _) if f.equalsIgnoreCase("STR") =>
       p.next(); p.eatPunct("(")
       val t = p.next() match {
@@ -909,8 +919,28 @@ object SparqlParser {
         case other => fail(s"STR() takes a variable, got ${describe(other)}", other.pos)
       }
       p.eatPunct(")")
-      (t, false)
-    case TNum(_, _) => (parseTerm(p, "filter operand"), true)
-    case _ => (parseTerm(p, "filter operand"), false)
+      (t, false, false)
+    // xsd:dateTime("...") — the reference's change-detection template casts
+    // its watermark literal (Harvester.java:1204-1215, fixed
+    // yyyy-MM-dd'T'HH:mm:ss layout). The cast is an identity over the
+    // lexical form; its REAL effect is unlocking ordering comparisons,
+    // which are exact for the fixed-width ISO layout (lexicographic ==
+    // chronological) — unlike free-form strings, which stay refused.
+    case TName(f, pos) if f.contains(":") && {
+        val i = f.indexOf(':'); f.substring(i + 1) == "dateTime"
+      } =>
+      p.next()
+      if (p.expand(f, pos) != "http://www.w3.org/2001/XMLSchema#dateTime")
+        fail(s"only xsd:dateTime casts are supported, got $f", pos)
+      p.eatPunct("(")
+      val v = p.next() match {
+        case TLit(x, _) => x
+        case other => fail(s"xsd:dateTime() takes a string literal, got ${describe(other)}",
+          other.pos)
+      }
+      p.eatPunct(")")
+      (L(v), false, true)
+    case TNum(_, _) => (parseTerm(p, "filter operand"), true, false)
+    case _ => (parseTerm(p, "filter operand"), false, false)
   }
 }

@@ -124,6 +124,9 @@ class SparqlSpec extends AnyFunSuite {
         case ">" => l > n; case ">=" => l >= n
       }
     }
+    case FStrFn(fn, _, _) => fail(s"evaluator: unknown string builtin $fn")
+    case _: FLangCmp | _: FLangMatches =>
+      fail("evaluator: lang() is not modeled (the evaluator's frames are 3-col)")
     case FIn(t, vals) => term(t, m).map(v => vals.flatMap(x => term(x, m)).contains(v))
     case FCmp(op, l, r) =>
       for (a <- term(l, m); b <- term(r, m)) yield op match {
@@ -159,6 +162,8 @@ class SparqlSpec extends AnyFunSuite {
     var acc: Seq[B] = Seq(Map.empty)
     val filters = g.elems.collect { case GFilter(e) => e }
     g.elems.foreach {
+      case _: GGraph => fail("evaluator: quads are not modeled (3-col frames); " +
+        "GRAPH tests compare against hand-computed rows")
       case GTriple(tp) => acc = joinB(acc, matchTp(tp, ts))
       case GOptional(og) =>
         // SPARQL LeftJoin(A, P, F): the optional group's own filters are
@@ -1125,6 +1130,85 @@ class SparqlSpec extends AnyFunSuite {
       Seq(wd + "Q1", rdfs + "label", "flu")))
   }
 
+  test("the reference's change-detection template (GRAPH ?graph + " +
+       "xsd:dateTime watermark) compiles and is correct") {
+    // Harvester.java:1204-1215 rdfQueryTemplate, %s filled exactly like
+    // sync() does: syncConditions = one condition pattern,
+    // graphSyncConditions empty, watermark in the reference's fixed
+    // yyyy-MM-dd'T'HH:mm:ss layout
+    val q =
+      "PREFIX xsd:<http://www.w3.org/2001/XMLSchema#> " +
+        "SELECT DISTINCT ?resource WHERE { " +
+        " GRAPH ?graph { ?resource <urn:p:type> <urn:T> . }" +
+        " ?graph <urn:p:modified> ?time .   " +
+        " FILTER (?time > xsd:dateTime(\"2024-01-05T00:00:00\")) }"
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      // graph g1: modified BEFORE the watermark — excluded
+      ("urn:r:1", "urn:p:type", "urn:T", "urn:g:1"),
+      // graph g2: modified after — included
+      ("urn:r:2", "urn:p:type", "urn:T", "urn:g:2"),
+      ("urn:r:3", "urn:p:type", "urn:T", "urn:g:2"),
+      // right type, graph without a modified triple — excluded (no join row)
+      ("urn:r:4", "urn:p:type", "urn:T", "urn:g:9"),
+      // wrong type in a fresh graph — excluded by the condition
+      ("urn:r:5", "urn:p:type", "urn:U", "urn:g:2"),
+      // graph-metadata triples live in the default graph (g = '')
+      ("urn:g:1", "urn:p:modified", "2024-01-01T00:00:00", ""),
+      ("urn:g:2", "urn:p:modified", "2024-01-07T12:30:00", ""))
+      .toDF("s", "p", "o", "g")
+    val got = rows(SparqlCompiler.compile(q, quads)).flatMap(_.flatten).toSet
+    assert(got == Set("urn:r:2", "urn:r:3"))
+    // syncOldData epoch-0 form (Harvester.java:1246-1250): everything with
+    // a modified graph qualifies
+    val epoch = q.replace("2024-01-05T00:00:00", "1970-01-01T01:00:00")
+    assert(rows(SparqlCompiler.compile(epoch, quads)).flatMap(_.flatten).toSet ==
+      Set("urn:r:1", "urn:r:2", "urn:r:3"))
+  }
+
+  test("GRAPH: constant-graph scoping, graph-var joins, and refusals") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      ("urn:a", "urn:p", "x", "urn:g:1"),
+      ("urn:a", "urn:p", "y", "urn:g:2"),
+      ("urn:b", "urn:p", "x", "urn:g:2"))
+      .toDF("s", "p", "o", "g")
+    // GRAPH <iri>: only that graph's triples
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?s ?o WHERE { GRAPH <urn:g:2> { ?s <urn:p> ?o } } ORDER BY ?s ?o",
+      quads)).map(_.flatten) == Seq(Seq("urn:a", "y"), Seq("urn:b", "x")))
+    // GRAPH ?g: the graph var binds per-row and solutions stay in ONE graph
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p> "x" } } ORDER BY ?g ?s""",
+      quads)).map(_.flatten) ==
+      Seq(Seq("urn:g:1", "urn:a"), Seq("urn:g:2", "urn:b")))
+    // two patterns inside one GRAPH ?g must co-locate in the same graph:
+    // x and y share g:2 (via different subjects), x and z share nothing
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g WHERE { GRAPH ?g { ?a <urn:p> "x" . ?b <urn:p> "y" } }""",
+      quads)).flatMap(_.flatten) == Seq("urn:g:2"))
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g WHERE { GRAPH ?g { ?a <urn:p> "x" . ?b <urn:p> "z" } }""",
+      quads)).flatMap(_.flatten).isEmpty,
+      "no graph holds both x and z")
+    def refuse(q: String, df: org.apache.spark.sql.DataFrame): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(q, df).collect()).getMessage
+    // triple frame without a g column
+    assert(refuse("SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o } }",
+      quads.drop("g")).contains("quad frame"))
+    // nested groups inside GRAPH ?var are out of the compiled subset
+    assert(refuse(
+      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?z } } }",
+      quads).contains("triple patterns"))
+    // xsd:dateTime under a non-XSD prefix is refused at parse
+    val msg = intercept[SparqlParseException](SparqlParser.parse(
+      """PREFIX foo:<http://example.org/> SELECT ?t WHERE {
+        |  ?s <urn:p> ?t . FILTER(?t > foo:dateTime("2024")) }""".stripMargin)).getMessage
+    assert(msg.contains("xsd:dateTime"))
+  }
+
   test("lang()/langMatches(): tag semantics over the ol column") {
     val g = Seq(
       ("urn:a", "urn:p:label", "hello", "en"),
@@ -1231,9 +1315,6 @@ class SparqlSpec extends AnyFunSuite {
       .contains("= and !="))
     assert(badParse("SELECT ?l WHERE { ?s <urn:p> ?l . FILTER(langMatches(?l, \"en\")) }")
       .contains("langMatches"))
-    // GRAPH refusal (same family as SERVICE)
-    assert(badParse("SELECT ?l WHERE { GRAPH <urn:g> { ?s <urn:p> ?l } }")
-      .contains("named graphs"))
   }
 
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
