@@ -999,11 +999,12 @@ object SparqlCompiler {
   }
 
   /** zero-length path solutions: every term occurring in the graph,
-    * related to itself. */
+    * related to itself. NOT deduplicated here — both call sites ('*' and
+    * '?') union this with the closure and take ONE distinct over the
+    * result, so an inner distinct would just add a shuffle. */
   private def zeroPairs(triples: DataFrame): DataFrame =
     triples.select(col("s").as("pa"))
       .unionAll(triples.select(col("o").as("pa")))
-      .distinct()
       .withColumn("pb", col("pa"))
 
   /** endpoint application for a path pattern — same contract as
