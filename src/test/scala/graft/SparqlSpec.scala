@@ -1317,6 +1317,100 @@ class SparqlSpec extends AnyFunSuite {
       .contains("langMatches"))
   }
 
+  // ---------------------------------------------------------------------------
+  // 6. differential FUZZER: random query trees vs the evaluator
+  // ---------------------------------------------------------------------------
+
+  /** Generates a random query inside the COMPILED subset by construction:
+    * patterns always share a variable with the bound set (no disconnected
+    * BGPs), only definitely-bound vars serve as later join keys / EXISTS /
+    * MINUS anchors (the maybeNull refusals never trip), BIND never
+    * re-binds. Returns the query text. Fixed differential tests cover each
+    * operator; this covers their INTERACTIONS. */
+  private def randomQuery(rnd: scala.util.Random): String = {
+    val preds = Seq("<urn:p:knows>", "<urn:p:name>")
+    val consts = Seq("<urn:n:0>", "<urn:n:1>", "\"ann\"", "\"bob\"")
+    var nextVar = 0
+    def fresh(): String = { nextVar += 1; s"v$nextVar" }
+    // safe = definitely bound (usable as join keys); loose = maybe-null
+    val safe = scala.collection.mutable.ArrayBuffer[String]()
+    val loose = scala.collection.mutable.ArrayBuffer[String]()
+    def someSafe(): String = safe(rnd.nextInt(safe.size))
+    def term(pNew: Double, pConst: Double): String = {
+      val r = rnd.nextDouble()
+      if (r < pConst) consts(rnd.nextInt(consts.size))
+      else if (r < pConst + pNew || safe.isEmpty) { val v = fresh(); safe += v; s"?$v" }
+      else s"?${someSafe()}"
+    }
+    def triple(anchor: Boolean): String = {
+      val p = preds(rnd.nextInt(preds.size))
+      val s = if (anchor && safe.nonEmpty) s"?${someSafe()}" else term(0.7, 0.1)
+      val o = term(0.5, 0.25)
+      s"$s $p $o ."
+    }
+    val body = new StringBuilder
+    // the seed pattern always binds a variable so every later step has an
+    // anchor (an all-constant seed would leave someSafe() nothing to pick)
+    locally {
+      val v = fresh(); safe += v
+      body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
+    }
+    val steps = 2 + rnd.nextInt(4)
+    for (_ <- 1 to steps) rnd.nextInt(6) match {
+      case 0 => body ++= triple(anchor = true) + "\n"
+      case 1 => // OPTIONAL with its own fresh var (becomes loose), maybe a filter
+        val v = fresh(); loose += v
+        val f = if (rnd.nextBoolean()) s""" FILTER(?$v != "ann")""" else ""
+        body ++= s"OPTIONAL { ?${someSafe()} <urn:p:name> ?$v .$f }\n"
+      case 2 => // UNION, branches may bind DIFFERENT fresh vars (exercises
+        // the distributed join) or the SAME var (single-join path)
+        val a = someSafe(); val b = someSafe()
+        val v = fresh()
+        val w = if (rnd.nextBoolean()) { val x = fresh(); loose += x; x } else v
+        if (w == v) safe += v else loose += v // same name in both branches => bound
+        body ++= s"{ ?$a <urn:p:name> ?$v } UNION { ?$b <urn:p:name> ?$w }\n"
+      case 3 => // FILTER over bound vars (composable builtins only)
+        val v = (safe ++ loose)(rnd.nextInt(safe.size + loose.size))
+        val fs = Seq(
+          s"""?$v != "ann"""",
+          s"""STRSTARTS(?$v, "urn:") || CONTAINS(?$v, "a")""",
+          s"""!CONTAINS(?$v, "n") && STRLEN(?$v) >= 3""",
+          s"""?$v IN ("ann", <urn:n:1>, "cat")""",
+          if (loose.contains(v)) s"BOUND(?$v)" else s"""?$v = ?${someSafe()} || ?$v != "zz"""")
+        body ++= s"FILTER(${fs(rnd.nextInt(fs.size))})\n"
+      case 4 => // BIND of a concat over a safe var
+        val v = fresh() // never re-binds: fresh name
+        body ++= s"""BIND(CONCAT("x-", ?${someSafe()}) AS ?$v)\n"""
+        safe += v
+      case 5 => // EXISTS / NOT EXISTS / MINUS anchored on a safe var
+        val anchor = someSafe()
+        rnd.nextInt(3) match {
+          case 0 => body ++= s"FILTER EXISTS { ?$anchor <urn:p:knows> ?z_e }\n"
+          case 1 => body ++= s"FILTER NOT EXISTS { ?$anchor <urn:p:name> \"cat\" }\n"
+          case 2 => body ++= s"MINUS { ?$anchor <urn:p:name> \"bob\" }\n"
+        }
+    }
+    val distinct = if (rnd.nextBoolean()) "DISTINCT " else ""
+    s"SELECT $distinct* WHERE {\n$body}"
+  }
+
+  test("differential fuzzer: 150 random query trees == evaluator") {
+    var ran = 0
+    for (seed <- 1 to 150) {
+      val rnd = new scala.util.Random(seed)
+      val q = randomQuery(rnd)
+      val ts = randomTriples(seed * 31 + 7, 6 + rnd.nextInt(18))
+      try { diffSelect(q, ts); ran += 1 }
+      catch {
+        case _: SparqlUnsupported => () // generator strayed out of subset: fine,
+        // refusals are part of the contract — but most queries must compile
+        case e: Throwable => fail(s"fuzzer query crashed (seed=$seed):\n$q\n$e")
+      }
+    }
+    info(s"$ran/150 random queries compiled and matched the evaluator")
+    assert(ran >= 100, s"too many refusals: only $ran/150 compiled — generator drifted")
+  }
+
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
     // triple frame over real parquet (the registered fixture); the gate
     // pattern matches a token-derived triple, so its scan cannot be folded
