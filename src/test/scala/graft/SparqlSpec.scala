@@ -1356,7 +1356,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(6) match {
+    for (_ <- 1 to steps) rnd.nextInt(7) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh var (becomes loose), maybe a filter
         val v = fresh(); loose += v
@@ -1389,6 +1389,25 @@ class SparqlSpec extends AnyFunSuite {
           case 1 => body ++= s"FILTER NOT EXISTS { ?$anchor <urn:p:name> \"cat\" }\n"
           case 2 => body ++= s"MINUS { ?$anchor <urn:p:name> \"bob\" }\n"
         }
+      case 6 => // property path anchored on a safe var; binds definitely
+        val anchor = someSafe() // pick the anchor BEFORE registering the
+        val v = fresh(); safe += v // fresh var, or the path self-loops
+        val paths = Seq("<urn:p:knows>/<urn:p:name>", "<urn:p:knows>+",
+          "(<urn:p:knows>|<urn:p:name>)", "^<urn:p:knows>/<urn:p:name>")
+        body ++= s"?$anchor ${paths(rnd.nextInt(paths.size))} ?$v .\n"
+    }
+    // every 4th query wraps as an aggregate: group on one safe var, COUNT
+    // a bound var and MIN a (possibly loose) one — exercises the agg path
+    // composed over the SAME random bodies
+    if (nextVar >= 2 && rnd.nextInt(4) == 0) {
+      val g = someSafe()
+      val x = someSafe()
+      val pool = (safe ++ loose).distinct.filterNot(_ == g)
+      if (pool.nonEmpty) {
+        val m = pool(rnd.nextInt(pool.size))
+        return s"SELECT ?$g (COUNT(?$x) AS ?cnt) (MIN(?$m) AS ?mn) " +
+          s"WHERE {\n$body} GROUP BY ?$g"
+      }
     }
     val distinct = if (rnd.nextBoolean()) "DISTINCT " else ""
     s"SELECT $distinct* WHERE {\n$body}"
@@ -1396,19 +1415,25 @@ class SparqlSpec extends AnyFunSuite {
 
   test("differential fuzzer: 150 random query trees == evaluator") {
     var ran = 0
+    val refusals = scala.collection.mutable.Map[String, Int]()
     for (seed <- 1 to 150) {
       val rnd = new scala.util.Random(seed)
       val q = randomQuery(rnd)
       val ts = randomTriples(seed * 31 + 7, 6 + rnd.nextInt(18))
       try { diffSelect(q, ts); ran += 1 }
       catch {
-        case _: SparqlUnsupported => () // generator strayed out of subset: fine,
-        // refusals are part of the contract — but most queries must compile
+        case e: SparqlUnsupported => // generator strayed out of subset: fine,
+          // refusals are part of the contract — but most queries must compile
+          val key = e.getMessage.take(60)
+          refusals(key) = refusals.getOrElse(key, 0) + 1
+          if (sys.env.contains("GRAFT_FUZZ_DEBUG"))
+            info(s"refused seed=$seed:\n$q\n${e.getMessage}")
         case e: Throwable => fail(s"fuzzer query crashed (seed=$seed):\n$q\n$e")
       }
     }
     info(s"$ran/150 random queries compiled and matched the evaluator")
-    assert(ran >= 100, s"too many refusals: only $ran/150 compiled — generator drifted")
+    refusals.toSeq.sortBy(-_._2).foreach { case (m, n) => info(s"  refused $n: $m") }
+    assert(ran >= 140, s"too many refusals: only $ran/150 compiled — generator drifted")
   }
 
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
