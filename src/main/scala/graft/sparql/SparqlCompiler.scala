@@ -308,7 +308,8 @@ object SparqlCompiler {
     * is conformant SPARQL (unbound -> error -> row removed) and compiles as
     * such. */
   private def compileGroup(g: Group, triples: DataFrame,
-                           leftVars: Set[String] = Set.empty): Frag = {
+                           leftVars: Set[String] = Set.empty,
+                           graphVar: Option[String] = None): Frag = {
     var acc: Option[Frag] = None
     var gates = List.empty[DataFrame] // constant-only patterns: existence checks
     var gateId = 0
@@ -366,7 +367,7 @@ object SparqlCompiler {
       // genuine boolean filters join the LeftJoin-condition machinery
       val core = core0 ++ split.flatMap(_._1).map(GFilter(_))
       val fs = split.flatMap(s => s._2.reduceOption(FAnd))
-      val c0 = compileGroup(Group(core), triples, bound)
+      val c0 = compileGroup(Group(core), triples, bound, graphVar)
       val (pending, local) = fs.partition(e => (fvars(e) -- c0.vars.toSet).exists(bound))
       val c = local.foldLeft(c0)((f, e) =>
         f.copy(df = f.df.filter(compileFilter(e, f.vars))))
@@ -458,17 +459,22 @@ object SparqlCompiler {
           val run = elems.drop(idx).takeWhile(_.isInstanceOf[GTriple])
             .collect { case GTriple(tp) => tp }
           idx += run.length
-          val frags = run.map(compilePattern(_, triples, langConds))
+          val frags = run.map(compilePattern(_, triples, langConds, graphVar))
           val (constOnly, withVars) = frags.partition(_.vars.isEmpty)
           gates :::= constOnly.map(_.df).toList
           greedyBgp(withVars).foreach(joinInto(_, "inner"))
         case GOptional(og) =>
           compileOptional(og); idx += 1
         case GPath(s, path, o) =>
+          if (graphVar.isDefined)
+            unsupported("property paths inside GRAPH ?var are not compiled " +
+              "(the closure would need per-graph evaluation) — use GRAPH <iri>")
           val f = compilePathElem(s, path, o, triples)
           if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
           idx += 1
         case GGraph(gt, gg) =>
+          if (graphVar.isDefined)
+            unsupported("nested GRAPH inside GRAPH ?var is not compiled")
           if (!triples.columns.contains("g"))
             unsupported("GRAPH needs a quad frame with a `g` (named graph) " +
               "column; this frame has columns " +
@@ -481,7 +487,15 @@ object SparqlCompiler {
               val f = compileGroup(gg, triples.filter(col("g") === u))
               if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
             case V(gv) =>
-              joinInto(compileGraphVarGroup(gv, gg, triples), "inner")
+              // GRAPH ?g { P }: the FULL group grammar compiles with every
+              // pattern additionally binding ?g from the quad frame's `g`
+              // column — one graph per solution, OPTIONAL/UNION/EXISTS/
+              // MINUS inside stay graph-scoped through the same threading
+              val f = compileGroup(gg, triples, Set.empty, Some(gv))
+              if (!f.vars.contains(gv))
+                unsupported(s"GRAPH ?$gv bound no triple pattern: the graph " +
+                  "variable would stay unbound")
+              joinInto(f, "inner")
             case L(_) => unsupported("GRAPH takes an IRI or variable, not a literal")
           }
           idx += 1
@@ -518,9 +532,13 @@ object SparqlCompiler {
           }
           idx += 1
         case GSub(sub) =>
+          if (graphVar.isDefined)
+            unsupported("sub-SELECT inside GRAPH ?var is not compiled (the " +
+              "graph variable is not visible across the projection boundary) " +
+              "— use GRAPH <iri>")
           joinInto(compileSelect(sub, triples), "inner"); idx += 1
         case GUnion(branches) =>
-          val frags = branches.map(compileGroup(_, triples))
+          val frags = branches.map(compileGroup(_, triples, Set.empty, graphVar))
           // Join(A, Union(B1..Bn)) with branch-ASYMMETRIC variable sets:
           // a combined union column would carry NULLs into the join keys
           // (SQL null never matches; SPARQL unbound matches anything), so
@@ -552,7 +570,7 @@ object SparqlCompiler {
           // gate (the classic MINUS-vs-NOT-EXISTS divergence)
           val a = acc.getOrElse(
             unsupported("MINUS cannot be the first pattern of a group"))
-          val c = compileGroup(mg, triples)
+          val c = compileGroup(mg, triples, Set.empty, graphVar)
           val shared = a.vars.filter(c.vars.contains)
           if (shared.nonEmpty) {
             (shared.filter(a.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
@@ -622,7 +640,7 @@ object SparqlCompiler {
     // leftVars guard) or through a pattern variable (the phantom check
     // below: such a var would silently rebind as free) — is REFUSED.
     deferredExists.reverse.foreach { case (eg, pos) =>
-      val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars)
+      val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars, graphVar)
       val phantom = (c.vars.toSet -- result.vars.toSet).intersect(leftVars)
       if (phantom.nonEmpty)
         unsupported(s"[NOT] EXISTS pattern references " +
@@ -782,9 +800,6 @@ object SparqlCompiler {
     Frag(df, vars, undefVars)
   }
 
-  private def compileUnion(branches: Seq[Group], triples: DataFrame): Frag =
-    unionFrags(branches.map(compileGroup(_, triples)))
-
   /** Join(A, Union(B1..Bn)) = Union(Join(A,B1), ..., Join(A,Bn)) — SPARQL
     * join distributes over union, and the distributed form is the only
     * SQL-exact compilation when the branches bind DIFFERENT variable sets
@@ -826,32 +841,6 @@ object SparqlCompiler {
       a.maybeNull ++ frags.flatMap(_.maybeNull) ++
         outVars.filter(v => !a.vars.contains(v) && !frags.forall(_.vars.contains(v)))
     Frag(joined.reduce(_ unionAll _), outVars, maybeNull, numeric)
-  }
-
-  /** GRAPH ?g { P }: every pattern in P binds ?g from the quad frame's `g`
-    * column, so solutions stay within ONE graph per row and ?g joins the
-    * enclosing group like any variable (the reference's change-detection
-    * template then matches `?graph <timeProp> ?time` OUTSIDE the block —
-    * default-graph patterns here read the quad frame as-is, the
-    * union-of-graphs view Virtuoso gives the reference). The body is
-    * restricted to triple patterns + FILTERs — the template's exact shape;
-    * nested groups want per-graph recompilation, use GRAPH <iri> for that. */
-  private def compileGraphVarGroup(gv: String, gg: Group, triples: DataFrame): Frag = {
-    val (filterElems, rest) = gg.elems.partition(_.isInstanceOf[GFilter])
-    val tps = rest.map {
-      case GTriple(tp) => tp
-      case other => unsupported(s"GRAPH ?$gv body supports triple patterns " +
-        s"and FILTERs only (got ${other.getClass.getSimpleName}); wrap " +
-        "nested groups in GRAPH <iri> instead")
-    }
-    if (tps.isEmpty) unsupported(s"GRAPH ?$gv needs at least one triple pattern")
-    val frags = tps.map(compilePattern(_, triples, Map.empty, Some(gv)))
-    // every pattern binds ?gv, so the BGP is connected by construction
-    var f = greedyBgp(frags).get
-    filterElems.collect { case GFilter(e) => e }.foreach { e =>
-      f = f.copy(df = f.df.filter(compileFilter(e, f.vars)))
-    }
-    f
   }
 
   /** Syntactic BINDING occurrences of variables in a group's elements —

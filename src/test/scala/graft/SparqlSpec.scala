@@ -1198,10 +1198,31 @@ class SparqlSpec extends AnyFunSuite {
     // triple frame without a g column
     assert(refuse("SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o } }",
       quads.drop("g")).contains("quad frame"))
-    // nested groups inside GRAPH ?var are out of the compiled subset
+    // OPTIONAL inside GRAPH ?g is graph-scoped: the optional pattern only
+    // extends from the SAME graph (urn:a has <urn:q> only in g:1, so the
+    // g:2 solution stays bare)
+    val quads2 = quads.unionAll(Seq(("urn:a", "urn:q", "z1", "urn:g:1"))
+      .toDF("s", "p", "o", "g"))
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g ?s ?z WHERE {
+        |  GRAPH ?g { ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?z } }
+        |} ORDER BY ?g ?s ?z""".stripMargin, quads2)).toSet ==
+      Set(Seq(Some("urn:g:1"), Some("urn:a"), Some("z1")),
+        Seq(Some("urn:g:2"), Some("urn:a"), None),
+        Seq(Some("urn:g:2"), Some("urn:b"), None)))
+    // UNION inside GRAPH ?g stays graph-scoped too
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g WHERE {
+        |  GRAPH ?g { { ?s <urn:p> "x" } UNION { ?s <urn:p> "y" } }
+        |} ORDER BY ?g""".stripMargin, quads)).flatMap(_.flatten) ==
+      Seq("urn:g:1", "urn:g:2", "urn:g:2"))
+    // paths and sub-selects inside GRAPH ?var stay out of the subset
     assert(refuse(
-      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?z } } }",
-      quads).contains("triple patterns"))
+      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p>+ ?o } }", quads)
+      .contains("per-graph"))
+    assert(refuse(
+      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o . { SELECT ?s WHERE { ?s <urn:p> ?o2 } } } }",
+      quads).contains("sub-SELECT inside GRAPH"))
     // xsd:dateTime under a non-XSD prefix is refused at parse
     val msg = intercept[SparqlParseException](SparqlParser.parse(
       """PREFIX foo:<http://example.org/> SELECT ?t WHERE {
