@@ -90,8 +90,13 @@ class SparqlSpec extends AnyFunSuite {
   // ---------------------------------------------------------------------------
 
   private type B = Map[String, String]
+  /** (s, p, o, g) — g is "" in the default graph */
+  private type Quad = (String, String, String, String)
 
-  private def matchTp(tp: TP, ts: Seq[(String, String, String)]): Seq[B] = {
+  /** `active`: None = union-of-graphs default matching; Some(I(u)) = rows
+    * of that graph only; Some(V(gv)) = additionally bind gv to the row's
+    * graph (GRAPH ?g semantics). */
+  private def matchTp(tp: TP, qs: Seq[Quad], active: Option[Term]): Seq[B] = {
     def bind(t: Term, v: String, m: B): Option[B] = t match {
       case V(n) => m.get(n) match {
         case Some(x) => if (x == v) Some(m) else None
@@ -100,8 +105,12 @@ class SparqlSpec extends AnyFunSuite {
       case I(u) => if (u == v) Some(m) else None
       case L(l) => if (l == v) Some(m) else None
     }
-    ts.flatMap { case (s, p, o) =>
-      bind(tp.s, s, Map.empty).flatMap(bind(tp.p, p, _)).flatMap(bind(tp.o, o, _))
+    qs.flatMap { case (s, p, o, g) =>
+      val base = active match {
+        case None => Some(Map.empty: B)
+        case Some(t) => bind(t, g, Map.empty)
+      }
+      base.flatMap(bind(tp.s, s, _)).flatMap(bind(tp.p, p, _)).flatMap(bind(tp.o, o, _))
     }
   }
 
@@ -158,27 +167,34 @@ class SparqlSpec extends AnyFunSuite {
     case L(v) => Some(v)
   }
 
-  private def evalGroup(g: Group, ts: Seq[(String, String, String)]): Seq[B] = {
+  private def evalGroup(g: Group, ts: Seq[Quad],
+      active: Option[Term] = None): Seq[B] = {
     var acc: Seq[B] = Seq(Map.empty)
     val filters = g.elems.collect { case GFilter(e) => e }
+    // GRAPH <iri> narrows everything inside (incl. sub-selects and paths)
+    // to that graph's rows — mirror of the compiler's g-filtered frame
+    def scoped: Seq[Quad] = active match {
+      case Some(I(u)) => ts.filter(_._4 == u)
+      case _ => ts
+    }
     g.elems.foreach {
-      case _: GGraph => fail("evaluator: quads are not modeled (3-col frames); " +
-        "GRAPH tests compare against hand-computed rows")
-      case GTriple(tp) => acc = joinB(acc, matchTp(tp, ts))
+      case GGraph(gt, gg) =>
+        acc = joinB(acc, evalGroup(gg, scoped, Some(gt)))
+      case GTriple(tp) => acc = joinB(acc, matchTp(tp, ts, active))
       case GOptional(og) =>
         // SPARQL LeftJoin(A, P, F): the optional group's own filters are
         // evaluated against the MERGED solution (they see A's bindings)
         val ofs = og.elems.collect { case GFilter(e) => e }
         val core = Group(og.elems.filterNot(_.isInstanceOf[GFilter]))
-        val r = evalGroup(core, ts)
+        val r = evalGroup(core, ts, active)
         acc = acc.flatMap { m =>
           val ext = r.filter(x => compatible(m, x) &&
               ofs.forall(f => evalF(f, m ++ x).contains(true)))
             .map(m ++ _)
           if (ext.nonEmpty) ext else Seq(m)
         }
-      case GUnion(bs) => acc = joinB(acc, bs.flatMap(evalGroup(_, ts)))
-      case GSub(sub) => acc = joinB(acc, evalSelect(sub, ts))
+      case GUnion(bs) => acc = joinB(acc, bs.flatMap(evalGroup(_, ts, active)))
+      case GSub(sub) => acc = joinB(acc, evalSelect(sub, scoped))
       case GValues(vs, rows) =>
         // UNDEF = absent from the mapping = compatible with anything
         val vb = rows.map(r => vs.zip(r).collect {
@@ -189,11 +205,11 @@ class SparqlSpec extends AnyFunSuite {
       case GMinus(mg) =>
         // spec definition: remove mu1 if some mu2 in P is compatible AND
         // the domains intersect (disjoint domains remove nothing)
-        val r = evalGroup(mg, ts)
+        val r = evalGroup(mg, ts, active)
         acc = acc.filterNot(m => r.exists(x =>
           compatible(m, x) && m.keySet.intersect(x.keySet).nonEmpty))
       case GPath(s, path, o) =>
-        val pairs = evalPath(path, ts)
+        val pairs = evalPath(path, scoped)
         val binds = pairs.flatMap { case (x, y) =>
           bindT(s, x, Map.empty).flatMap(bindT(o, y, _))
         }
@@ -216,7 +232,7 @@ class SparqlSpec extends AnyFunSuite {
     // refusal itself is asserted separately
     g.elems.collect { case GExists(eg, pos) => (eg, pos) }
       .foldLeft(filtered) { case (a, (eg, pos)) =>
-        val r = evalGroup(eg, ts)
+        val r = evalGroup(eg, ts, active)
         a.filter(m => r.exists(compatible(m, _)) == pos)
       }
   }
@@ -233,7 +249,7 @@ class SparqlSpec extends AnyFunSuite {
   /** path pairs, bag semantics for link/seq/alt/inverse, set for closures;
     * zero-length solutions over terms occurring in the graph (the
     * compiler's documented contract) */
-  private def evalPath(path: Path, ts: Seq[(String, String, String)]): Seq[(String, String)] = {
+  private def evalPath(path: Path, ts: Seq[Quad]): Seq[(String, String)] = {
     def nodes = (ts.map(_._1) ++ ts.map(_._3)).distinct
     def closure(base: Seq[(String, String)]): Seq[(String, String)] = {
       var p = base.distinct
@@ -247,8 +263,8 @@ class SparqlSpec extends AnyFunSuite {
       p
     }
     path match {
-      case PLink(i) => ts.collect { case (s, p, o) if p == i => (s, o) }
-      case PNeg(is) => ts.collect { case (s, p, o) if !is.contains(p) => (s, o) }
+      case PLink(i) => ts.collect { case (s, p, o, _) if p == i => (s, o) }
+      case PNeg(is) => ts.collect { case (s, p, o, _) if !is.contains(p) => (s, o) }
       case PInv(p0) => evalPath(p0, ts).map(_.swap)
       case PSeq(a, b) =>
         val l = evalPath(a, ts); val r = evalPath(b, ts)
@@ -288,7 +304,7 @@ class SparqlSpec extends AnyFunSuite {
     }
   }
 
-  private def evalSelect(sel: SelectQ, ts: Seq[(String, String, String)]): Seq[B] = {
+  private def evalSelect(sel: SelectQ, ts: Seq[Quad]): Seq[B] = {
     require(sel.orderBy.isEmpty && sel.limit.isEmpty && sel.offset.isEmpty,
       "evaluator subset: no modifiers inside differential sub-selects")
     val sols = evalGroup(sel.where, ts)
@@ -329,17 +345,37 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   /** multiset compare of a compiled SELECT against the evaluator */
-  private def diffSelect(q: String, ts: Seq[(String, String, String)]): Unit = {
+  private def diffSelect(q: String, ts: Seq[(String, String, String)]): Unit =
+    diffSelectDf(q, toDf(ts), ts.map(t => (t._1, t._2, t._3, "")))
+
+  /** quad form: compiles over a (s, p, o, g) frame so GRAPH is in scope */
+  private def diffSelectQ(q: String, qs: Seq[Quad]): Unit = {
+    val s = spark
+    import s.implicits._
+    diffSelectDf(q, qs.toDF("s", "p", "o", "g"), qs)
+  }
+
+  private def diffSelectDf(q: String, df0: DataFrame, qs: Seq[Quad]): Unit = {
     val sel = SparqlParser.parse(q).asInstanceOf[SelectQ]
-    val df = SparqlCompiler.compile(q, toDf(ts))
+    val df = SparqlCompiler.compile(q, df0)
     val vars = df.columns.toSeq
     val got = rows(df).map(r => vars.zip(r).collect { case (v, Some(x)) => v -> x }.toMap)
-    val want = evalSelect(sel, ts)
+    val want = evalSelect(sel, qs)
     assert(got.sorted(bOrd) == want.sorted(bOrd),
       s"differential mismatch for: $q\n got=${got.sorted(bOrd)}\nwant=${want.sorted(bOrd)}")
   }
 
   private val bOrd: Ordering[B] = Ordering.by(m => m.toSeq.sorted.mkString("|"))
+
+  /** random quads: the triple distribution of [[randomTriples]] spread
+    * over two named graphs and the default graph */
+  private def randomQuads(seed: Int, n: Int): Seq[Quad] = {
+    val rnd = new scala.util.Random(seed ^ 0x5eed)
+    val graphs = Seq("", "urn:gr:0", "urn:gr:1")
+    randomTriples(seed, n).map { case (s, p, o) =>
+      (s, p, o, graphs(rnd.nextInt(graphs.size)))
+    }
+  }
 
   private def randomTriples(seed: Int, n: Int): Seq[(String, String, String)] = {
     val rnd = new scala.util.Random(seed)
@@ -1377,7 +1413,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(7) match {
+    for (_ <- 1 to steps) rnd.nextInt(8) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh var (becomes loose), maybe a filter
         val v = fresh(); loose += v
@@ -1416,6 +1452,17 @@ class SparqlSpec extends AnyFunSuite {
         val paths = Seq("<urn:p:knows>/<urn:p:name>", "<urn:p:knows>+",
           "(<urn:p:knows>|<urn:p:name>)", "^<urn:p:knows>/<urn:p:name>")
         body ++= s"?$anchor ${paths(rnd.nextInt(paths.size))} ?$v .\n"
+      case 7 => // GRAPH block anchored on a safe var; the fuzzer's data is
+        // quads, so graph scoping is differentially checked too
+        val anchor = someSafe()
+        if (rnd.nextBoolean()) {
+          val gv = fresh(); safe += gv
+          val v = fresh(); safe += v
+          body ++= s"GRAPH ?$gv { ?$anchor <urn:p:knows> ?$v . }\n"
+        } else {
+          val v = fresh(); safe += v
+          body ++= s"GRAPH <urn:gr:1> { ?$anchor <urn:p:name> ?$v . }\n"
+        }
     }
     // every 4th query wraps as an aggregate: group on one safe var, COUNT
     // a bound var and MIN a (possibly loose) one — exercises the agg path
@@ -1440,8 +1487,8 @@ class SparqlSpec extends AnyFunSuite {
     for (seed <- 1 to 150) {
       val rnd = new scala.util.Random(seed)
       val q = randomQuery(rnd)
-      val ts = randomTriples(seed * 31 + 7, 6 + rnd.nextInt(18))
-      try { diffSelect(q, ts); ran += 1 }
+      val qs = randomQuads(seed * 31 + 7, 6 + rnd.nextInt(18))
+      try { diffSelectQ(q, qs); ran += 1 }
       catch {
         case e: SparqlUnsupported => // generator strayed out of subset: fine,
           // refusals are part of the contract — but most queries must compile
