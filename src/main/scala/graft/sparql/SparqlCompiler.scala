@@ -456,9 +456,20 @@ object SparqlCompiler {
     while (idx < elems.length) {
       elems(idx) match {
         case GTriple(_) =>
-          val run = elems.drop(idx).takeWhile(_.isInstanceOf[GTriple])
-            .collect { case GTriple(tp) => tp }
-          idx += run.length
+          // a run = consecutive triples, INCLUDING ones separated only by
+          // FILTERs: the spec hoists filters out of group translation
+          // (18.2.2.2), so interleaved filters do not split the BGP — a
+          // pattern connected only through a LATER triple in the run must
+          // not be refused as disconnected. The skipped filters are
+          // group-scoped and already routed through the GFilter case;
+          // stopping the slice at any OTHER element keeps OPTIONAL/MINUS/
+          // BIND order semantics intact (those do cap the BGP).
+          val slice = elems.drop(idx)
+            .takeWhile(e => e.isInstanceOf[GTriple] || e.isInstanceOf[GFilter])
+          val run = slice.collect { case GTriple(tp) => tp }
+          slice.collect { case GFilter(e) => e }
+            .foreach(e => deferredFilters ::= e)
+          idx += slice.length
           val frags = run.map(compilePattern(_, triples, langConds, graphVar))
           val (constOnly, withVars) = frags.partition(_.vars.isEmpty)
           gates :::= constOnly.map(_.df).toList

@@ -1304,6 +1304,31 @@ class SparqlSpec extends AnyFunSuite {
       .flatMap(_.flatten) == Seq("bare"))
   }
 
+  test("interleaved FILTERs do not split a BGP: forward-connected patterns compile") {
+    // the spec hoists filters out of group translation, so ?c's first
+    // pattern — disconnected from {a,b} at its source position — is
+    // legitimately connected through the ?c knows ?b pattern AFTER the
+    // filter; refusing it as a cross product would be a false refusal
+    for (seed <- 1 to 3) {
+      val ts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?c ?n WHERE {
+          |  ?a <urn:p:knows> ?b .
+          |  ?c <urn:p:name> ?n .
+          |  FILTER(STRSTARTS(?n, "a") || CONTAINS(?n, "b"))
+          |  ?c <urn:p:knows> ?b .
+          |}""".stripMargin, ts)
+    }
+    // a genuinely disconnected pattern still refuses
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?a ?c WHERE {
+        |  ?a <urn:p:knows> ?b .
+        |  ?c <urn:p:name> ?n .
+        |  FILTER(?n != "ann")
+        |}""".stripMargin, toDf(randomTriples(1, 10))).collect()).getMessage
+    assert(msg.contains("disconnected") || msg.contains("cross product"))
+  }
+
   test("differential: aggregate sub-select joined into an outer pattern") {
     for (seed <- 1 to 3) {
       val ts = randomTriples(seed, 20)
