@@ -473,7 +473,29 @@ object SparqlCompiler {
           val frags = run.map(compilePattern(_, triples, langConds, graphVar))
           val (constOnly, withVars) = frags.partition(_.vars.isEmpty)
           gates :::= constOnly.map(_.df).toList
-          greedyBgp(withVars).foreach(joinInto(_, "inner"))
+          // greedy join order against the FULL bound set — including vars
+          // the group already bound before this run (an earlier OPTIONAL/
+          // UNION/path): a run whose patterns connect only THROUGH those
+          // is one connected BGP, not a cross product. Patterns join the
+          // accumulator one at a time; most-shared-vars first, constants
+          // breaking ties (most selective earliest).
+          val pool = scala.collection.mutable.ArrayBuffer(withVars: _*)
+          while (pool.nonEmpty) {
+            val bound = acc.map(_.vars.toSet).getOrElse(Set.empty)
+            def constness(i: Int): Int = 3 - pool(i).vars.length
+            if (bound.isEmpty) {
+              val i = pool.indices.maxBy(i => (constness(i), -i))
+              joinInto(pool.remove(i), "inner")
+            } else {
+              val cands = pool.indices.filter(i => pool(i).vars.exists(bound))
+              if (cands.isEmpty)
+                unsupported("basic graph pattern is disconnected: refusing " +
+                  s"the cross product (bound {${bound.toSeq.sorted.mkString(",")}} " +
+                  s"vs remaining {${pool.map(_.vars.mkString("/")).mkString(", ")}})")
+              val pick = cands.maxBy(i => (pool(i).vars.count(bound), constness(i), -i))
+              joinInto(pool.remove(pick), "inner")
+            }
+          }
         case GOptional(og) =>
           compileOptional(og); idx += 1
         case GPath(s, path, o) =>
@@ -757,31 +779,6 @@ object SparqlCompiler {
     case BCase(up, inner) =>
       val c = compileBind(inner, resolve)
       if (up) upper(c) else lower(c)
-  }
-
-  /** Fold every-gate-and-no-triples case safely and join var-bearing
-    * patterns greedily: seed with the most-constant (most selective)
-    * pattern, then repeatedly take the pattern sharing the most variables
-    * with the bound set (constants break ties). Shares-nothing => refuse. */
-  private def greedyBgp(frags: Seq[Frag]): Option[Frag] = {
-    if (frags.isEmpty) return None
-    def constness(f: Frag): Int = 3 - f.vars.length // patterns have <=3 var positions
-    val pool = scala.collection.mutable.ArrayBuffer(frags: _*)
-    var cur = pool.remove(pool.indices.maxBy(i => (constness(pool(i)), -i)))
-    while (pool.nonEmpty) {
-      val bound = cur.vars.toSet
-      val cands = pool.indices.filter(i => pool(i).vars.exists(bound))
-      if (cands.isEmpty)
-        unsupported("basic graph pattern is disconnected: refusing the cross product " +
-          s"(bound {${cur.vars.mkString(",")}} vs remaining " +
-          s"{${pool.map(_.vars.mkString("/")).mkString(", ")}})")
-      val pick = cands.maxBy(i => (pool(i).vars.count(bound), constness(pool(i)), -i))
-      val nxt = pool.remove(pick)
-      val shared = cur.vars.filter(nxt.vars.contains)
-      cur = Frag(cur.df.join(nxt.df, shared, "inner"),
-        cur.vars ++ nxt.vars.filterNot(cur.vars.contains), Set.empty)
-    }
-    Some(cur)
   }
 
   /** VALUES compiles to a broadcast inline relation joined on its shared

@@ -1438,7 +1438,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(8) match {
+    for (_ <- 1 to steps) rnd.nextInt(9) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh var (becomes loose), maybe a filter
         val v = fresh(); loose += v
@@ -1488,6 +1488,16 @@ class SparqlSpec extends AnyFunSuite {
           val v = fresh(); safe += v
           body ++= s"GRAPH <urn:gr:1> { ?$anchor <urn:p:name> ?$v . }\n"
         }
+      case 8 => // forward-connected pair split by a FILTER: the first
+        // triple is disconnected at its source position and only the
+        // bridge after the interleaved filter connects it (the BGP-run
+        // hoisting case)
+        val anchor = someSafe()
+        val x = fresh(); val n = fresh()
+        body ++= s"?$x <urn:p:name> ?$n .\n"
+        body ++= s"FILTER(STRLEN(?$n) >= 1)\n"
+        body ++= s"?$x <urn:p:knows> ?$anchor .\n"
+        safe += x; safe += n
     }
     // every 4th query wraps as an aggregate: group on one safe var, COUNT
     // a bound var and MIN a (possibly loose) one — exercises the agg path
