@@ -1517,9 +1517,11 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("differential fuzzer: 150 random query trees == evaluator") {
+    // GRAFT_FUZZ_N widens the sweep for one-off deep fuzz sessions
+    val total = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(150)
     var ran = 0
     val refusals = scala.collection.mutable.Map[String, Int]()
-    for (seed <- 1 to 150) {
+    for (seed <- 1 to total) {
       val rnd = new scala.util.Random(seed)
       val q = randomQuery(rnd)
       val qs = randomQuads(seed * 31 + 7, 6 + rnd.nextInt(18))
@@ -1534,9 +1536,9 @@ class SparqlSpec extends AnyFunSuite {
         case e: Throwable => fail(s"fuzzer query crashed (seed=$seed):\n$q\n$e")
       }
     }
-    info(s"$ran/150 random queries compiled and matched the evaluator")
+    info(s"$ran/$total random queries compiled and matched the evaluator")
     refusals.toSeq.sortBy(-_._2).foreach { case (m, n) => info(s"  refused $n: $m") }
-    assert(ran >= 140, s"too many refusals: only $ran/150 compiled — generator drifted")
+    assert(ran >= (total * 14) / 15, s"too many refusals: only $ran/$total compiled — generator drifted")
   }
 
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
