@@ -1438,12 +1438,17 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(9) match {
+    for (_ <- 1 to steps) rnd.nextInt(10) match {
       case 0 => body ++= triple(anchor = true) + "\n"
-      case 1 => // OPTIONAL with its own fresh var (becomes loose), maybe a filter
+      case 1 => // OPTIONAL with its own fresh vars (become loose), maybe a
+        // filter, sometimes a two-triple group
         val v = fresh(); loose += v
         val f = if (rnd.nextBoolean()) s""" FILTER(?$v != "ann")""" else ""
-        body ++= s"OPTIONAL { ?${someSafe()} <urn:p:name> ?$v .$f }\n"
+        val extra = if (rnd.nextInt(3) == 0) {
+          val w = fresh(); loose += w
+          s" ?$v <urn:p:knows> ?$w ."
+        } else ""
+        body ++= s"OPTIONAL { ?${someSafe()} <urn:p:name> ?$v .$extra$f }\n"
       case 2 => // UNION, branches may bind DIFFERENT fresh vars (exercises
         // the distributed join) or the SAME var (single-join path)
         val a = someSafe(); val b = someSafe()
@@ -1488,6 +1493,10 @@ class SparqlSpec extends AnyFunSuite {
           val v = fresh(); safe += v
           body ++= s"GRAPH <urn:gr:1> { ?$anchor <urn:p:name> ?$v . }\n"
         }
+      case 9 => // VALUES constraining an already-bound var (broadcast
+        // inline relation); UNDEF rows stay out — the var is a join key
+        val v = someSafe()
+        body ++= s"VALUES ?$v { <urn:n:0> <urn:n:1> <urn:n:2> \"ann\" }\n"
       case 8 => // forward-connected pair split by a FILTER: the first
         // triple is disconnected at its source position and only the
         // bridge after the interleaved filter connects it (the BGP-run
