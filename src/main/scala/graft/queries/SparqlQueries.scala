@@ -553,6 +553,44 @@ object SparqlQueries {
         tripleFrame(s, d))
     },
 
+    // ---- datatype() over a TYPED frame: the dt column carries the
+    // typed-literal datatype IRI ('' for plain literals and resources) —
+    // same pushdown contract as lang(), so the equality prunes at the
+    // scan. The frame types each doc's n_chars as xsd:integer next to
+    // untagged title literals.
+    "sparql_datatype_filter" -> Q(
+      s"""WITH dtr AS (
+         |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s,
+         |         'urn:p:nchars' AS p, CAST(n_chars AS VARCHAR) AS o,
+         |         'http://www.w3.org/2001/XMLSchema#integer' AS dt
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR),
+         |         'urn:p:title', substr(lower(text), 1, 12), ''
+         |  FROM documents)
+         |SELECT s, o AS n FROM dtr
+         |WHERE p = 'urn:p:nchars'
+         |  AND dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val typed = docs.select(
+        concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+        lit("urn:p:nchars").as("p"),
+        col("n_chars").cast("string").as("o"),
+        lit("http://www.w3.org/2001/XMLSchema#integer").as("dt"))
+      val titles = docs.select(
+        concat(lit("urn:doc:"), col("doc_id").cast("string")).as("s"),
+        lit("urn:p:title").as("p"),
+        substring(lower(col("text")), 1, 12).as("o"),
+        lit("").as("dt"))
+      SparqlCompiler.compile(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?n WHERE {
+          |  ?s <urn:p:nchars> ?n . FILTER(datatype(?n) = xsd:integer)
+          |} ORDER BY ?s ?n""".stripMargin,
+        typed.unionAll(titles))
+    },
+
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,
     // Harvester.java:1529-1540): all triples of every class-1 document.
     // The subject set semi-joins the triple frame — no duplication, and

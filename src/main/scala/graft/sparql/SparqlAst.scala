@@ -84,6 +84,10 @@ object SparqlAst {
     * matches any nonempty tag; otherwise case-insensitive equality or a
     * "range-" prefix ("en" matches "en-US") */
   final case class FLangMatches(v: String, range: String) extends FExpr
+  /** datatype(?v) = <iri> / != <iri> — same pushdown contract as lang(),
+    * over the frame's `dt` column (the typed-literal datatype IRI, ''/null
+    * for plain literals and resources) */
+  final case class FDtCmp(v: String, eq: Boolean, iri: String) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr

@@ -359,12 +359,13 @@ object SparqlCompiler {
       val bound = a.vars.toSet ++ leftVars
       val (filterElems, core0) = og.elems.partition(_.isInstanceOf[GFilter])
       val split = filterElems.collect { case GFilter(e) =>
-        conjuncts(e).partition(isLangCond)
+        conjuncts(e).partition(isScanCond)
       }
-      // lang conjuncts never reference left-side vars usefully (the tag
-      // column exists only at the binding pattern's scan), so they compile
-      // INSIDE the optional group via the group-level pushdown; only
-      // genuine boolean filters join the LeftJoin-condition machinery
+      // scan-column conjuncts (lang/datatype) never reference left-side
+      // vars usefully (their columns exist only at the binding pattern's
+      // scan), so they compile INSIDE the optional group via the
+      // group-level pushdown; only genuine boolean filters join the
+      // LeftJoin-condition machinery
       val core = core0 ++ split.flatMap(_._1).map(GFilter(_))
       val fs = split.flatMap(s => s._2.reduceOption(FAnd))
       val c0 = compileGroup(Group(core), triples, bound, graphVar)
@@ -410,39 +411,42 @@ object SparqlCompiler {
       }
     }
 
-    // ---- lang() pushdown: pull top-level lang conjuncts out of this
-    // group's filters and compile each into the ONE plain triple pattern
-    // that binds its variable in object position — the term model is a
-    // string, so the tag lives in the frame's `ol` column, which exists
-    // only at that pattern's scan (and the condition prunes there, right
-    // next to the constant-position PushedFilters)
-    val langBuf = Seq.newBuilder[FExpr]
+    // ---- scan-column pushdown: pull top-level lang()/langMatches()/
+    // datatype() conjuncts out of this group's filters and compile each
+    // into the ONE plain triple pattern that binds its variable in object
+    // position — the term model is a string, so the tag/datatype live in
+    // the frame's `ol`/`dt` columns, which exist only at that pattern's
+    // scan (and the condition prunes there, right next to the
+    // constant-position PushedFilters)
+    val scanBuf = Seq.newBuilder[FExpr]
     val elems0: Seq[GElem] = g.elems.flatMap {
       case GFilter(e) =>
-        val (langs, rest) = conjuncts(e).partition(isLangCond)
-        langBuf ++= langs
+        val (scans, rest) = conjuncts(e).partition(isScanCond)
+        scanBuf ++= scans
         rest.reduceOption(FAnd).map(GFilter(_)).toSeq
       case other => Seq(other)
     }
-    val langList = langBuf.result()
+    val scanList = scanBuf.result()
     val langConds: Map[String, Column] =
-      if (langList.isEmpty) Map.empty
+      if (scanList.isEmpty) Map.empty
       else {
-        if (!triples.columns.contains("ol"))
-          unsupported("lang()/langMatches() need a triple frame with an `ol` " +
-            "(object language tag) column; this frame has columns " +
-            triples.columns.mkString("(", ", ", ")"))
-        langList.groupBy(e => fvars(e).head).map { case (v, es) =>
+        scanList.map(scanCondColumn).distinct.foreach { c =>
+          if (!triples.columns.contains(c))
+            unsupported(s"${if (c == "dt") "datatype()" else "lang()/langMatches()"} " +
+              s"needs a triple frame with a `$c` column; this frame has " +
+              triples.columns.mkString("(", ", ", ")"))
+        }
+        scanList.groupBy(e => fvars(e).head).map { case (v, es) =>
           val objBinds = elems0.count {
             case GTriple(TP(_, _, V(n))) => n == v
             case _ => false
           }
           val totalBinds = bindingOccurrences(elems0).count(_ == v)
           if (objBinds != 1 || totalBinds != 1)
-            unsupported(s"lang(?$v): ?$v must be bound by exactly ONE object " +
-              s"position of a plain triple pattern in the same group (found " +
-              s"$objBinds object bindings out of $totalBinds binding " +
-              "occurrences) — the tag column exists only at that scan")
+            unsupported(s"lang/datatype(?$v): ?$v must be bound by exactly ONE " +
+              s"object position of a plain triple pattern in the same group " +
+              s"(found $objBinds object bindings out of $totalBinds binding " +
+              "occurrences) — the tag/datatype columns exist only at that scan")
           v -> es.map(langCondCol).reduce(_ && _)
         }
       }
@@ -705,6 +709,7 @@ object SparqlCompiler {
     case FRegex(t, _) => tvars(t)
     case FStrFn(_, t, _) => tvars(t)
     case FStrLenCmp(v, _, _) => Set(v)
+    case FDtCmp(v, _, _) => Set(v)
     case FLangCmp(v, _, _) => Set(v)
     case FLangMatches(v, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
@@ -718,9 +723,18 @@ object SparqlCompiler {
     case other => Seq(other)
   }
 
-  private def isLangCond(e: FExpr): Boolean = e match {
-    case _: FLangCmp | _: FLangMatches => true
+  /** scan-column conditions: lang()/langMatches() read the frame's `ol`
+    * column, datatype() its `dt` column — both push into the one pattern
+    * binding their variable in object position */
+  private def isScanCond(e: FExpr): Boolean = e match {
+    case _: FLangCmp | _: FLangMatches | _: FDtCmp => true
     case _ => false
+  }
+
+  /** the frame column a scan condition needs */
+  private def scanCondColumn(e: FExpr): String = e match {
+    case _: FDtCmp => "dt"
+    case _ => "ol"
   }
 
   /** The `ol`-column condition for one lang conjunct. A null `ol` means
@@ -744,7 +758,10 @@ object SparqlCompiler {
         val lt = lower(coalesce(ol, lit("")))
         val lr = range.toLowerCase
         lt === lr || lt.startsWith(lr + "-")
-      case other => unsupported(s"not a lang condition: $other")
+      // datatype(): same pushable null-handling shapes over `dt`
+      case FDtCmp(_, true, iri) => col("dt") === iri
+      case FDtCmp(_, false, iri) => col("dt").isNull || col("dt") =!= iri
+      case other => unsupported(s"not a scan-column condition: $other")
     }
   }
 
@@ -1087,6 +1104,10 @@ object SparqlCompiler {
         unsupported(s"langMatches(lang(?$v), ...) is only supported as a " +
           "top-level FILTER conjunct over a variable bound in exactly one " +
           "object position of the same group")
+      case FDtCmp(v, _, _) =>
+        unsupported(s"datatype(?$v) is only supported as a top-level FILTER " +
+          "conjunct over a variable bound in exactly one object position of " +
+          "the same group (the datatype lives in the frame's `dt` column)")
       case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
       case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
       case FNot(a) =>

@@ -790,6 +790,26 @@ object SparqlParser {
       }
       return FLangCmp(v, eq, tag)
     }
+    if (p.isName("DATATYPE")) {
+      p.next(); p.eatPunct("(")
+      val v = p.next() match {
+        case TVar(x, _) => x
+        case other => fail(s"datatype() takes a variable, got ${describe(other)}", other.pos)
+      }
+      p.eatPunct(")")
+      val eq = p.peek match {
+        case TPunct("=", _) => p.next(); true
+        case TPunct("!=", _) => p.next(); false
+        case other => fail("datatype() supports = and != against an IRI", other.pos)
+      }
+      val iri = p.next() match {
+        case TIri(u, _) => u
+        case TName(n, pos) => p.expand(n, pos)
+        case other => fail(s"datatype() compares to an IRI, got ${describe(other)}",
+          other.pos)
+      }
+      return FDtCmp(v, eq, iri)
+    }
     if (p.isName("LANGMATCHES")) {
       p.next(); p.eatPunct("(")
       if (!p.isName("LANG"))

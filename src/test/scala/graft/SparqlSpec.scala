@@ -134,8 +134,8 @@ class SparqlSpec extends AnyFunSuite {
       }
     }
     case FStrFn(fn, _, _) => fail(s"evaluator: unknown string builtin $fn")
-    case _: FLangCmp | _: FLangMatches =>
-      fail("evaluator: lang() is not modeled (the evaluator's frames are 3-col)")
+    case _: FLangCmp | _: FLangMatches | _: FDtCmp =>
+      fail("evaluator: lang()/datatype() are not modeled (no ol/dt columns)")
     case FIn(t, vals) => term(t, m).map(v => vals.flatMap(x => term(x, m)).contains(v))
     case FCmp(op, l, r) =>
       for (a <- term(l, m); b <- term(r, m)) yield op match {
@@ -1364,6 +1364,41 @@ class SparqlSpec extends AnyFunSuite {
       .contains("string literal"))
     assert(badParse("SELECT ?n WHERE { ?s <urn:p> ?n . FILTER(STRLEN(?n) > \"x\") }")
       .contains("integer"))
+  }
+
+  test("datatype(): typed-literal filtering over the dt column") {
+    val s = spark
+    import s.implicits._
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val xsdDate = "http://www.w3.org/2001/XMLSchema#date"
+    val g = Seq(
+      ("urn:a", "urn:p:len", "42", xsdInt),
+      ("urn:a", "urn:p:when", "2024-01-01", xsdDate),
+      ("urn:a", "urn:p:label", "plain", ""),
+      ("urn:b", "urn:p:len", "7", xsdInt))
+      .toDF("s", "p", "o", "dt")
+    def run(filter: String): Set[Seq[String]] =
+      rows(SparqlCompiler.compile(
+        s"SELECT ?s ?v WHERE { ?s ?p ?v . FILTER($filter) }", g))
+        .map(_.flatten).toSet
+    assert(run(s"datatype(?v) = <$xsdInt>") ==
+      Set(Seq("urn:a", "42"), Seq("urn:b", "7")))
+    assert(run(s"datatype(?v) != <$xsdInt>") ==
+      Set(Seq("urn:a", "2024-01-01"), Seq("urn:a", "plain")))
+    // prefixed-name IRIs expand
+    assert(rows(SparqlCompiler.compile(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?v WHERE { ?s <urn:p:when> ?v . FILTER(datatype(?v) = xsd:date) }""".stripMargin,
+      g)).flatMap(_.flatten) == Seq("2024-01-01"))
+    // refusals mirror lang(): no dt column; out-of-conjunct position
+    def refuse(q: String, df: DataFrame): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(q, df).collect()).getMessage
+    assert(refuse(s"SELECT ?v WHERE { ?s ?p ?v . FILTER(datatype(?v) = <$xsdInt>) }",
+      g.drop("dt")).contains("`dt`"))
+    assert(refuse(
+      s"""SELECT ?v WHERE { ?s ?p ?v .
+         |  FILTER(datatype(?v) = <$xsdInt> || ?v = "x") }""".stripMargin, g)
+      .contains("top-level FILTER conjunct"))
   }
 
   test("lang(): scope and frame refusals") {
