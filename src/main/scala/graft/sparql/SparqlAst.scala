@@ -120,7 +120,16 @@ object SparqlAst {
   final case class GPath(s: Term, path: Path, o: Term) extends GElem
   /** GRAPH <iri> { P } or GRAPH ?g { P } — the reference's change-detection
     * template wraps its sync conditions in GRAPH ?graph
-    * (Harvester.java:1204-1215); needs a quad frame with a `g` column */
+    * (Harvester.java:1204-1215); needs a quad frame with a `g` column
+    * (convention: g = '' or null marks the default graph).
+    *
+    * Dataset semantics, deliberately Virtuoso-style: patterns OUTSIDE any
+    * GRAPH block match the UNION of all graphs (named + default) — the
+    * behavior the reference's endpoint gives its templates, where graph
+    * metadata lives in the default graph and content in named graphs
+    * (Harvester.java:1204-1215 joins across that boundary). GRAPH ?g
+    * itself ranges over NAMED graphs only, per the SPARQL spec: rows with
+    * g = ''/null never bind ?g. */
   final case class GGraph(g: Term, group: Group) extends GElem
   /** BIND(expr AS ?v) — extends each solution-so-far with ?v; per the
     * spec, ?v must not already be bound at this point in the group */

@@ -744,7 +744,21 @@ object SparqlCompiler {
     * to data-source filters — lang(?x) = "fr" must land in the parquet
     * scan's PushedFilters (plan-locked), not evaluate as a post-scan
     * residual. langMatches' case-insensitive compare is inherently
-    * non-convertible and stays a residual. */
+    * non-convertible and stays a residual.
+    *
+    * DOCUMENTED DIVERGENCE (negative comparisons over non-literals): the
+    * frame model carries no term-kind marker, so an IRI-valued object has
+    * ol/dt null — indistinguishable from an untagged plain literal. Per
+    * SPARQL, `datatype()`/`lang()` over an IRI is a type error that
+    * REMOVES the row; here `FDtCmp(false, iri)` (dt null or ≠ iri) and
+    * `lang(?o) = ""`/`lang(?o) != tag` RETAIN such rows, treating every
+    * non-typed binding as an untagged plain literal. On frames produced by
+    * this engine's own extraction (object literals stamped, resources not)
+    * the retained rows are exactly the resource-valued bindings — callers
+    * mixing literal and resource objects under a NEGATIVE lang()/datatype()
+    * comparison get the union, not the literal-only slice. Positive
+    * comparisons (dt === iri, ol === tag) are unaffected (null never
+    * matches). */
   private def langCondCol(e: FExpr): Column = {
     val ol = col("ol")
     e match {
@@ -933,7 +947,15 @@ object SparqlCompiler {
     }
     // inside GRAPH ?g, every pattern additionally binds ?g from the quad
     // frame's `g` column — the dup-var machinery below then also covers
-    // GRAPH ?g { ?g <p> ?o } (graph node described inside its own graph)
+    // GRAPH ?g { ?g <p> ?o } (graph node described inside its own graph).
+    // SPARQL restricts GRAPH ?g to NAMED graphs: the quad-frame convention
+    // is g='' (or null) for the default graph, so those rows are excluded
+    // here — otherwise ?g would surface bound to the non-IRI ''. (Patterns
+    // OUTSIDE any GRAPH block keep the engine's documented union-default-
+    // graph dataset: they match rows of every graph — see GGraph's
+    // scaladoc in SparqlAst.)
+    if (graphVar.isDefined)
+      df = df.filter(col("g").isNotNull && col("g") =!= "")
     val varPos = pos.collect { case (c, V(n)) => (c, n) } ++
       graphVar.map(gv => ("g", gv))
     // same var twice in one pattern (?s ?p ?s): in-pattern equality
@@ -971,7 +993,9 @@ object SparqlCompiler {
     *    terms OCCURRING in the graph (subjects ∪ objects): identical to
     *    the spec whenever a constant endpoint occurs in the graph, and a
     *    set—the closure forms are solution SETS per ArbitraryLengthPath /
-    *    ZeroOrOnePath.
+    *    ZeroOrOnePath. A TOP-LEVEL '*'/'?' with a constant endpoint
+    *    ABSENT from the graph gets its zero-length solution completed in
+    *    [[compilePathElem]]; only nested closures keep the restriction.
     * Compiling '+' / '*' runs the fixpoint loop at COMPILE time (bounded
     * driver-side counts, never row collection). */
   private def pathPairs(path: Path, triples: DataFrame): DataFrame = path match {
@@ -1023,9 +1047,32 @@ object SparqlCompiler {
 
   /** endpoint application for a path pattern — same contract as
     * [[compilePattern]]: constants filter, variables project (a repeated
-    * variable adds the in-pattern equality), constant-only paths gate. */
+    * variable adds the in-pattern equality), constant-only paths gate.
+    *
+    * Zero-length completeness: [[zeroPairs]] restricts the '*'/'?'
+    * zero-length solutions to terms OCCURRING in the graph, which loses
+    * the spec's solution for a constant endpoint absent from the graph
+    * (`<urn:unknown> <p>* ?x` must yield ?x=<urn:unknown>). When the
+    * path's TOP level is '*' or '?', each constant endpoint therefore
+    * unions its own literal (term, term) pair in before the endpoint
+    * filters apply — a compile-time-known 1-row frame, free at any scale.
+    * (Nested closures, e.g. `(p*)/q`, keep the documented occurring-terms
+    * restriction.) */
   private def compilePathElem(s: Term, path: Path, o: Term, triples: DataFrame): Frag = {
     var df = pathPairs(path, triples)
+    val topZeroish = path match { case _: PStar | _: POpt => true; case _ => false }
+    if (topZeroish) {
+      val consts = Seq(s, o).collect { case I(u) => u case L(v) => v }.distinct
+      if (consts.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq("pa", "pb").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val extra = triples.sparkSession.createDataFrame(
+          consts.map(t => org.apache.spark.sql.Row(t, t)).asJava, schema)
+        df = df.unionAll(extra).distinct() // closure forms are solution SETS
+      }
+    }
     s match {
       case I(u) => df = df.filter(col("pa") === u)
       case L(v) => df = df.filter(col("pa") === v)

@@ -319,6 +319,11 @@ object SparqlParser {
           if (agg.fn != "COUNT")
             fail(s"${agg.fn} is string-valued: comparing it to a number would " +
               "be lexicographic, not numeric", pos)
+          // COUNT is integral: a decimal rhs is refused HERE (positioned)
+          // rather than crashing the compiler's toLong with a raw
+          // NumberFormatException
+          if (v.contains("."))
+            fail("COUNT compares to an integer", pos)
           v
         case TLit(v, pos) =>
           if (agg.fn == "COUNT") fail("COUNT compares to an integer", pos)
@@ -950,16 +955,22 @@ object SparqlParser {
         val i = f.indexOf(':'); f.substring(i + 1) == "dateTime"
       } =>
       p.next()
-      if (p.expand(f, pos) != "http://www.w3.org/2001/XMLSchema#dateTime")
-        fail(s"only xsd:dateTime casts are supported, got $f", pos)
-      p.eatPunct("(")
-      val v = p.next() match {
-        case TLit(x, _) => x
-        case other => fail(s"xsd:dateTime() takes a string literal, got ${describe(other)}",
-          other.pos)
+      // the cast path fires only on a CALL — `?x = xsd:dateTime` (the IRI
+      // as a plain term) and `?x = ex:dateTime` (any prefixed name whose
+      // local part happens to be "dateTime") are ordinary operands
+      if (!p.isPunct("(")) (I(p.expand(f, pos)), false, false)
+      else {
+        if (p.expand(f, pos) != "http://www.w3.org/2001/XMLSchema#dateTime")
+          fail(s"only xsd:dateTime casts are supported, got $f", pos)
+        p.eatPunct("(")
+        val v = p.next() match {
+          case TLit(x, _) => x
+          case other => fail(s"xsd:dateTime() takes a string literal, got ${describe(other)}",
+            other.pos)
+        }
+        p.eatPunct(")")
+        (L(v), false, true)
       }
-      p.eatPunct(")")
-      (L(v), false, true)
     case TNum(_, _) => (parseTerm(p, "filter operand"), true, false)
     case _ => (parseTerm(p, "filter operand"), false, false)
   }

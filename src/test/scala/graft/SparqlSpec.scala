@@ -108,6 +108,10 @@ class SparqlSpec extends AnyFunSuite {
     qs.flatMap { case (s, p, o, g) =>
       val base = active match {
         case None => Some(Map.empty: B)
+        // GRAPH ranges over NAMED graphs only: default-graph rows (g = "")
+        // never match inside a GRAPH block (mirror of the compiler's
+        // g-nonempty filter)
+        case Some(_) if g.isEmpty => None
         case Some(t) => bind(t, g, Map.empty)
       }
       base.flatMap(bind(tp.s, s, _)).flatMap(bind(tp.p, p, _)).flatMap(bind(tp.o, o, _))
@@ -209,7 +213,14 @@ class SparqlSpec extends AnyFunSuite {
         acc = acc.filterNot(m => r.exists(x =>
           compatible(m, x) && m.keySet.intersect(x.keySet).nonEmpty))
       case GPath(s, path, o) =>
-        val pairs = evalPath(path, scoped)
+        val pairs0 = evalPath(path, scoped)
+        // spec zero-length completeness for top-level '*'/'?': a constant
+        // endpoint relates to itself even when absent from the graph
+        val topZeroish = path match { case _: PStar | _: POpt => true; case _ => false }
+        val consts = Seq(s, o).collect { case I(u) => u; case L(l) => l }
+        val pairs =
+          if (topZeroish && consts.nonEmpty) (pairs0 ++ consts.map(t => (t, t))).distinct
+          else pairs0
         val binds = pairs.flatMap { case (x, y) =>
           bindT(s, x, Map.empty).flatMap(bindT(o, y, _))
         }
@@ -1583,6 +1594,82 @@ class SparqlSpec extends AnyFunSuite {
     info(s"$ran/$total random queries compiled and matched the evaluator")
     refusals.toSeq.sortBy(-_._2).foreach { case (m, n) => info(s"  refused $n: $m") }
     assert(ran >= (total * 14) / 15, s"too many refusals: only $ran/$total compiled — generator drifted")
+  }
+
+  test("GRAPH ?g never binds the default graph (g = '')") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      ("urn:a", "urn:p", "x", ""),        // default graph: must NOT bind ?g
+      ("urn:b", "urn:p", "x", "urn:g:1"))
+      .toDF("s", "p", "o", "g")
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p> "x" } }""", quads))
+      .map(_.flatten) == Seq(Seq("urn:g:1", "urn:b")))
+    // outside GRAPH, the union-default-graph dataset still sees both rows
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE { ?s <urn:p> "x" }""", quads)).size == 2)
+    // GRAPH <iri> over a constant graph is untouched
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE { GRAPH <urn:g:1> { ?s <urn:p> "x" } }""", quads))
+      .map(_.flatten) == Seq(Seq("urn:b")))
+  }
+
+  test("zero-length '*'/'?' solutions survive for constant endpoints absent " +
+       "from the graph") {
+    val ts = Seq(("urn:a", "urn:p", "urn:b"))
+    // spec: ArbitraryLengthPath includes the zero-length solution for ANY
+    // term, so an unknown constant endpoint relates to itself
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?x WHERE { <urn:unknown> <urn:p>* ?x }", toDf(ts)))
+      .map(_.flatten) == Seq(Seq("urn:unknown")))
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?x WHERE { <urn:unknown> <urn:p>? ?x }", toDf(ts)))
+      .map(_.flatten) == Seq(Seq("urn:unknown")))
+    // ...and an occurring endpoint is not duplicated (solution SETS)
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?x WHERE { <urn:a> <urn:p>* ?x }", toDf(ts)))
+      .map(_.flatten).toSet == Set(Seq("urn:a"), Seq("urn:b")))
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?x WHERE { <urn:a> <urn:p>* ?x }", toDf(ts))).size == 2)
+    // constant-constant: the zero-length pair gates existence
+    assert(SparqlCompiler.ask(
+      "ASK { <urn:unknown> <urn:p>* <urn:unknown> }", toDf(ts)))
+    assert(!SparqlCompiler.ask(
+      "ASK { <urn:unknown> <urn:p>* <urn:other> }", toDf(ts)))
+    // differential: both sides model the completion
+    diffSelectQ("SELECT ?x WHERE { <urn:n:99> <urn:p:knows>* ?x . }",
+      randomQuads(3, 12))
+  }
+
+  test("HAVING(COUNT(...) > 1.5) is refused at parse time, not a crash") {
+    val msg = intercept[SparqlParseException](SparqlParser.parse(
+      """SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s <urn:p> ?o }
+        |GROUP BY ?s HAVING(COUNT(?o) > 1.5)""".stripMargin)).getMessage
+    assert(msg.contains("integer"))
+  }
+
+  test("a prefixed name with local part 'dateTime' is a plain operand " +
+       "unless CALLED") {
+    val ts = Seq(("urn:a", "urn:p", "http://ex.org/dateTime"))
+    // FILTER(?x = ex:dateTime): the prefixed name is an ordinary IRI term
+    val out = rows(SparqlCompiler.compile(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s WHERE { ?s <urn:p> ?x . FILTER(?x = ex:dateTime) }""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(out == Seq(Seq("urn:a")))
+    // FILTER(?p = xsd:dateTime): comparing against the datatype IRI itself
+    val ts2 = Seq(("urn:a", "urn:p", "http://www.w3.org/2001/XMLSchema#dateTime"))
+    val out2 = rows(SparqlCompiler.compile(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s <urn:p> ?x . FILTER(?x = xsd:dateTime) }""".stripMargin,
+      toDf(ts2))).map(_.flatten)
+    assert(out2 == Seq(Seq("urn:a")))
+    // the CALL form still works and still refuses non-XSD casts
+    assert(SparqlCompiler.ask(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |ASK { ?s <urn:t> ?t . FILTER(?t > xsd:dateTime("2024-01-01T00:00:00")) }""".stripMargin,
+      toDf(Seq(("urn:a", "urn:t", "2024-06-01T00:00:00")))))
   }
 
   test("a parquet-backed existence gate stays a hash join, not a nested loop") {
