@@ -183,6 +183,42 @@ object SparqlQueries {
       |           ''
       |    FROM documents))""".stripMargin
 
+  /** A datatype-TYPED frame (s, p, o, dt) for the numeric queries: each
+    * doc's n_chars as an xsd:integer literal, its class membership and a
+    * title literal as untyped rows (dt = '', the plain-literal/resource
+    * convention) — so numeric filters must genuinely discriminate on dt,
+    * not ride a frame that is all-numeric anyway. */
+  private[graft] def dtFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val subj = concat(lit("urn:doc:"), col("doc_id").cast("string"))
+    val nchars = docs.select(subj.as("s"), lit("urn:p:nchars").as("p"),
+      col("n_chars").cast("string").as("o"),
+      lit("http://www.w3.org/2001/XMLSchema#integer").as("dt"))
+    val types = docs.select(subj.as("s"), lit("urn:p:type").as("p"),
+      concat(lit("urn:c:"), (col("doc_id") % 3).cast("string")).as("o"),
+      lit("").as("dt"))
+    val titles = docs.select(subj.as("s"), lit("urn:p:title").as("p"),
+      substring(lower(col("text")), 1, 12).as("o"), lit("").as("dt"))
+    nchars.unionAll(types).unionAll(titles).distinct()
+  }
+
+  /** The same derivation in DuckDB SQL (CTE body producing table `dtr`). */
+  private val dtFrameSql: String =
+    """dtr AS (
+      |  SELECT DISTINCT s, p, o, dt FROM (
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s,
+      |           'urn:p:nchars' AS p, CAST(n_chars AS VARCHAR) AS o,
+      |           'http://www.w3.org/2001/XMLSchema#integer' AS dt
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:type',
+      |           'urn:c:' || CAST(doc_id % 3 AS VARCHAR), ''
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:title',
+      |           substr(lower(text), 1, 12), ''
+      |    FROM documents))""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- the reference's CHANGE-DETECTION query (Harvester.java:1204-1215
@@ -589,6 +625,87 @@ object SparqlQueries {
           |  ?s <urn:p:nchars> ?n . FILTER(datatype(?n) = xsd:integer)
           |} ORDER BY ?s ?n""".stripMargin,
         typed.unionAll(titles))
+    },
+
+    // ---- NUMERIC comparisons over a dt-typed frame: FILTER(?n > 400) is
+    // a VALUE-space comparison — the dt ∈ numeric-types membership prunes
+    // at the scan (the spec's type-error-removes-row for the untyped
+    // title literals) and the cast comparison rides as a residual. The
+    // lexical trap this lifts: "99" > "400" lexically, 99 < 400
+    // numerically.
+    "sparql_numeric_filter" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT s, o AS n FROM dtr
+         |WHERE p = 'urn:p:nchars'
+         |  AND dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |  AND TRY_CAST(o AS DOUBLE) > 400
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?n WHERE {
+          |  ?s <urn:p:nchars> ?n . FILTER(?n > 400)
+          |} ORDER BY ?s ?n""".stripMargin,
+        dtFrame(s, d))
+    },
+
+    // ---- SUM over a PROVEN-integer variable: the datatype() conjunct at
+    // the binding scan pins the value space, so the aggregate compiles as
+    // an exact BIGINT hash aggregate (map-side combinable) — never a sum
+    // of lexical forms. HAVING rides the same aggregate. DuckDB's
+    // SUM(BIGINT) widens to HUGEINT, hence the oracle's explicit cast.
+    "sparql_agg_sum" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT ty.o AS c, CAST(SUM(CAST(n.o AS BIGINT)) AS BIGINT) AS total
+         |FROM dtr ty
+         |JOIN dtr n ON n.s = ty.s AND n.p = 'urn:p:nchars'
+         |  AND n.dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |WHERE ty.p = 'urn:p:type'
+         |GROUP BY 1 HAVING SUM(CAST(n.o AS BIGINT)) > 1000
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?c (SUM(?n) AS ?total) WHERE {
+          |  ?s <urn:p:type> ?c .
+          |  ?s <urn:p:nchars> ?n . FILTER(datatype(?n) = xsd:integer)
+          |} GROUP BY ?c HAVING(SUM(?n) > 1000) ORDER BY ?c ?total""".stripMargin,
+        dtFrame(s, d))
+    },
+
+    // ---- AVG of an integer-proven variable is cross-engine DETERMINISTIC:
+    // both engines take an exact integer sum and do ONE double division,
+    // so the doubles match bit-for-bit (no partial-sum reordering).
+    "sparql_agg_avg" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT ty.o AS c, AVG(CAST(n.o AS BIGINT)) AS mean
+         |FROM dtr ty
+         |JOIN dtr n ON n.s = ty.s AND n.p = 'urn:p:nchars'
+         |  AND n.dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |WHERE ty.p = 'urn:p:type'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?c (AVG(?n) AS ?mean) WHERE {
+          |  ?s <urn:p:type> ?c .
+          |  ?s <urn:p:nchars> ?n . FILTER(datatype(?n) = xsd:integer)
+          |} GROUP BY ?c ORDER BY ?c""".stripMargin,
+        dtFrame(s, d))
+    },
+
+    // ---- ORDER BY over a proven-numeric var sorts by VALUE (the proof
+    // upgrades the sort key to a cast), with the subject as the
+    // deterministic tiebreak; LIMIT keeps it a TakeOrdered, not a full
+    // sort.
+    "sparql_order_numeric" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT s, o AS n FROM dtr
+         |WHERE p = 'urn:p:nchars'
+         |  AND dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |ORDER BY CAST(o AS BIGINT) DESC, s LIMIT 10""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?n WHERE {
+          |  ?s <urn:p:nchars> ?n . FILTER(datatype(?n) = xsd:integer)
+          |} ORDER BY DESC(?n) ?s LIMIT 10""".stripMargin,
+        dtFrame(s, d))
     },
 
     // ---- DESCRIBE by pattern (queryType=DESCRIBE in the river config,

@@ -88,6 +88,15 @@ object SparqlAst {
     * over the frame's `dt` column (the typed-literal datatype IRI, ''/null
     * for plain literals and resources) */
   final case class FDtCmp(v: String, eq: Boolean, iri: String) extends FExpr
+  /** ?v op numeric-literal with an ORDERING op (< <= > >=), normalized
+    * var-on-left at parse time. Value-space comparison: compiles either
+    * against a genuine numeric column (an aggregate output) or — like
+    * lang()/datatype() — as a scan condition at the ONE object-position
+    * pattern binding ?v, requiring the frame's `dt` column: rows whose dt
+    * is not a numeric XSD type are removed (the spec's type-error-removes-
+    * row), the rest compare as numbers. Equality (=/!=) deliberately stays
+    * [[FCmp]]'s lexical-form compare (the documented string-term model). */
+  final case class FNumCmp(v: String, op: String, lex: String) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr
@@ -151,12 +160,14 @@ object SparqlAst {
 
   // ---- projections ----------------------------------------------------------
 
-  /** An aggregate call: fn is COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT;
-    * arg None means COUNT(*); sep is GROUP_CONCAT's SEPARATOR (default " "
-    * per spec). SUM/AVG are refused at parse time: terms are strings
-    * end-to-end, and silently summing lexical forms would diverge from
-    * SPARQL numeric semantics (same contract as the numeric-ordering
-    * refusal in FILTER). */
+  /** An aggregate call: fn is COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT |
+    * SUM | AVG; arg None means COUNT(*); sep is GROUP_CONCAT's SEPARATOR
+    * (default " " per spec). SUM/AVG parse but compile ONLY when the
+    * argument variable is provably numeric — a genuine numeric column (a
+    * COUNT output) or a string term whose single binding pattern carries a
+    * numeric-datatype proof (a datatype()=<numeric xsd type> or numeric-
+    * comparison conjunct pushed to its scan); anything unproven is refused
+    * at compile time rather than silently summing lexical forms. */
   final case class Agg(fn: String, arg: Option[String], distinct: Boolean,
       sep: Option[String])
 

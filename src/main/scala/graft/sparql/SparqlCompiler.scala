@@ -44,9 +44,14 @@ import SparqlAst._
   *    iterative-doubling closure of the path's OWN predicate-filtered edge
   *    slice run to the fixpoint (see [[pathPairs]]).
   *  - GROUP BY / aggregates compile to one map-side-combinable hash
-  *    aggregate; COUNT outputs are genuine BIGINTs tracked per-variable so
-  *    a number never silently joins/unions against a string term; SUM and
-  *    AVG are refused over the string-term model (see [[compileAggSelect]]).
+  *    aggregate; COUNT/SUM/AVG outputs are genuine numeric columns tracked
+  *    per-variable so a number never silently joins/unions against a
+  *    string term. SUM/AVG (and numeric FILTER ordering / ORDER BY value
+  *    sort) compile only over PROVABLY numeric variables — aggregate
+  *    outputs, or string terms whose single binding scan carries a
+  *    numeric-datatype proof via the `dt` column (a datatype() or numeric-
+  *    comparison conjunct); unproven numerics refuse rather than silently
+  *    comparing/summing lexical forms (see [[compileAggSelect]]).
   *  - BIND is a projection extension (withColumn); re-binding and
   *    enclosing-scope references are refused per the same scope rules.
   */
@@ -59,11 +64,36 @@ object SparqlCompiler {
   /** A compiled fragment: the frame, its bound variables in first-bound
     * order, the subset of vars that may be NULL (bound only in an
     * OPTIONAL or only in some UNION branches), and the subset that are
-    * NUMERIC (COUNT aggregate outputs — BIGINT columns in an otherwise
-    * all-string model; joining one against a string term would silently
-    * coerce, so such joins are refused unless both sides are numeric). */
+    * NUMERIC (COUNT/SUM/AVG aggregate outputs — genuine numeric columns
+    * in an otherwise all-string model; joining one against a string term
+    * would silently coerce, so such joins are refused unless both sides
+    * are numeric).
+    *
+    * `numSql` gives the SQL type of each `numeric` column ("bigint" for
+    * COUNT and integer SUM, "double" for AVG / non-integer SUM; absent
+    * means "bigint", the historical default). `castable` marks STRING-term
+    * variables PROVEN numeric-typed at their binding scan (a
+    * datatype()=<numeric xsd type> or numeric-comparison conjunct pushed
+    * there): its value is the cast target that makes SUM/AVG/ORDER BY
+    * value-exact ("bigint" when the proof pins an integer type, otherwise
+    * "double"). */
   private final case class Frag(df: DataFrame, vars: Seq[String],
-      maybeNull: Set[String], numeric: Set[String] = Set.empty)
+      maybeNull: Set[String], numeric: Set[String] = Set.empty,
+      numSql: Map[String, String] = Map.empty,
+      castable: Map[String, String] = Map.empty)
+
+  /** XSD numeric datatypes, split by exact-integer vs floating value
+    * space — the split picks SUM/ORDER cast targets ("bigint" stays exact
+    * cross-engine; decimal/double go through "double"). */
+  private val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+  private val integerDts: Set[String] = Set(
+    "integer", "long", "int", "short", "byte",
+    "nonNegativeInteger", "positiveInteger", "nonPositiveInteger",
+    "negativeInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte").map(XsdNs + _)
+  private val floatDts: Set[String] =
+    Set("decimal", "double", "float").map(XsdNs + _)
+  private val numericDts: Set[String] = integerDts ++ floatDts
 
   /** Parse + compile in one step. `triples` must have string columns
     * (s, p, o), plus optionally `ol` (the object's language tag, ''/null
@@ -168,28 +198,43 @@ object SparqlCompiler {
         }
         (w.df.select(cols: _*), sel.projs.map(_.name))
       }
-    var df = if (sel.distinct) projected.distinct() else projected
-    df = applyOrderLimit(df, sel, outVars)
     // projection renames can re-bind names; everything projected is now
-    // top-level, and null-ness / numeric-ness survive the rename
+    // top-level, and null-ness / numeric-ness / type proofs survive the
+    // rename
     def renamed(src: Set[String]): Set[String] = sel.projs match {
       case Seq() => src
       case ps => ps.collect {
         case Proj(name, PVarRef(s)) if src(s) => name
       }.toSet
     }
-    Frag(df, outVars, renamed(w.maybeNull), renamed(w.numeric))
+    def renamedMap(src: Map[String, String]): Map[String, String] = sel.projs match {
+      case Seq() => src
+      case ps => ps.collect {
+        case Proj(name, PVarRef(s)) if src.contains(s) => name -> src(s)
+      }.toMap
+    }
+    val castableOut = renamedMap(w.castable)
+    var df = if (sel.distinct) projected.distinct() else projected
+    df = applyOrderLimit(df, sel, outVars, castableOut)
+    Frag(df, outVars, renamed(w.maybeNull), renamed(w.numeric),
+      renamedMap(w.numSql), castableOut)
   }
 
-  private def applyOrderLimit(df0: DataFrame, sel: SelectQ, outVars: Seq[String]): DataFrame = {
+  /** ORDER BY sorts string terms lexicographically (the documented term
+    * model; exact for the reference's fixed-layout dateTime watermarks)
+    * EXCEPT over genuinely numeric columns (aggregate outputs sort as the
+    * numbers they are) and over `castable` vars, whose numeric-type proof
+    * upgrades the sort to value order via a cast sort key. */
+  private def applyOrderLimit(df0: DataFrame, sel: SelectQ, outVars: Seq[String],
+      castable: Map[String, String] = Map.empty): DataFrame = {
     var df = df0
     if (sel.orderBy.nonEmpty) {
       sel.orderBy.foreach { case (v, _) =>
         if (!outVars.contains(v)) unsupported(s"ORDER BY ?$v is not in the projection")
       }
-      df = df.orderBy(sel.orderBy.map {
-        case (v, true) => col(v).asc
-        case (v, false) => col(v).desc
+      df = df.orderBy(sel.orderBy.map { case (v, asc) =>
+        val key = castable.get(v).map(t => col(v).try_cast(t)).getOrElse(col(v))
+        if (asc) key.asc else key.desc
       }: _*)
     }
     sel.offset.foreach(n => df = df.offset(checkedInt(n, "OFFSET")))
@@ -205,8 +250,15 @@ object SparqlCompiler {
     *    both engines pick the same witness.
     *  - GROUP_CONCAT order is undefined by the spec; values are SORTED
     *    before joining (DuckDB: string_agg(... ORDER BY ...)).
-    *  - COUNT outputs are genuine BIGINTs (marked `numeric`); SUM/AVG are
-    *    refused at parse time.
+    *  - COUNT outputs are genuine BIGINTs (marked `numeric`).
+    *  - SUM/AVG compile ONLY over provably numeric arguments: a genuine
+    *    numeric column (a COUNT output — SUM-of-COUNTs is a common roll-up)
+    *    or a `castable` var (numeric-datatype proof at its binding scan);
+    *    integer proofs sum as BIGINT (exact cross-engine), everything else
+    *    as DOUBLE; AVG of an integer-proven var is ONE double division
+    *    after an exact integer sum, so it is cross-engine deterministic.
+    *    Per the spec, Sum({}) = 0 and Avg({}) = 0 — the empty/all-unbound
+    *    group coalesces to zero instead of SQL's NULL.
     *  - Aggregates skip NULL (unbound) inputs in both engines, matching
     *    the spec's error-row elision; COUNT(*) counts all solutions. */
   private def compileAggSelect(sel: SelectQ, w: Frag): Frag = {
@@ -217,8 +269,18 @@ object SparqlCompiler {
     }
     def checkArg(a: Agg): Unit = a.arg.foreach { v =>
       if (!w.vars.contains(v)) unsupported(s"aggregate over unbound variable ?$v")
-      if (w.numeric(v)) unsupported(s"aggregating the aggregate-valued ?$v is not supported")
+      if (a.fn == "SUM" || a.fn == "AVG") {
+        if (!w.numeric(v) && !w.castable.contains(v))
+          unsupported(s"${a.fn}(?$v): ?$v is not provably numeric — terms are " +
+            s"strings end-to-end; add FILTER(datatype(?$v) = <numeric xsd " +
+            "type>) at its binding pattern (frame needs a `dt` column) so " +
+            "the aggregate is value-exact, not a sum of lexical forms")
+      } else if (w.numeric(v))
+        unsupported(s"aggregating the aggregate-valued ?$v is not supported")
     }
+    /** SQL type a SUM over ?v produces (and AVG's input cast) */
+    def numArgType(v: String): String =
+      if (w.numeric(v)) w.numSql.getOrElse(v, "bigint") else w.castable(v)
     sel.projs.foreach {
       case Proj(name, PVarRef(src)) =>
         if (!sel.groupBy.contains(src))
@@ -243,6 +305,18 @@ object SparqlCompiler {
       case Agg("GROUP_CONCAT", Some(v), d, sep) =>
         val vals = if (d) collect_set(col(v)) else collect_list(col(v))
         array_join(array_sort(vals), sep.getOrElse(" "))
+      case Agg("SUM", Some(v), d, _) =>
+        val t = numArgType(v)
+        // try_cast: a proof-passing row with an invalid lexical form
+        // contributes null (skipped) instead of an ANSI cast error
+        val c = if (w.numeric(v)) col(v) else col(v).try_cast(t)
+        val s = if (d) sum_distinct(c) else sum(c)
+        coalesce(s, lit(0).cast(t)).cast(t) // Sum({}) = 0 per spec
+      case Agg("AVG", Some(v), d, _) =>
+        if (d) unsupported("AVG(DISTINCT) is not supported (spell it as " +
+          "SUM(DISTINCT)/COUNT(DISTINCT) if the intent is real)")
+        val c = if (w.numeric(v)) col(v) else col(v).try_cast(numArgType(v))
+        coalesce(avg(c), lit(0.0)) // Avg({}) = 0 per spec
       case other => unsupported(s"unsupported aggregate ${other.fn}")
     }
 
@@ -266,7 +340,12 @@ object SparqlCompiler {
 
     havingAggs.foreach { case (cn, HCmp(agg, op, rhs)) =>
       val c = col(cn)
-      val r: Column = if (agg.fn == "COUNT") lit(rhs.toLong) else lit(rhs)
+      val r: Column = agg.fn match {
+        case "COUNT" => lit(rhs.toLong)
+        case "SUM" | "AVG" =>
+          if (rhs.contains(".")) lit(rhs.toDouble) else lit(rhs.toLong)
+        case _ => lit(rhs)
+      }
       df = df.filter(op match {
         case "=" => c === r
         case "!=" => c =!= r
@@ -285,18 +364,28 @@ object SparqlCompiler {
     df = df.select(projCols: _*)
     if (sel.distinct) df = df.distinct()
     val outVars = sel.projs.map(_.name)
-    df = applyOrderLimit(df, sel, outVars)
-    val numeric = sel.projs.collect {
-      case Proj(name, PAggRef(a)) if a.fn == "COUNT" => name
-    }.toSet
-    // a non-COUNT aggregate can be NULL: over the implicit single group of
-    // an empty input, or when every group member's arg is unbound
+    // group-key projections keep their numeric-type proofs across the agg
+    val castableOut = sel.projs.collect {
+      case Proj(name, PVarRef(src)) if w.castable.contains(src) =>
+        name -> w.castable(src)
+    }.toMap
+    df = applyOrderLimit(df, sel, outVars, castableOut)
+    val numSql = sel.projs.collect {
+      case Proj(name, PAggRef(a)) if a.fn == "COUNT" => name -> "bigint"
+      case Proj(name, PAggRef(a)) if a.fn == "SUM" =>
+        name -> numArgType(a.arg.get)
+      case Proj(name, PAggRef(a)) if a.fn == "AVG" => name -> "double"
+    }.toMap
+    // COUNT/SUM/AVG never null (zero-coalesced per spec); the string
+    // aggregates can be: over the implicit single group of an empty input,
+    // or when every group member's arg is unbound
+    val zeroed = Set("COUNT", "SUM", "AVG")
     val nullable = sel.projs.collect {
-      case Proj(name, PAggRef(a)) if a.fn != "COUNT" &&
+      case Proj(name, PAggRef(a)) if !zeroed(a.fn) &&
         (sel.groupBy.isEmpty || a.arg.exists(w.maybeNull)) => name
       case Proj(name, PVarRef(src)) if w.maybeNull(src) => name
     }.toSet
-    Frag(df, outVars, nullable, numeric)
+    Frag(df, outVars, nullable, numSql.keySet, numSql, castableOut)
   }
 
   // ---- group graph patterns -----------------------------------------------------
@@ -338,7 +427,8 @@ object SparqlCompiler {
         val maybeNull =
           if (kind == "optional") a.maybeNull ++ fresh ++ (f.maybeNull -- shared.toSet)
           else a.maybeNull ++ (f.maybeNull -- shared.toSet)
-        acc = Some(Frag(joined, vars, maybeNull, a.numeric ++ f.numeric))
+        acc = Some(Frag(joined, vars, maybeNull, a.numeric ++ f.numeric,
+          a.numSql ++ f.numSql, a.castable ++ f.castable))
     }
 
     /** SPARQL `OPTIONAL { P FILTER F }` is LeftJoin(left, P, F): F sees the
@@ -359,7 +449,7 @@ object SparqlCompiler {
       val bound = a.vars.toSet ++ leftVars
       val (filterElems, core0) = og.elems.partition(_.isInstanceOf[GFilter])
       val split = filterElems.collect { case GFilter(e) =>
-        conjuncts(e).partition(isScanCond)
+        conjuncts(e).partition(scanCondIn(og.elems))
       }
       // scan-column conjuncts (lang/datatype) never reference left-side
       // vars usefully (their columns exist only at the binding pattern's
@@ -371,7 +461,7 @@ object SparqlCompiler {
       val c0 = compileGroup(Group(core), triples, bound, graphVar)
       val (pending, local) = fs.partition(e => (fvars(e) -- c0.vars.toSet).exists(bound))
       val c = local.foldLeft(c0)((f, e) =>
-        f.copy(df = f.df.filter(compileFilter(e, f.vars))))
+        f.copy(df = f.df.filter(compileFilter(e, f))))
       val shared = a.vars.filter(c.vars.contains)
       if (shared.isEmpty)
         unsupported(s"OPTIONAL {${c.vars.mkString(",")}} shares no variable " +
@@ -391,7 +481,8 @@ object SparqlCompiler {
         acc = Some(Frag(a.df.join(c.df, shared, "left_outer"),
           a.vars ++ freshVars,
           a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet),
-          a.numeric ++ c.numeric))
+          a.numeric ++ c.numeric, a.numSql ++ c.numSql,
+          a.castable ++ c.castable))
       } else {
         // disambiguate the optional side, then join on shared-var equality
         // AND the residual condition
@@ -402,12 +493,14 @@ object SparqlCompiler {
           else if (a.vars.contains(v)) Some(col(v))
           else None // bound nowhere: null condition => no extension
         val eq = shared.map(v => col(v) === col(ren(v))).reduce(_ && _)
-        val cond = pending.map(e => compileFilter(e, resolve)).reduce(_ && _)
+        val cond = pending.map(e => compileFilter(e, resolve,
+          a.numeric ++ c.numeric, a.castable ++ c.castable)).reduce(_ && _)
         val joined = a.df.join(cdf, eq && cond, "left_outer")
           .select(a.vars.map(col) ++ freshVars.map(v => col(ren(v)).as(v)): _*)
         acc = Some(Frag(joined, a.vars ++ freshVars,
           a.maybeNull ++ freshVars.toSet ++ (c.maybeNull -- shared.toSet),
-          a.numeric ++ c.numeric))
+          a.numeric ++ c.numeric, a.numSql ++ c.numSql,
+          a.castable ++ c.castable))
       }
     }
 
@@ -421,7 +514,7 @@ object SparqlCompiler {
     val scanBuf = Seq.newBuilder[FExpr]
     val elems0: Seq[GElem] = g.elems.flatMap {
       case GFilter(e) =>
-        val (scans, rest) = conjuncts(e).partition(isScanCond)
+        val (scans, rest) = conjuncts(e).partition(scanCondIn(g.elems))
         scanBuf ++= scans
         rest.reduceOption(FAnd).map(GFilter(_)).toSeq
       case other => Seq(other)
@@ -432,8 +525,8 @@ object SparqlCompiler {
       else {
         scanList.map(scanCondColumn).distinct.foreach { c =>
           if (!triples.columns.contains(c))
-            unsupported(s"${if (c == "dt") "datatype()" else "lang()/langMatches()"} " +
-              s"needs a triple frame with a `$c` column; this frame has " +
+            unsupported(s"${if (c == "dt") "datatype()/numeric comparisons" else "lang()/langMatches()"} " +
+              s"need${if (c == "dt") "" else "s"} a triple frame with a `$c` column; this frame has " +
               triples.columns.mkString("(", ", ", ")"))
         }
         scanList.groupBy(e => fvars(e).head).map { case (v, es) =>
@@ -449,6 +542,19 @@ object SparqlCompiler {
               "occurrences) — the tag/datatype columns exist only at that scan")
           v -> es.map(langCondCol).reduce(_ && _)
         }
+      }
+    // numeric-type proofs established by the pushed conjuncts: a positive
+    // datatype() equality pins the var's value space exactly (integer
+    // family -> bigint-exact, decimal/double/float -> double); a numeric
+    // comparison proves dt ∈ numeric without pinning the family (double).
+    // The proof unlocks SUM/AVG/ORDER BY over the variable downstream.
+    val provenCast: Map[String, String] =
+      scanList.groupBy(e => fvars(e).head).flatMap { case (v, es) =>
+        val posDts = es.collect { case FDtCmp(_, true, iri) => iri }
+        if (posDts.exists(integerDts)) Some(v -> "bigint")
+        else if (posDts.exists(floatDts)) Some(v -> "double")
+        else if (es.exists(_.isInstanceOf[FNumCmp])) Some(v -> "double")
+        else None
       }
 
     // source order matters for OPTIONAL scoping; runs of adjacent triple
@@ -558,7 +664,8 @@ object SparqlCompiler {
               // SPARQL error semantics: the bound var is simply unbound
               val mayNull = refs.exists(v => !a.vars.contains(v) || a.maybeNull(v))
               acc = Some(Frag(a.df.withColumn(name, c), a.vars :+ name,
-                if (mayNull) a.maybeNull + name else a.maybeNull, a.numeric))
+                if (mayNull) a.maybeNull + name else a.maybeNull, a.numeric,
+                a.numSql, a.castable))
             case None =>
               if (refs.nonEmpty)
                 unsupported("BIND referencing variables cannot start a group " +
@@ -634,6 +741,10 @@ object SparqlCompiler {
       gates = gates.tail
       Frag(seed.limit(1).select(lit(1).as("__gate0")), Seq.empty, Set.empty)
     }
+    // attach this group's numeric-type proofs before the deferred filters
+    // run (a residual numeric comparison may lean on them)
+    result = result.copy(castable =
+      result.castable ++ provenCast.filter { case (v, _) => result.vars.contains(v) })
     // apply existence gates: 0-or-1-row EQUALITY join on a key each side
     // derives from its own data. The key is '' for every row, but via an
     // expression no optimizer rule can prove constant (a lit key would be
@@ -664,7 +775,7 @@ object SparqlCompiler {
           " bound only in the enclosing group: substitute semantics are " +
           "not compiled at this nesting — move the filter up a level " +
           "(scaladoc: compileGroup/compileOptional)")
-      result = result.copy(df = result.df.filter(compileFilter(e, result.vars)))
+      result = result.copy(df = result.df.filter(compileFilter(e, result)))
     }
     // FILTER [NOT] EXISTS { P }: per-solution existence over the shared
     // variables = ONE left semi / left anti hash join against P — the plan
@@ -710,6 +821,7 @@ object SparqlCompiler {
     case FStrFn(_, t, _) => tvars(t)
     case FStrLenCmp(v, _, _) => Set(v)
     case FDtCmp(v, _, _) => Set(v)
+    case FNumCmp(v, _, _) => Set(v)
     case FLangCmp(v, _, _) => Set(v)
     case FLangMatches(v, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
@@ -725,15 +837,23 @@ object SparqlCompiler {
 
   /** scan-column conditions: lang()/langMatches() read the frame's `ol`
     * column, datatype() its `dt` column — both push into the one pattern
-    * binding their variable in object position */
-  private def isScanCond(e: FExpr): Boolean = e match {
+    * binding their variable in object position. A numeric comparison is a
+    * scan condition only when its variable is solely-object-bound in the
+    * given elements (otherwise it compiles as a plain filter, valid over
+    * numeric aggregate columns / proven-castable vars, refused elsewhere). */
+  private def scanCondIn(elems: Seq[GElem])(e: FExpr): Boolean = e match {
     case _: FLangCmp | _: FLangMatches | _: FDtCmp => true
+    case FNumCmp(v, _, _) =>
+      elems.count {
+        case GTriple(TP(_, _, V(n))) => n == v
+        case _ => false
+      } == 1 && bindingOccurrences(elems).count(_ == v) == 1
     case _ => false
   }
 
   /** the frame column a scan condition needs */
   private def scanCondColumn(e: FExpr): String = e match {
-    case _: FDtCmp => "dt"
+    case _: FDtCmp | _: FNumCmp => "dt"
     case _ => "ol"
   }
 
@@ -775,6 +895,25 @@ object SparqlCompiler {
       // datatype(): same pushable null-handling shapes over `dt`
       case FDtCmp(_, true, iri) => col("dt") === iri
       case FDtCmp(_, false, iri) => col("dt").isNull || col("dt") =!= iri
+      // numeric ordering: value-space comparison over the numeric-typed
+      // slice. dt ∈ numericDts is the spec's type-error-removes-row for
+      // non-numeric bindings (plain literals, IRIs, strings); the dt
+      // membership converts to a data-source IN filter at the scan. The
+      // cast comparison rides as a residual; an invalid lexical form under
+      // a numeric dt casts to null => row removed, again per spec.
+      case FNumCmp(_, op, lex) =>
+        val isNum = col("dt").isin(numericDts.toSeq: _*)
+        // try_cast: an invalid lexical form under a numeric dt is null
+        // (row removed per spec) instead of an ANSI cast error
+        val v = col("o").try_cast("double")
+        val r = lit(lex.toDouble)
+        isNum && (op match {
+          case "<" => v < r
+          case "<=" => v <= r
+          case ">" => v > r
+          case ">=" => v >= r
+          case other => unsupported(s"unexpected numeric comparison op $other")
+        })
       case other => unsupported(s"not a scan-column condition: $other")
     }
   }
@@ -860,6 +999,20 @@ object SparqlCompiler {
           "and a string term on another: the union would silently coerce")
       st.headOption.contains(true)
     }.toSet
+    def unified(ts: Seq[String]): String =
+      if (ts.distinct == Seq("bigint")) "bigint" else "double"
+    val numSql: Map[String, String] = numeric.map { v =>
+      v -> unified(frags.filter(_.vars.contains(v)).map(_.numSql.getOrElse(v, "bigint")) ++
+        (if (a.vars.contains(v)) Seq(a.numSql.getOrElse(v, "bigint")) else Nil))
+    }.toMap
+    val castable: Map[String, String] = outVars.flatMap { v =>
+      val sides = frags.filter(_.vars.contains(v)) ++
+        (if (a.vars.contains(v)) Seq(a) else Nil)
+      val proofs = sides.map(_.castable.get(v))
+      if (sides.nonEmpty && proofs.forall(_.isDefined))
+        Some(v -> unified(proofs.flatten))
+      else None
+    }.toMap
     val joined = frags.map { f =>
       val shared = a.vars.filter(f.vars.contains)
       if (shared.isEmpty)
@@ -874,12 +1027,12 @@ object SparqlCompiler {
       val present = (a.vars ++ f.vars).toSet
       a.df.join(f.df, shared, "inner").select(outVars.map(v =>
         if (present(v)) col(v)
-        else lit(null).cast(if (numeric(v)) "bigint" else "string").as(v)): _*)
+        else lit(null).cast(numSql.getOrElse(v, "string")).as(v)): _*)
     }
     val maybeNull: Set[String] =
       a.maybeNull ++ frags.flatMap(_.maybeNull) ++
         outVars.filter(v => !a.vars.contains(v) && !frags.forall(_.vars.contains(v)))
-    Frag(joined.reduce(_ unionAll _), outVars, maybeNull, numeric)
+    Frag(joined.reduce(_ unionAll _), outVars, maybeNull, numeric, numSql, castable)
   }
 
   /** Syntactic BINDING occurrences of variables in a group's elements —
@@ -915,15 +1068,32 @@ object SparqlCompiler {
           "string term in another: the union would silently coerce")
       statuses.headOption.contains(true)
     }.toSet
+    // bigint-in-one-branch, double-in-another widens to double (Spark's
+    // set-operation widening); track the widened type for null-fill casts
+    def unified(ts: Seq[String]): String =
+      if (ts.distinct == Seq("bigint")) "bigint" else "double"
+    val numSql: Map[String, String] = numeric.map { v =>
+      v -> unified(frags.filter(_.vars.contains(v))
+        .map(_.numSql.getOrElse(v, "bigint")))
+    }.toMap
+    // a var keeps its numeric-type proof only if EVERY branch binding it
+    // proves one (else some rows are unproven lexical forms)
+    val castable: Map[String, String] = allVars.flatMap { v =>
+      val binds = frags.filter(_.vars.contains(v))
+      val proofs = binds.map(_.castable.get(v))
+      if (binds.nonEmpty && proofs.forall(_.isDefined))
+        Some(v -> unified(proofs.flatten))
+      else None
+    }.toMap
     val aligned = frags.map { f =>
       val cols = allVars.map(v =>
         if (f.vars.contains(v)) col(v)
-        else lit(null).cast(if (numeric(v)) "bigint" else "string").as(v))
+        else lit(null).cast(numSql.getOrElse(v, "string")).as(v))
       f.df.select(cols: _*)
     }
     val everywhere = allVars.filter(v => frags.forall(_.vars.contains(v))).toSet
     val maybeNull = allVars.filterNot(everywhere).toSet ++ frags.flatMap(_.maybeNull)
-    Frag(aligned.reduce(_ unionAll _), allVars, maybeNull, numeric)
+    Frag(aligned.reduce(_ unionAll _), allVars, maybeNull, numeric, numSql, castable)
   }
 
   // ---- triple patterns ---------------------------------------------------------
@@ -1096,15 +1266,20 @@ object SparqlCompiler {
 
   // ---- filters -------------------------------------------------------------------
 
-  private def compileFilter(e: FExpr, vars: Seq[String]): Column =
-    compileFilter(e, (n: String) => if (vars.contains(n)) Some(col(n)) else None)
+  private def compileFilter(e: FExpr, frag: Frag): Column =
+    compileFilter(e,
+      (n: String) => if (frag.vars.contains(n)) Some(col(n)) else None,
+      frag.numeric, frag.castable)
 
   /** `resolve`: variable -> in-scope column; None means the variable is
     * bound nowhere — SPARQL evaluates it to an error, and a filter whose
     * expression errors removes the row, so it compiles to a null literal
     * (three-valued logic then filters the row, or voids the join
-    * condition, exactly as required). */
-  private def compileFilter(e: FExpr, resolve: String => Option[Column]): Column = {
+    * condition, exactly as required). `numeric`/`castable` carry the
+    * fragment's numeric knowledge for residual FNumCmp compilation. */
+  private def compileFilter(e: FExpr, resolve: String => Option[Column],
+      numeric: Set[String] = Set.empty,
+      castable: Map[String, String] = Map.empty): Column = {
     def term(t: Term): Column = t match {
       case V(n) => resolve(n).getOrElse(lit(null).cast("string"))
       case I(u) => lit(u)
@@ -1155,13 +1330,39 @@ object SparqlCompiler {
         unsupported(s"datatype(?$v) is only supported as a top-level FILTER " +
           "conjunct over a variable bound in exactly one object position of " +
           "the same group (the datatype lives in the frame's `dt` column)")
-      case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
-      case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
+      case FNumCmp(v, op, lex) =>
+        // residual numeric ordering: valid over a genuine numeric column
+        // (an aggregate output) or a var PROVEN numeric-typed at its
+        // binding scan; anything else would compare lexical forms
+        val c0 = resolve(v).getOrElse(lit(null).cast("string"))
+        val c =
+          if (numeric(v)) c0
+          else if (castable.contains(v)) c0.try_cast(castable(v))
+          else unsupported(s"FILTER(?$v $op $lex): ?$v is not provably numeric " +
+            "here — a numeric ordering compiles at the ONE object-position " +
+            s"pattern binding ?$v in the same group (frame needs a `dt` " +
+            s"column), over a variable proven numeric by a datatype(?$v) = " +
+            "<numeric xsd type> filter at its binding pattern, or over an " +
+            "aggregate output; anything else would compare lexical forms")
+        val r = lit(lex.toDouble)
+        op match {
+          case "<" => c < r
+          case "<=" => c <= r
+          case ">" => c > r
+          case ">=" => c >= r
+          case other => unsupported(s"unexpected numeric comparison op $other")
+        }
+      case FAnd(a, b) =>
+        compileFilter(a, resolve, numeric, castable) &&
+          compileFilter(b, resolve, numeric, castable)
+      case FOr(a, b) =>
+        compileFilter(a, resolve, numeric, castable) ||
+          compileFilter(b, resolve, numeric, castable)
       case FNot(a) =>
         // SQL three-valued NOT(null)=null filters the row, which matches
         // SPARQL's error-removes-row for everything EXCEPT !BOUND — BOUND
         // compiles to a non-null boolean, so NOT stays two-valued there
-        !compileFilter(a, resolve)
+        !compileFilter(a, resolve, numeric, castable)
     }
   }
 }

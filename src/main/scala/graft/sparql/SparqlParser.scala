@@ -249,28 +249,25 @@ object SparqlParser {
     }
   }
 
-  private val aggNames = Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+  private val aggNames =
+    Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
 
   private def isAggName(p: P): Boolean = p.peek match {
-    case TName(v, _) =>
-      aggNames(v.toUpperCase) || v.equalsIgnoreCase("SUM") || v.equalsIgnoreCase("AVG")
+    case TName(v, _) => aggNames(v.toUpperCase)
     case _ => false
   }
 
   /** aggregate call, keyword not yet consumed:
     * COUNT([DISTINCT] * | ?v) | MIN/MAX/SAMPLE([DISTINCT] ?v) |
-    * GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]). SUM/AVG are refused:
-    * terms are strings end-to-end and summing lexical forms would silently
-    * diverge from SPARQL numeric semantics. */
+    * GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]) | SUM/AVG([DISTINCT] ?v).
+    * SUM/AVG parse here; the COMPILER refuses them unless the argument is
+    * provably numeric (see SparqlAst.Agg) — summing lexical forms would
+    * silently diverge from SPARQL numeric semantics. */
   private def parseAggCall(p: P): Agg = {
     val (fn, fnPos) = p.next() match {
       case TName(v, pos) => (v.toUpperCase, pos)
       case other => fail(s"expected aggregate, got ${describe(other)}", other.pos)
     }
-    if (fn == "SUM" || fn == "AVG")
-      fail(s"$fn is not supported: terms are strings end-to-end, and summing " +
-        "lexical forms would silently diverge from SPARQL numeric semantics " +
-        "(same contract as the numeric-ordering refusal)", fnPos)
     if (!aggNames(fn)) fail(s"unsupported aggregate $fn", fnPos)
     p.eatPunct("(")
     val distinct = if (p.isName("DISTINCT")) { p.next(); true } else false
@@ -316,17 +313,18 @@ object SparqlParser {
       }
       val rhs = p.next() match {
         case TNum(v, pos) =>
-          if (agg.fn != "COUNT")
+          if (agg.fn != "COUNT" && agg.fn != "SUM" && agg.fn != "AVG")
             fail(s"${agg.fn} is string-valued: comparing it to a number would " +
               "be lexicographic, not numeric", pos)
           // COUNT is integral: a decimal rhs is refused HERE (positioned)
           // rather than crashing the compiler's toLong with a raw
-          // NumberFormatException
-          if (v.contains("."))
+          // NumberFormatException; SUM/AVG rhs may be decimal
+          if (agg.fn == "COUNT" && v.contains("."))
             fail("COUNT compares to an integer", pos)
           v
         case TLit(v, pos) =>
-          if (agg.fn == "COUNT") fail("COUNT compares to an integer", pos)
+          if (agg.fn == "COUNT" || agg.fn == "SUM" || agg.fn == "AVG")
+            fail(s"${agg.fn} compares to a number", pos)
           if (op != "=" && op != "!=")
             fail("numeric ordering comparisons are not supported over string " +
               "aggregates (lexicographic '<' would silently diverge)", opPos)
@@ -906,17 +904,29 @@ object SparqlParser {
         case other => fail(s"expected comparison/IN after operand, got ${describe(other)}", other.pos)
       }
       val (r, rNum, _) = parseOperandN(p)
-      // terms are strings end-to-end; an ordering comparison against a
-      // NUMERIC literal would silently compare lexicographically
-      // ("10" < "9"), so REJECT it — equality on the lexical form is fine.
-      // (String-literal ordering stays allowed — that is what makes the
-      // reference's xsd:dateTime watermark compare work: its fixed ISO
-      // layout is ordered lexicographically == chronologically.)
-      if ((lNum || rNum) && op != "=" && op != "!=")
-        fail("numeric ordering comparisons are not supported over string " +
-          "terms (lexicographic '<' would silently diverge from SPARQL " +
-          "numeric semantics)", opPos)
-      FCmp(op, l, r)
+      // Ordering against a NUMERIC literal is a VALUE-space comparison:
+      // ?v op number parses to FNumCmp (normalized var-on-left) and the
+      // compiler proves numeric-ness or refuses. Any other numeric-ordering
+      // shape (two constants, number vs string literal) is refused —
+      // lexicographic "10" < "9" would silently diverge. Equality keeps
+      // the lexical-form compare, and string-literal ordering stays
+      // allowed — that is what makes the reference's xsd:dateTime
+      // watermark compare work: its fixed ISO layout is ordered
+      // lexicographically == chronologically.
+      if ((lNum || rNum) && op != "=" && op != "!=") {
+        def flip(o: String): String = o match {
+          case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+        }
+        (l, r) match {
+          case (V(n), L(lex)) if rNum => FNumCmp(n, op, lex)
+          case (L(lex), V(n)) if lNum => FNumCmp(n, flip(op), lex)
+          case _ =>
+            fail("numeric ordering comparisons need a variable on one side " +
+              "and the numeric literal on the other (two constants, or a " +
+              "number against a string literal, would silently diverge " +
+              "from SPARQL numeric semantics)", opPos)
+        }
+      } else FCmp(op, l, r)
     }
   }
 

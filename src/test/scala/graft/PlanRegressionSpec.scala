@@ -51,6 +51,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("sparql_numeric_filter: numeric comparison stays at the scan — no " +
+       "join, no shuffle before the filter") {
+    val p = plan("sparql_numeric_filter")
+    // the dt-membership + cast comparison compile into the ONE pattern
+    // binding ?n: the frame derivation is a projection over documents, so
+    // the whole thing must stay a single narrow scan+filter (at 100 TB the
+    // numeric filter prunes before anything widens)
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"numeric filter must not introduce a join/shuffle:\n$p")
+    assert(p.toLowerCase.contains("cast"),
+      s"value-space comparison must appear in the plan:\n$p")
+  }
+
+  test("sparql_agg_sum: proven-integer SUM is ONE hash aggregate with a " +
+       "map-side partial, joined via hash joins only") {
+    val p = plan("sparql_agg_sum")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"SUM must partial-aggregate map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"),
+      s"SUM over bigint must stay a hash aggregate:\n$p")
+  }
+
   test("sparql_union_join: distributed union join is hash joins over pruned " +
        "scans, never a nested loop") {
     val p = plan("sparql_union_join")

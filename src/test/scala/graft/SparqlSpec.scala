@@ -138,8 +138,27 @@ class SparqlSpec extends AnyFunSuite {
       }
     }
     case FStrFn(fn, _, _) => fail(s"evaluator: unknown string builtin $fn")
-    case _: FLangCmp | _: FLangMatches | _: FDtCmp =>
-      fail("evaluator: lang()/datatype() are not modeled (no ol/dt columns)")
+    case _: FLangCmp | _: FLangMatches =>
+      fail("evaluator: lang() is not modeled (no ol column)")
+    // datatype(): mirrors the diff frames' dt stamp (xsd:integer on
+    // all-digit objects, '' otherwise — the engine's plain-literal
+    // convention)
+    case FDtCmp(v, eq, iri) => m.get(v).map { s =>
+      val dt = if (s.nonEmpty && s.forall(_.isDigit))
+        "http://www.w3.org/2001/XMLSchema#integer" else ""
+      if (eq) dt == iri else dt != iri
+    }
+    // numeric ordering: the diff frames stamp dt=xsd:integer exactly on
+    // all-digit objects (diffSelectDf), so "parses as a long" here is the
+    // same value space as the compiler's dt ∈ numericDts scan condition;
+    // a non-numeric binding is the spec's type error -> row removed (None)
+    case FNumCmp(v, op, lex) => m.get(v).flatMap(_.toLongOption).map { n =>
+      val (l, r) = (BigDecimal(n), BigDecimal(lex))
+      op match {
+        case "<" => l < r; case "<=" => l <= r
+        case ">" => l > r; case ">=" => l >= r
+      }
+    }
     case FIn(t, vals) => term(t, m).map(v => vals.flatMap(x => term(x, m)).contains(v))
     case FCmp(op, l, r) =>
       for (a <- term(l, m); b <- term(r, m)) yield op match {
@@ -311,6 +330,9 @@ class SparqlSpec extends AnyFunSuite {
       case "MIN" | "SAMPLE" => vals.minOption
       case "MAX" => vals.maxOption
       case "GROUP_CONCAT" => Some(vals.sorted.mkString(a.sep.getOrElse(" ")))
+      // the fuzzer only SUMs provably-integer vars (all-digit objects);
+      // Sum({}) = 0 per spec, matching the compiler's coalesce
+      case "SUM" => Some(vals.flatMap(_.toLongOption).sum.toString)
       case other => fail(s"evaluator: unsupported aggregate $other")
     }
   }
@@ -329,8 +351,8 @@ class SparqlSpec extends AnyFunSuite {
         groups.flatMap { ms =>
           val keep = sel.having.forall { case HCmp(agg, op, rhs) =>
             evalAgg(agg, ms).exists { v =>
-              if (agg.fn == "COUNT") {
-                val (l, r) = (v.toLong, rhs.toLong)
+              if (agg.fn == "COUNT" || agg.fn == "SUM") {
+                val (l, r) = (BigDecimal(v), BigDecimal(rhs))
                 op match {
                   case "=" => l == r; case "!=" => l != r
                   case "<" => l < r; case "<=" => l <= r
@@ -366,7 +388,14 @@ class SparqlSpec extends AnyFunSuite {
     diffSelectDf(q, qs.toDF("s", "p", "o", "g"), qs)
   }
 
-  private def diffSelectDf(q: String, df0: DataFrame, qs: Seq[Quad]): Unit = {
+  private def diffSelectDf(q: String, df00: DataFrame, qs: Seq[Quad]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // the differential frames stamp dt = xsd:integer on all-digit objects
+    // (exactly the evaluator's "parses as a long" value space) so the
+    // fuzzer's numeric comparisons compile and are differentially checked
+    val df0 = df00.withColumn("dt",
+      when(col("o").rlike("^[0-9]+$"),
+        lit("http://www.w3.org/2001/XMLSchema#integer")).otherwise(lit("")))
     val sel = SparqlParser.parse(q).asInstanceOf[SelectQ]
     val df = SparqlCompiler.compile(q, df0)
     val vars = df.columns.toSeq
@@ -396,6 +425,10 @@ class SparqlSpec extends AnyFunSuite {
       (nodes(rnd.nextInt(nodes.size)), "urn:p:knows", nodes(rnd.nextInt(nodes.size)))
     } ++ (0 until n / 2).map { _ =>
       (nodes(rnd.nextInt(nodes.size)), "urn:p:name", names(rnd.nextInt(names.size)))
+    } ++ (0 until n / 2).map { _ =>
+      // all-digit objects: typed xsd:integer by the diff frames' dt stamp,
+      // the substrate for the fuzzer's numeric comparisons and SUMs
+      (nodes(rnd.nextInt(nodes.size)), "urn:p:age", (18 + rnd.nextInt(9)).toString)
     }).distinct
   }
 
@@ -526,14 +559,133 @@ class SparqlSpec extends AnyFunSuite {
     assert(!SparqlCompiler.ask("ASK { <urn:a> <urn:count> 5.0 }", toDf(ts)))
   }
 
-  test("numeric ordering comparisons are refused; lexical equality is fine") {
+  test("numeric ordering needs a numeric-type proof; lexical equality is fine") {
     val ts = Seq(("urn:a", "urn:count", "5"))
-    val msg = intercept[SparqlParseException](SparqlParser.parse(
-      "SELECT ?v WHERE { <urn:a> <urn:count> ?v . FILTER(?v > 4) }")).getMessage
-    assert(msg.contains("numeric ordering"))
+    // parses now (FNumCmp), but a frame WITHOUT a dt column cannot prove
+    // numeric-ness at the binding scan — compile-time refusal, not a
+    // silent lexicographic compare
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT ?v WHERE { <urn:a> <urn:count> ?v . FILTER(?v > 4) }",
+      toDf(ts))).getMessage
+    assert(msg.contains("dt"))
+    // equality stays a lexical-form compare (the documented term model)
     assert(rows(SparqlCompiler.compile(
       "SELECT ?v WHERE { ?s <urn:count> ?v . FILTER(?v = 5) }",
       toDf(ts))).map(_.flatten) == Seq(Seq("5")))
+    // two-constant and number-vs-string-literal orderings refuse at parse
+    assert(intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?v WHERE { ?s <urn:count> ?v . FILTER(5 > \"4\") }"))
+      .getMessage.contains("numeric"))
+    // a var bound in SUBJECT position cannot carry an object-scan proof
+    val msg2 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT ?v WHERE { ?v <urn:count> ?x . FILTER(?v > 4) }",
+      toDf(ts).withColumn("dt", org.apache.spark.sql.functions.lit("")))).getMessage
+    assert(msg2.contains("provably numeric"))
+  }
+
+  test("numeric FILTER over a dt-typed frame: value-space compare at the scan") {
+    val s = spark
+    import s.implicits._
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val frame = Seq(
+      ("urn:a", "urn:size", "9", xsdInt),
+      ("urn:b", "urn:size", "10", xsdInt),   // lexically < "9", numerically >
+      ("urn:c", "urn:size", "999", ""),      // plain literal: type error, removed
+      ("urn:d", "urn:size", "oops", xsdInt), // invalid lexical: removed
+      ("urn:e", "urn:size", "12.5", "http://www.w3.org/2001/XMLSchema#decimal"))
+      .toDF("s", "p", "o", "dt")
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?s ?n WHERE { ?s <urn:size> ?n . FILTER(?n > 9) } ORDER BY ?s",
+      frame)).map(_.flatten) ==
+      Seq(Seq("urn:b", "10"), Seq("urn:e", "12.5")))
+    // boundary op variety + conjunct composition with the datatype proof
+    assert(rows(SparqlCompiler.compile(
+      s"""SELECT ?s WHERE { ?s <urn:size> ?n .
+         |  FILTER(datatype(?n) = <$xsdInt>) FILTER(?n <= 9) }""".stripMargin,
+      frame)).map(_.flatten) == Seq(Seq("urn:a")))
+    // flipped operand order normalizes (5 < ?n  ==  ?n > 5)
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?s WHERE { ?s <urn:size> ?n . FILTER(11 < ?n) }",
+      frame)).map(_.flatten) == Seq(Seq("urn:e")))
+  }
+
+  test("numeric FILTER over an aggregate output (residual path)") {
+    val ts = Seq(
+      ("urn:a", "urn:p", "x"), ("urn:a", "urn:p", "y"), ("urn:a", "urn:p", "z"),
+      ("urn:b", "urn:p", "x"))
+    val out = rows(SparqlCompiler.compile(
+      """SELECT ?s ?n WHERE {
+        |  ?s <urn:t> ?c .
+        |  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o } GROUP BY ?s }
+        |  FILTER(?n >= 2) }""".stripMargin,
+      toDf(ts ++ Seq(("urn:a", "urn:t", "T"), ("urn:b", "urn:t", "T")))))
+      .map(_.flatten)
+    assert(out == Seq(Seq("urn:a", "3")))
+  }
+
+  test("SUM/AVG over proven-numeric vars; ORDER BY sorts by value") {
+    val s = spark
+    import s.implicits._
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val frame = Seq(
+      ("urn:a", "urn:t", "urn:C1", ""), ("urn:b", "urn:t", "urn:C1", ""),
+      ("urn:c", "urn:t", "urn:C2", ""),
+      ("urn:a", "urn:size", "9", xsdInt), ("urn:b", "urn:size", "101", xsdInt),
+      ("urn:c", "urn:size", "20", xsdInt),
+      // a plain-literal size: excluded by the proof filter on both engines
+      ("urn:b", "urn:size", "9999", ""))
+      .toDF("s", "p", "o", "dt")
+    val q =
+      s"""SELECT ?c (SUM(?n) AS ?total) (AVG(?n) AS ?mean) WHERE {
+         |  ?s <urn:t> ?c . ?s <urn:size> ?n .
+         |  FILTER(datatype(?n) = <$xsdInt>)
+         |} GROUP BY ?c ORDER BY ?c""".stripMargin
+    val df = SparqlCompiler.compile(q, frame)
+    // integer proof => exact BIGINT sum; AVG is one double division
+    assert(df.schema("total").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("mean").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(rows(df).map(_.flatten) == Seq(
+      Seq("urn:C1", "110", "55.0"), Seq("urn:C2", "20", "20.0")))
+    // ORDER BY over a proven var sorts by VALUE ("9" before "101")
+    val ord = rows(SparqlCompiler.compile(
+      s"""SELECT ?s ?n WHERE { ?s <urn:size> ?n .
+         |  FILTER(datatype(?n) = <$xsdInt>) } ORDER BY DESC(?n)""".stripMargin,
+      frame)).map(_.flatten)
+    assert(ord == Seq(Seq("urn:b", "101"), Seq("urn:c", "20"), Seq("urn:a", "9")))
+    // ...and lexically without the proof (the documented term model)
+    val lex = rows(SparqlCompiler.compile(
+      "SELECT ?o WHERE { ?s <urn:size> ?o } ORDER BY ?o", frame)).map(_.flatten)
+    assert(lex == Seq(Seq("101"), Seq("20"), Seq("9"), Seq("9999")))
+    // HAVING over SUM
+    val hv = rows(SparqlCompiler.compile(
+      s"""SELECT ?c (SUM(?n) AS ?total) WHERE {
+         |  ?s <urn:t> ?c . ?s <urn:size> ?n .
+         |  FILTER(datatype(?n) = <$xsdInt>)
+         |} GROUP BY ?c HAVING(SUM(?n) > 50) ORDER BY ?c""".stripMargin,
+      frame)).map(_.flatten)
+    assert(hv == Seq(Seq("urn:C1", "110")))
+    // SUM of COUNTs (numeric-column argument): roll-up across a sub-select
+    val roll = rows(SparqlCompiler.compile(
+      """SELECT (SUM(?n) AS ?grand) WHERE {
+        |  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:size> ?o } GROUP BY ?s }
+        |}""".stripMargin, frame)).map(_.flatten)
+    assert(roll == Seq(Seq("4")))
+    // Sum({}) = 0 / Avg({}) = 0 per spec (implicit single group, no rows)
+    val empty = rows(SparqlCompiler.compile(
+      s"""SELECT (SUM(?n) AS ?t) (AVG(?n) AS ?m) WHERE {
+         |  ?s <urn:none> ?n . FILTER(datatype(?n) = <$xsdInt>) }""".stripMargin,
+      frame)).map(_.flatten)
+    assert(empty == Seq(Seq("0", "0.0")))
+    // an unproven SUM refuses
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT (SUM(?n) AS ?t) WHERE { ?s <urn:size> ?n }", frame)).getMessage
+    assert(msg.contains("provably numeric"))
+    // proof erased by a UNION branch without one => SUM refuses
+    val msg2 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      s"""SELECT (SUM(?n) AS ?t) WHERE {
+         |  { ?s <urn:size> ?n . FILTER(datatype(?n) = <$xsdInt>) }
+         |  UNION { ?s <urn:t> ?n } }""".stripMargin, frame)).getMessage
+    assert(msg2.contains("provably numeric"))
   }
 
   test("CONSTRUCT: OFFSET refused; LIMIT bounds solutions, not output triples") {
@@ -891,10 +1043,14 @@ class SparqlSpec extends AnyFunSuite {
       HCmp(Agg("MIN", Some("o"), distinct = false, None), "!=", "zz")))
     def bad(s: String): String =
       intercept[SparqlParseException](SparqlParser.parse(s)).getMessage
-    assert(bad("SELECT (SUM(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
-      .contains("strings end-to-end"))
-    assert(bad("SELECT (AVG(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
-      .contains("strings end-to-end"))
+    // SUM/AVG parse; the COMPILER refuses them without a numeric proof
+    def refuseCompile(s: String): String =
+      intercept[SparqlUnsupported](SparqlCompiler.compile(s,
+        toDf(Seq(("urn:a", "urn:v", "5"))))).getMessage
+    assert(refuseCompile("SELECT (SUM(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
+      .contains("provably numeric"))
+    assert(refuseCompile("SELECT (AVG(?x) AS ?s) WHERE { ?a <urn:v> ?x }")
+      .contains("provably numeric"))
     assert(bad("SELECT (COUNT(?x) AS ?n) WHERE { ?a <urn:v> ?x } GROUP BY (str(?a))")
       .contains("GROUP BY expressions"))
     assert(bad("SELECT ?a WHERE { ?a <urn:v> ?x } GROUP BY ?a HAVING(MIN(?x) > 3)")
@@ -1460,9 +1616,14 @@ class SparqlSpec extends AnyFunSuite {
     val consts = Seq("<urn:n:0>", "<urn:n:1>", "\"ann\"", "\"bob\"")
     var nextVar = 0
     def fresh(): String = { nextVar += 1; s"v$nextVar" }
-    // safe = definitely bound (usable as join keys); loose = maybe-null
+    // safe = definitely bound (usable as join keys); loose = maybe-null;
+    // numvars = bound from all-digit (xsd:integer-typed) objects with a
+    // numeric-filter proof at their binding scan — kept OUT of the safe
+    // pool so no later binding occurrence breaks the single-object-binding
+    // proof (SUM over them stays compilable)
     val safe = scala.collection.mutable.ArrayBuffer[String]()
     val loose = scala.collection.mutable.ArrayBuffer[String]()
+    val numvars = scala.collection.mutable.ArrayBuffer[String]()
     def someSafe(): String = safe(rnd.nextInt(safe.size))
     def term(pNew: Double, pConst: Double): String = {
       val r = rnd.nextDouble()
@@ -1484,7 +1645,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(10) match {
+    for (_ <- 1 to steps) rnd.nextInt(11) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh vars (become loose), maybe a
         // filter, sometimes a two-triple group
@@ -1543,6 +1704,18 @@ class SparqlSpec extends AnyFunSuite {
         // inline relation); UNDEF rows stay out — the var is a join key
         val v = someSafe()
         body ++= s"VALUES ?$v { <urn:n:0> <urn:n:1> <urn:n:2> \"ann\" }\n"
+      case 10 => // numeric: an age triple (all-digit objects, dt =
+        // xsd:integer via the diff frames), an INTEGER datatype proof (so
+        // SUM is bigint-exact, rendering identically on both sides), and
+        // usually a value-space comparison on top
+        val anchor = someSafe()
+        val v = fresh(); numvars += v
+        body ++= s"?$anchor <urn:p:age> ?$v .\n"
+        body ++= s"FILTER(datatype(?$v) = <http://www.w3.org/2001/XMLSchema#integer>)\n"
+        if (rnd.nextInt(3) > 0) {
+          val cmp = Seq(">", ">=", "<", "<=")(rnd.nextInt(4))
+          body ++= s"FILTER(?$v $cmp ${17 + rnd.nextInt(9)})\n"
+        }
       case 8 => // forward-connected pair split by a FILTER: the first
         // triple is disconnected at its source position and only the
         // bridge after the interleaved filter connects it (the BGP-run
@@ -1563,7 +1736,12 @@ class SparqlSpec extends AnyFunSuite {
       val pool = (safe ++ loose).distinct.filterNot(_ == g)
       if (pool.nonEmpty) {
         val m = pool(rnd.nextInt(pool.size))
-        return s"SELECT ?$g (COUNT(?$x) AS ?cnt) (MIN(?$m) AS ?mn) " +
+        // SUM over a numeric-proven var rides the same hash aggregate
+        val sumPart =
+          if (numvars.nonEmpty && rnd.nextBoolean())
+            s" (SUM(?${numvars(rnd.nextInt(numvars.size))}) AS ?tot)"
+          else ""
+        return s"SELECT ?$g (COUNT(?$x) AS ?cnt) (MIN(?$m) AS ?mn)$sumPart " +
           s"WHERE {\n$body} GROUP BY ?$g"
       }
     }
