@@ -221,8 +221,29 @@ object KgMain {
       // answers the turn's language, not RDF's no-tag-on-IRIs rule.
       val tr = edges.select(col("subj").as("s"), col("pred").as("p"),
         col("obj").as("o"), col("lang").as("ol"))
+      // SERVICE federation against pre-materialized local graphs: each
+      // configured IRI loads its dump once (an .nt file through the
+      // line-parallel parser, else a parquet dir) and the compiler joins
+      // SERVICE blocks against it instead of refusing
+      val services: Map[String, org.apache.spark.sql.DataFrame] =
+        cfg.serviceGraphs.map { case (iri, path) =>
+          val df =
+            if (path.endsWith(".nt"))
+              graft.sources.NTriplesSource.read(spark, path)
+                .select(col("subj").as("s"), col("pred").as("p"),
+                  col("obj").as("o"), col("objLang").as("ol"),
+                  col("objType").as("dt"))
+            else {
+              val raw = spark.read.parquet(path)
+              if (raw.columns.contains("subj"))
+                raw.select(col("subj").as("s"), col("pred").as("p"),
+                  col("obj").as("o"))
+              else raw
+            }
+          iri -> df
+        }
       queryTexts.zipWithIndex.foreach { case (q, i) =>
-        val out = graft.sparql.SparqlCompiler.compile(q, tr)
+        val out = graft.sparql.SparqlCompiler.compile(q, tr, services)
         val outDir = s"$workDir/query_out/q$i"
         out.write.mode("overwrite").parquet(outDir)
         val n = spark.read.parquet(outDir).count()

@@ -105,6 +105,12 @@ object ConfigParsing {
       syncOldData = Option(node("syncOldData")).exists(_.asBoolean(false)),
       // the river config's SPARQL text(s) (Indexer.java:350-463 reads
       // `query[]`); executed by `KgMain query` via graft.sparql
-      queries = strings(node("query")))
+      queries = strings(node("query")),
+      // {"serviceGraphs": {"<iri>": "<path>"}} — SERVICE federation
+      // resolved against pre-materialized local graphs
+      serviceGraphs = Option(node("serviceGraphs")).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty))
   }
 }

@@ -109,7 +109,12 @@ final case class PipelineConfig(
     encodedShuffle: Boolean = true,
     // the river config's SPARQL query texts (`query[]` in the settings
     // blob) — run against the published graph by `KgMain query`
-    queries: Seq[String] = Seq.empty) {
+    queries: Seq[String] = Seq.empty,
+    // SERVICE IRI -> local graph path: a pre-materialized dump (.nt via
+    // NTriplesSource, else a parquet dir with s/p/o or subj/pred/obj
+    // columns) registered so federated queries compile against it instead
+    // of refusing — there is no remote endpoint in a Spark-local engine
+    serviceGraphs: Map[String, String] = Map.empty) {
 
   /** Signature of the flags that change what a published ROW means (not
     * how fast it is computed) — pinned per table lineage by both the batch

@@ -143,6 +143,16 @@ object SparqlAst {
   /** BIND(expr AS ?v) — extends each solution-so-far with ?v; per the
     * spec, ?v must not already be bound at this point in the group */
   final case class GBind(expr: BExpr, name: String) extends GElem
+  /** SERVICE [SILENT] <iri> { P } — federation, resolved LOCALLY: the
+    * engine has no remote endpoint, but a pre-materialized graph (the
+    * engine ingests dumps — S5) can be REGISTERED for the service IRI, and
+    * P then compiles against that frame and joins like a nested group.
+    * An unregistered IRI refuses loudly — except under SILENT, where the
+    * spec's failure behavior (the unit solution) makes the clause a no-op.
+    * This is exactly what the reference's own Wikidata test query needs
+    * (SparqlSelectTest.java:19 carries a decorative wikibase:label
+    * SERVICE). */
+  final case class GService(iri: String, group: Group, silent: Boolean) extends GElem
 
   final case class Group(elems: Seq[GElem])
 

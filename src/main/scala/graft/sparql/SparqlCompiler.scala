@@ -95,27 +95,36 @@ object SparqlCompiler {
     Set("decimal", "double", "float").map(XsdNs + _)
   private val numericDts: Set[String] = integerDts ++ floatDts
 
+  /** Registered local graphs for SERVICE IRIs: a SERVICE block compiles
+    * against its registered frame and joins like a nested group. */
+  type Services = Map[String, DataFrame]
+
   /** Parse + compile in one step. `triples` must have string columns
     * (s, p, o), plus optionally `ol` (the object's language tag, ''/null
-    * when untagged) — required only by lang()/langMatches() filters. ASK
-    * compiles to a 0-or-1-row frame with a single `ask` column (use
-    * [[ask]] for the boolean). */
-  def compile(query: String, triples: DataFrame): DataFrame =
-    compileAst(SparqlParser.parse(query), triples)
+    * when untagged) — required only by lang()/langMatches() filters — and
+    * `dt` (typed-literal datatype IRI) — required by datatype()/numeric
+    * comparisons. ASK compiles to a 0-or-1-row frame with a single `ask`
+    * column (use [[ask]] for the boolean). `services` maps SERVICE IRIs to
+    * pre-materialized local graph frames. */
+  def compile(query: String, triples: DataFrame,
+      services: Services = Map.empty): DataFrame =
+    compileAst(SparqlParser.parse(query), triples, services)
 
   /** ASK helper: true iff the pattern has at least one solution. */
-  def ask(query: String, triples: DataFrame): Boolean =
+  def ask(query: String, triples: DataFrame,
+      services: Services = Map.empty): Boolean =
     SparqlParser.parse(query) match {
-      case AskQ(where) => !compileGroup(where, triples).df.isEmpty
+      case AskQ(where) => !compileGroup(where, triples, services = services).df.isEmpty
       case _ => unsupported("ask() requires an ASK query")
     }
 
-  def compileAst(q: SparqlQuery, triples: DataFrame): DataFrame = q match {
-    case sel: SelectQ => compileSelect(sel, triples).df
+  def compileAst(q: SparqlQuery, triples: DataFrame,
+      services: Services = Map.empty): DataFrame = q match {
+    case sel: SelectQ => compileSelect(sel, triples, services).df
 
     case ConstructQ(template, where, limit) =>
       if (template.isEmpty) unsupported("CONSTRUCT with an empty template")
-      val w = compileGroup(where, triples)
+      val w = compileGroup(where, triples, services = services)
       // SPARQL solution modifiers bound the SOLUTION sequence; the template
       // then instantiates per kept solution — limiting output triples
       // instead would truncate mid-solution on multi-triple templates
@@ -148,7 +157,7 @@ object SparqlCompiler {
         case Seq() => None
         case vs =>
           val w = compileGroup(where.getOrElse(unsupported(
-            "DESCRIBE ?var requires a WHERE group")), triples)
+            "DESCRIBE ?var requires a WHERE group")), triples, services = services)
           vs.foreach { v =>
             if (!w.vars.contains(v)) unsupported(s"DESCRIBE ?$v: variable not bound in WHERE")
             if (w.numeric(v)) unsupported(s"DESCRIBE ?$v: an aggregate value is not a resource")
@@ -167,7 +176,8 @@ object SparqlCompiler {
       }
 
     case AskQ(where) =>
-      compileGroup(where, triples).df.limit(1).select(lit(true).as("ask"))
+      compileGroup(where, triples, services = services).df.limit(1)
+        .select(lit(true).as("ask"))
   }
 
   private def checkedInt(n: Long, what: String): Int = {
@@ -177,8 +187,9 @@ object SparqlCompiler {
 
   // ---- SELECT ---------------------------------------------------------------
 
-  private def compileSelect(sel: SelectQ, triples: DataFrame): Frag = {
-    val w = compileGroup(sel.where, triples)
+  private def compileSelect(sel: SelectQ, triples: DataFrame,
+      services: Services = Map.empty): Frag = {
+    val w = compileGroup(sel.where, triples, services = services)
     val isAgg = sel.groupBy.nonEmpty || sel.having.nonEmpty ||
       sel.projs.exists(_.expr.isInstanceOf[PAggRef])
     if (isAgg) return compileAggSelect(sel, w)
@@ -398,7 +409,8 @@ object SparqlCompiler {
     * such. */
   private def compileGroup(g: Group, triples: DataFrame,
                            leftVars: Set[String] = Set.empty,
-                           graphVar: Option[String] = None): Frag = {
+                           graphVar: Option[String] = None,
+                           services: Services = Map.empty): Frag = {
     var acc: Option[Frag] = None
     var gates = List.empty[DataFrame] // constant-only patterns: existence checks
     var gateId = 0
@@ -458,7 +470,7 @@ object SparqlCompiler {
       // LeftJoin-condition machinery
       val core = core0 ++ split.flatMap(_._1).map(GFilter(_))
       val fs = split.flatMap(s => s._2.reduceOption(FAnd))
-      val c0 = compileGroup(Group(core), triples, bound, graphVar)
+      val c0 = compileGroup(Group(core), triples, bound, graphVar, services)
       val (pending, local) = fs.partition(e => (fvars(e) -- c0.vars.toSet).exists(bound))
       val c = local.foldLeft(c0)((f, e) =>
         f.copy(df = f.df.filter(compileFilter(e, f))))
@@ -627,14 +639,15 @@ object SparqlCompiler {
               // constant graph: the whole body compiles (full recursion)
               // against the g-filtered quad slice — the constant lands in
               // PushedFilters like any pattern constant
-              val f = compileGroup(gg, triples.filter(col("g") === u))
+              val f = compileGroup(gg, triples.filter(col("g") === u),
+                services = services)
               if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
             case V(gv) =>
               // GRAPH ?g { P }: the FULL group grammar compiles with every
               // pattern additionally binding ?g from the quad frame's `g`
               // column — one graph per solution, OPTIONAL/UNION/EXISTS/
               // MINUS inside stay graph-scoped through the same threading
-              val f = compileGroup(gg, triples, Set.empty, Some(gv))
+              val f = compileGroup(gg, triples, Set.empty, Some(gv), services)
               if (!f.vars.contains(gv))
                 unsupported(s"GRAPH ?$gv bound no triple pattern: the graph " +
                   "variable would stay unbound")
@@ -675,14 +688,37 @@ object SparqlCompiler {
               acc = Some(Frag(df, Seq(name), Set.empty))
           }
           idx += 1
+        case GService(iri, sg, silent) =>
+          services.get(iri) match {
+            case Some(frame) =>
+              // the SERVICE pattern evaluates against the registered graph
+              // as its OWN dataset: no outer GRAPH scoping, no enclosing
+              // bindings (substitute semantics hit the usual guards), then
+              // joins like a nested group — constant-only bodies (the
+              // wikibase:label idiom) become existence gates
+              val f = compileGroup(sg, frame, Set.empty, None, services)
+              if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
+            case None if silent =>
+              // spec: SERVICE SILENT failure yields the unit solution —
+              // a join no-op, so the clause simply drops
+              ()
+            case None =>
+              unsupported(s"SPARQL federation: SERVICE <$iri> has no " +
+                "registered local graph — there is no remote endpoint in a " +
+                "Spark-local engine. Materialize the remote graph (the " +
+                "engine ingests N-Triples/RDF-XML dumps) and register it " +
+                "for this IRI via the `services` argument, write SERVICE " +
+                "SILENT to make the clause optional, or drop it")
+          }
+          idx += 1
         case GSub(sub) =>
           if (graphVar.isDefined)
             unsupported("sub-SELECT inside GRAPH ?var is not compiled (the " +
               "graph variable is not visible across the projection boundary) " +
               "— use GRAPH <iri>")
-          joinInto(compileSelect(sub, triples), "inner"); idx += 1
+          joinInto(compileSelect(sub, triples, services), "inner"); idx += 1
         case GUnion(branches) =>
-          val frags = branches.map(compileGroup(_, triples, Set.empty, graphVar))
+          val frags = branches.map(compileGroup(_, triples, Set.empty, graphVar, services))
           // Join(A, Union(B1..Bn)) with branch-ASYMMETRIC variable sets:
           // a combined union column would carry NULLs into the join keys
           // (SQL null never matches; SPARQL unbound matches anything), so
@@ -714,7 +750,7 @@ object SparqlCompiler {
           // gate (the classic MINUS-vs-NOT-EXISTS divergence)
           val a = acc.getOrElse(
             unsupported("MINUS cannot be the first pattern of a group"))
-          val c = compileGroup(mg, triples, Set.empty, graphVar)
+          val c = compileGroup(mg, triples, Set.empty, graphVar, services)
           val shared = a.vars.filter(c.vars.contains)
           if (shared.nonEmpty) {
             (shared.filter(a.maybeNull) ++ shared.filter(c.maybeNull)).foreach { v =>
@@ -788,7 +824,7 @@ object SparqlCompiler {
     // leftVars guard) or through a pattern variable (the phantom check
     // below: such a var would silently rebind as free) — is REFUSED.
     deferredExists.reverse.foreach { case (eg, pos) =>
-      val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars, graphVar)
+      val c = compileGroup(eg, triples, result.vars.toSet ++ leftVars, graphVar, services)
       val phantom = (c.vars.toSet -- result.vars.toSet).intersect(leftVars)
       if (phantom.nonEmpty)
         unsupported(s"[NOT] EXISTS pattern references " +
@@ -1053,6 +1089,7 @@ object SparqlCompiler {
     case GGraph(gt, gg) =>
       (gt match { case V(n) => Seq(n); case _ => Seq.empty }) ++
         bindingOccurrences(gg.elems)
+    case GService(_, sg, _) => bindingOccurrences(sg.elems)
     case _: GFilter | _: GExists | _: GMinus => Seq.empty
   }
 

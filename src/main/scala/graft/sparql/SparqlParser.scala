@@ -501,10 +501,17 @@ object SparqlParser {
           elems += GFilter(parseFilterExpr(p))
         }
       } else if (p.isName("SERVICE")) {
-        fail("SPARQL federation (SERVICE) is not compiled: there is no " +
-          "remote endpoint in a Spark-local graph — drop the clause (label " +
-          "SERVICEs are usually decorative) or materialize the remote graph " +
-          "as a source table and query it directly", p.peek.pos)
+        p.next()
+        val silent = if (p.isName("SILENT")) { p.next(); true } else false
+        val iri = p.peek match {
+          case TIri(u, _) => p.next(); u
+          case TVar(_, pos) => fail("SERVICE ?var is not compiled (the " +
+            "endpoint set cannot be resolved at plan time) — name the " +
+            "service IRI", pos)
+          case TName(n, pos) => p.next(); p.expand(n, pos)
+          case other => fail(s"SERVICE takes an IRI, got ${describe(other)}", other.pos)
+        }
+        elems += GService(iri, parseGroup(p), silent)
       } else if (p.isName("GRAPH")) {
         p.next()
         val t = p.peek match {

@@ -252,6 +252,9 @@ class SparqlSpec extends AnyFunSuite {
           }
         }
       case GFilter(_) => () // group-scoped: applied below
+      case _: GService =>
+        fail("evaluator: SERVICE is not modeled (the fuzzer never emits it; " +
+          "fixed tests cover the registered-graph path)")
     }
     val filtered =
       filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
@@ -991,6 +994,24 @@ class SparqlSpec extends AnyFunSuite {
     assert(allMentions > 0)
     assert(langCount("en") == allMentions, "every edge is stamped en")
     assert(langCount("cs") == 0L)
+
+    // serviceGraphs in the river config: a federated query against a
+    // pre-materialized .nt dump joins the published KG (the KgMain query
+    // mode wiring — config key to NTriplesSource to SparqlCompiler)
+    val svcNt = s"$dir/svc.nt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(svcNt),
+      "<urn:meta:flag> <urn:p:status> \"on\" .\n")
+    val cfg2 = graft.config.ConfigParsing.fromJson(
+      s"""{"config":{"eeaRDF":{
+         |  "query": ["SELECT ?s ?o WHERE { ?s <urn:p:mentions> ?o . SERVICE <urn:svc:meta> { <urn:meta:flag> <urn:p:status> \\"on\\" } } LIMIT 3"],
+         |  "serviceGraphs": {"urn:svc:meta": "$svcNt"},
+         |  "queryType": "SELECT"}}}""".stripMargin)
+    assert(cfg2.serviceGraphs == Map("urn:svc:meta" -> svcNt))
+    val svcDf = graft.sources.NTriplesSource.read(s, svcNt)
+      .select(col("subj").as("s"), col("pred").as("p"), col("obj").as("o"))
+    val fed = rows(SparqlCompiler.compile(cfg2.queries.head, tr,
+      Map("urn:svc:meta" -> svcDf)))
+    assert(fed.size == 3, "the service gate is true, rows must flow")
   }
 
   // ---------------------------------------------------------------------------
@@ -1306,16 +1327,9 @@ class SparqlSpec extends AnyFunSuite {
       refSelectService +
       """Bind( wdt:P780 as ?p)       } Union{         ?disease rdfs:label ?symptom_label .         FILTER (langMatches( lang(?symptom_label), "EN" ) )         Bind(  rdfs:label as ?p)       } }"""
 
-  test("the reference's own SELECT test query: SERVICE refused loudly, runs without it") {
+  test("the reference's own SELECT test query: unmapped SERVICE refused " +
+       "loudly; runs VERBATIM with a registered service graph") {
     val verbatim = refSelectPrefixes + refSelectBody
-    val msg = intercept[SparqlParseException](SparqlParser.parse(verbatim)).getMessage
-    assert(msg.contains("SERVICE") && msg.contains("federation"),
-      s"SERVICE must refuse with a federation message, got: $msg")
-
-    // drop ONLY the SERVICE clause (the reference uses it decoratively for
-    // labels); everything else — the asymmetric UNION, both lang filters,
-    // the constant BINDs, the aliased projections — compiles and runs
-    val runnable = refSelectPrefixes + refSelectBody.replace(refSelectService, "")
     val wd = "http://www.wikidata.org/entity/"
     val wdt = "http://www.wikidata.org/prop/direct/"
     val rdfs = "http://www.w3.org/2000/01/rdf-schema#"
@@ -1326,11 +1340,69 @@ class SparqlSpec extends AnyFunSuite {
       (wd + "Q2", rdfs + "label", "Fieber", "de"),   // lang()="en" excludes
       (wd + "Q1", rdfs + "label", "flu", "en-US"),   // langMatches("EN") matches
       (wd + "Q3", rdfs + "label", "rýma", "cs"))     // langMatches("EN") excludes
-    val got = rows(SparqlCompiler.compile(runnable, toDf4(g))).map(_.flatten).toSet
-    assert(got == Set(
+    val expected = Set(
       Seq(wd + "Q1", wdt + "P780", "fever"),
       Seq(wd + "Q3", wdt + "P780", "fever"),
-      Seq(wd + "Q1", rdfs + "label", "flu")))
+      Seq(wd + "Q1", rdfs + "label", "flu"))
+
+    // with NO registered graph the SERVICE refuses loudly at compile
+    val msg = intercept[SparqlUnsupported](
+      SparqlCompiler.compile(verbatim, toDf4(g))).getMessage
+    assert(msg.contains("SERVICE") && msg.contains("federation"),
+      s"SERVICE must refuse with a federation message, got: $msg")
+
+    // registering a local graph for wikibase:label makes the VERBATIM
+    // query run: the service body (bd:serviceParam wikibase:language "en")
+    // is constant-only, so it compiles as an existence gate against the
+    // registered service-description frame
+    val labelSvc = toDf(Seq(
+      ("http://www.bigdata.com/rdf#serviceParam",
+        "http://wikiba.se/ontology#language", "en")))
+    val got = rows(SparqlCompiler.compile(verbatim, toDf4(g),
+      Map("http://wikiba.se/ontology#label" -> labelSvc))).map(_.flatten).toSet
+    assert(got == expected)
+
+    // dropping the clause still works too (the round-3/4 fallback path)
+    val runnable = refSelectPrefixes + refSelectBody.replace(refSelectService, "")
+    val got2 = rows(SparqlCompiler.compile(runnable, toDf4(g))).map(_.flatten).toSet
+    assert(got2 == expected)
+  }
+
+  test("SERVICE: var-binding service graphs join; SILENT is a no-op when " +
+       "unmapped; SERVICE ?var refused at parse") {
+    val local = Seq(("urn:a", "urn:p:t", "urn:T"), ("urn:b", "urn:p:t", "urn:T"))
+    val remote = Seq(("urn:a", "urn:p:pop", "12"), ("urn:c", "urn:p:pop", "9"))
+    val svc = Map("urn:svc:stats" -> toDf(remote))
+    // the service pattern binds ?s/?pop against ITS graph and joins the
+    // local pattern on ?s like a nested group
+    val out = rows(SparqlCompiler.compile(
+      """SELECT ?s ?pop WHERE {
+        |  ?s <urn:p:t> <urn:T> .
+        |  SERVICE <urn:svc:stats> { ?s <urn:p:pop> ?pop }
+        |} ORDER BY ?s""".stripMargin, toDf(local), svc)).map(_.flatten)
+    assert(out == Seq(Seq("urn:a", "12")))
+    // SILENT + unmapped = unit solution (clause drops)
+    val silent = rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE {
+        |  ?s <urn:p:t> <urn:T> .
+        |  SERVICE SILENT <urn:svc:unknown> { ?s <urn:p:pop> ?pop }
+        |} ORDER BY ?s""".stripMargin, toDf(local))).map(_.flatten)
+    assert(silent == Seq(Seq("urn:a"), Seq("urn:b")))
+    // non-SILENT unmapped refuses loudly
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT ?s WHERE { SERVICE <urn:svc:unknown> { ?s <urn:p:pop> ?pop } }",
+      toDf(local))).getMessage
+    assert(msg.contains("urn:svc:unknown") && msg.contains("register"))
+    // a mapped service with NO shared variable still refuses the cross
+    val msg2 = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?s WHERE { ?s <urn:p:t> <urn:T> .
+        |  SERVICE <urn:svc:stats> { ?x <urn:p:pop> ?pop } }""".stripMargin,
+      toDf(local), svc)).getMessage
+    assert(msg2.contains("cross product"))
+    // SERVICE ?endpoint is a parse-time refusal
+    assert(intercept[SparqlParseException](SparqlParser.parse(
+      "SELECT ?s WHERE { SERVICE ?e { ?s <urn:p> ?o } }")).getMessage
+      .contains("SERVICE ?var"))
   }
 
   test("the reference's change-detection template (GRAPH ?graph + " +
