@@ -627,6 +627,44 @@ object SparqlQueries {
         typed.unionAll(titles))
     },
 
+    // ---- property path INSIDE GRAPH ?g: the closure evaluates per named
+    // graph (every join step carries the g column as an extra equality
+    // key) and '*' adds per-graph zero-length solutions — default-graph
+    // rows (the modified-time metadata) never participate. The type edges
+    // are depth-1, so the closure is edges ∪ zero-pairs, which the oracle
+    // states without recursion.
+    "sparql_graph_path" -> Q(
+      s"""WITH $quadFrameSql,
+         |named AS (SELECT * FROM qr WHERE g <> ''),
+         |pairs AS (
+         |  SELECT s AS pa, o AS pb, g FROM named WHERE p = 'urn:p:type'
+         |  UNION
+         |  SELECT t, t, g FROM (
+         |    SELECT s AS t, g FROM named UNION SELECT o AS t, g FROM named))
+         |SELECT g, pa AS d, pb AS c FROM pairs ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?g ?d ?c WHERE {
+          |  GRAPH ?g { ?d <urn:p:type>* ?c }
+          |} ORDER BY ?g ?d ?c""".stripMargin,
+        quadFrame(s, d))
+    },
+
+    // ---- sub-SELECT inside GRAPH ?g: the spec's active-graph iteration —
+    // the inner aggregation GROUPs PER GRAPH (the graph var joins the
+    // grouping keys implicitly), so the same class counts differently in
+    // different graphs.
+    "sparql_graph_subselect" -> Q(
+      s"""WITH $quadFrameSql
+         |SELECT g, o AS c, CAST(COUNT(s) AS BIGINT) AS n FROM qr
+         |WHERE p = 'urn:p:type' AND g <> ''
+         |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?g ?c ?n WHERE {
+          |  GRAPH ?g { { SELECT ?c (COUNT(?d) AS ?n) WHERE { ?d <urn:p:type> ?c } GROUP BY ?c } }
+          |} ORDER BY ?g ?c ?n""".stripMargin,
+        quadFrame(s, d))
+    },
+
     // ---- NUMERIC comparisons over a dt-typed frame: FILTER(?n > 400) is
     // a VALUE-space comparison — the dt ∈ numeric-types membership prunes
     // at the scan (the spec's type-error-removes-row for the untyped

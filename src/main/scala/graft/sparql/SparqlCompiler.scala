@@ -187,15 +187,36 @@ object SparqlCompiler {
 
   // ---- SELECT ---------------------------------------------------------------
 
+  /** `graphVar`: set when this SELECT is a sub-select inside GRAPH ?var —
+    * the spec's active-graph iteration. Its patterns thread the graph var
+    * (compileGroup), and the projection carries it IMPLICITLY (appended
+    * column; added to the grouping keys on the aggregate path, so
+    * aggregation is per graph). Solution modifiers are refused there:
+    * per-graph LIMIT/ORDER would need per-graph windows. */
   private def compileSelect(sel: SelectQ, triples: DataFrame,
-      services: Services = Map.empty): Frag = {
-    val w = compileGroup(sel.where, triples, services = services)
+      services: Services = Map.empty, graphVar: Option[String] = None): Frag = {
+    val w = compileGroup(sel.where, triples, services = services, graphVar = graphVar)
+    graphVar.foreach { gv =>
+      if (!w.vars.contains(gv))
+        unsupported(s"sub-SELECT under GRAPH ?$gv binds no triple pattern: " +
+          "the graph variable would stay unbound")
+      if (sel.orderBy.nonEmpty || sel.limit.isDefined || sel.offset.isDefined)
+        unsupported(s"ORDER BY/LIMIT/OFFSET inside a sub-SELECT under GRAPH " +
+          s"?$gv is not compiled (the spec's per-graph evaluation would need " +
+          "per-graph windows)")
+      sel.projs.find(p => p.name == gv && p.expr != PVarRef(gv)).foreach { _ =>
+        unsupported(s"(... AS ?$gv) re-binds the enclosing GRAPH variable")
+      }
+    }
     val isAgg = sel.groupBy.nonEmpty || sel.having.nonEmpty ||
       sel.projs.exists(_.expr.isInstanceOf[PAggRef])
-    if (isAgg) return compileAggSelect(sel, w)
+    if (isAgg) return compileAggSelect(sel, w, graphVar)
     if (sel.projs.isEmpty && w.vars.isEmpty)
       unsupported("SELECT * over an all-constant pattern binds no variables " +
         "(a zero-column result): use ASK for existence checks")
+    // the graph var rides the projection implicitly (one graph per row)
+    val extraG: Seq[String] =
+      graphVar.filterNot(gv => sel.projs.exists(_.name == gv)).toSeq
     val (projected, outVars) =
       if (sel.projs.isEmpty) { // SELECT *
         (w.df.select(w.vars.map(col): _*), w.vars)
@@ -206,8 +227,8 @@ object SparqlCompiler {
             col(src).as(name)
           case Proj(name, _) => unsupported(s"aggregate projection ?$name slipped " +
             "past the aggregate path") // unreachable: isAgg covers it
-        }
-        (w.df.select(cols: _*), sel.projs.map(_.name))
+        } ++ extraG.map(col)
+        (w.df.select(cols: _*), sel.projs.map(_.name) ++ extraG)
       }
     // projection renames can re-bind names; everything projected is now
     // top-level, and null-ness / numeric-ness / type proofs survive the
@@ -272,12 +293,18 @@ object SparqlCompiler {
     *    group coalesces to zero instead of SQL's NULL.
     *  - Aggregates skip NULL (unbound) inputs in both engines, matching
     *    the spec's error-row elision; COUNT(*) counts all solutions. */
-  private def compileAggSelect(sel: SelectQ, w: Frag): Frag = {
+  private def compileAggSelect(sel: SelectQ, w: Frag,
+      graphVar: Option[String] = None): Frag = {
     if (sel.projs.isEmpty)
       unsupported("SELECT * cannot be combined with GROUP BY / aggregates")
     sel.groupBy.foreach { v =>
       if (!w.vars.contains(v)) unsupported(s"GROUP BY ?$v is not bound in the pattern")
     }
+    // under GRAPH ?var the graph variable joins the grouping keys (the
+    // spec's per-active-graph evaluation) and rides the output implicitly
+    val extraG: Seq[String] =
+      graphVar.filterNot(sel.groupBy.contains).toSeq
+    val groupKeys: Seq[String] = sel.groupBy ++ extraG
     def checkArg(a: Agg): Unit = a.arg.foreach { v =>
       if (!w.vars.contains(v)) unsupported(s"aggregate over unbound variable ?$v")
       if (a.fn == "SUM" || a.fn == "AVG") {
@@ -294,7 +321,7 @@ object SparqlCompiler {
       if (w.numeric(v)) w.numSql.getOrElse(v, "bigint") else w.castable(v)
     sel.projs.foreach {
       case Proj(name, PVarRef(src)) =>
-        if (!sel.groupBy.contains(src))
+        if (!groupKeys.contains(src))
           unsupported(s"?$src is projected but not in GROUP BY (SPARQL requires " +
             "projected variables of an aggregate query to be grouped)")
         if (name != src && w.vars.contains(name))
@@ -343,11 +370,11 @@ object SparqlCompiler {
     var df =
       if (aggExprs.isEmpty)
         // GROUP BY with only key projections degenerates to DISTINCT keys
-        w.df.select(sel.groupBy.map(col): _*).distinct()
-      else if (sel.groupBy.isEmpty)
+        w.df.select(groupKeys.map(col): _*).distinct()
+      else if (groupKeys.isEmpty)
         w.df.agg(aggExprs.head, aggExprs.tail: _*)
       else
-        w.df.groupBy(sel.groupBy.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        w.df.groupBy(groupKeys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
 
     havingAggs.foreach { case (cn, HCmp(agg, op, rhs)) =>
       val c = col(cn)
@@ -368,13 +395,13 @@ object SparqlCompiler {
     }
     if (havingAggs.nonEmpty) df = df.drop(havingAggs.map(_._1): _*)
 
-    val projCols = sel.projs.zipWithIndex.map {
+    val projCols = sel.projs.zipWithIndex.map[Column] {
       case (Proj(name, PVarRef(src)), _) => col(src).as(name)
       case (Proj(name, PAggRef(_)), i) => col(s"__agg_$i").as(name)
-    }
+    } ++ extraG.map(col)
     df = df.select(projCols: _*)
     if (sel.distinct) df = df.distinct()
-    val outVars = sel.projs.map(_.name)
+    val outVars = sel.projs.map(_.name) ++ extraG
     // group-key projections keep their numeric-type proofs across the agg
     val castableOut = sel.projs.collect {
       case Proj(name, PVarRef(src)) if w.castable.contains(src) =>
@@ -393,7 +420,7 @@ object SparqlCompiler {
     val zeroed = Set("COUNT", "SUM", "AVG")
     val nullable = sel.projs.collect {
       case Proj(name, PAggRef(a)) if !zeroed(a.fn) &&
-        (sel.groupBy.isEmpty || a.arg.exists(w.maybeNull)) => name
+        (groupKeys.isEmpty || a.arg.exists(w.maybeNull)) => name
       case Proj(name, PVarRef(src)) if w.maybeNull(src) => name
     }.toSet
     Frag(df, outVars, nullable, numSql.keySet, numSql, castableOut)
@@ -621,10 +648,13 @@ object SparqlCompiler {
         case GOptional(og) =>
           compileOptional(og); idx += 1
         case GPath(s, path, o) =>
-          if (graphVar.isDefined)
-            unsupported("property paths inside GRAPH ?var are not compiled " +
-              "(the closure would need per-graph evaluation) — use GRAPH <iri>")
-          val f = compilePathElem(s, path, o, triples)
+          val f = graphVar match {
+            case None => compilePathElem(s, path, o, triples)
+            // inside GRAPH ?g the whole path (closures included) evaluates
+            // PER GRAPH: every step's join carries the g column as an
+            // extra equality key, so a closure never crosses graphs
+            case Some(gv) => compilePathElemG(s, path, o, triples, gv)
+          }
           if (f.vars.isEmpty) gates ::= f.df else joinInto(f, "inner")
           idx += 1
         case GGraph(gt, gg) =>
@@ -712,11 +742,10 @@ object SparqlCompiler {
           }
           idx += 1
         case GSub(sub) =>
-          if (graphVar.isDefined)
-            unsupported("sub-SELECT inside GRAPH ?var is not compiled (the " +
-              "graph variable is not visible across the projection boundary) " +
-              "— use GRAPH <iri>")
-          joinInto(compileSelect(sub, triples, services), "inner"); idx += 1
+          // under GRAPH ?var the sub-select evaluates PER GRAPH (the spec's
+          // active-graph iteration): its patterns thread the graph var and
+          // the projection/grouping carry it implicitly — see compileSelect
+          joinInto(compileSelect(sub, triples, services, graphVar), "inner"); idx += 1
         case GUnion(branches) =>
           val frags = branches.map(compileGroup(_, triples, Set.empty, graphVar, services))
           // Join(A, Union(B1..Bn)) with branch-ASYMMETRIC variable sets:
@@ -1299,6 +1328,108 @@ object SparqlCompiler {
       case (_, V(b)) => Frag(df.select(col("pb").as(b)), Seq(b), Set.empty)
       case _ => Frag(df, Seq.empty, Set.empty) // constant-only: existence gate
     }
+  }
+
+  // ---- per-graph property paths (GRAPH ?var scope) ---------------------------
+
+  /** Per-graph path pairs (pa, pb, g) over a quad frame: every join that
+    * [[pathPairs]] does on pb==pa additionally carries g==g, so sequences
+    * and closures never cross graphs — the spec's active-graph evaluation.
+    * Default-graph rows (g = ''/null) never participate (GRAPH ?var ranges
+    * over named graphs only). */
+  private def pathPairsG(path: Path, quads: DataFrame): DataFrame = {
+    def named = quads.filter(col("g").isNotNull && col("g") =!= "")
+    path match {
+      case PLink(iri) =>
+        named.filter(col("p") === iri)
+          .select(col("s").as("pa"), col("o").as("pb"), col("g"))
+      case PNeg(iris) =>
+        named.filter(!col("p").isin(iris: _*))
+          .select(col("s").as("pa"), col("o").as("pb"), col("g"))
+      case PInv(p0) =>
+        pathPairsG(p0, quads).select(col("pb").as("pa"), col("pa").as("pb"), col("g"))
+      case PSeq(a, b) =>
+        val l = pathPairsG(a, quads)
+        val r = pathPairsG(b, quads).withColumnRenamed("pa", "__pm")
+          .withColumnRenamed("pb", "__pn").withColumnRenamed("g", "__pg")
+        l.join(r, col("pb") === col("__pm") && col("g") === col("__pg"))
+          .select(col("pa"), col("__pn").as("pb"), col("g"))
+      case PAlt(a, b) =>
+        pathPairsG(a, quads).unionAll(pathPairsG(b, quads))
+      case PPlus(p0) => pathClosureG(pathPairsG(p0, quads))
+      case PStar(p0) =>
+        pathClosureG(pathPairsG(p0, quads)).unionAll(zeroPairsG(named)).distinct()
+      case POpt(p0) =>
+        pathPairsG(p0, quads).unionAll(zeroPairsG(named)).distinct()
+    }
+  }
+
+  /** per-graph transitive closure: the doubling join keys on (pb, g) */
+  private def pathClosureG(base: DataFrame): DataFrame = {
+    var p = base.distinct().localCheckpoint(true)
+    var n = p.count()
+    var converged = n == 0
+    while (!converged) {
+      val ext = p.alias("a").join(p.alias("b"),
+          col("a.pb") === col("b.pa") && col("a.g") === col("b.g"))
+        .select(col("a.pa").as("pa"), col("b.pb").as("pb"), col("a.g").as("g"))
+      val nxt = p.unionAll(ext).distinct().localCheckpoint(true)
+      val n2 = nxt.count()
+      if (n2 == n) converged = true else { p = nxt; n = n2 }
+    }
+    p
+  }
+
+  /** zero-length solutions per named graph: terms occurring in THAT graph */
+  private def zeroPairsG(named: DataFrame): DataFrame =
+    named.select(col("s").as("pa"), col("g"))
+      .unionAll(named.select(col("o").as("pa"), col("g")))
+      .select(col("pa"), col("pa").as("pb"), col("g"))
+
+  /** endpoint application for a path inside GRAPH ?gv — the per-graph twin
+    * of [[compilePathElem]]: constants filter, variables project, the
+    * graph variable always binds from g (so even a constant-constant path
+    * binds ?gv to the graphs where it holds — never a gate). Top-level
+    * '*'/'?' constant endpoints get their zero-length solution completed
+    * PER NAMED GRAPH (one distinct-graphs pass). */
+  private def compilePathElemG(s: Term, path: Path, o: Term,
+      quads: DataFrame, gv: String): Frag = {
+    var df = pathPairsG(path, quads)
+    val topZeroish = path match { case _: PStar | _: POpt => true; case _ => false }
+    if (topZeroish) {
+      val consts = Seq(s, o).collect { case I(u) => u case L(v) => v }.distinct
+      if (consts.nonEmpty) {
+        val graphs = quads.filter(col("g").isNotNull && col("g") =!= "")
+          .select(col("g")).distinct()
+        val extra = consts.map(t =>
+          graphs.select(lit(t).as("pa"), lit(t).as("pb"), col("g")))
+          .reduce(_ unionAll _)
+        df = df.unionAll(extra).distinct()
+      }
+    }
+    s match {
+      case I(u) => df = df.filter(col("pa") === u)
+      case L(v) => df = df.filter(col("pa") === v)
+      case _ => ()
+    }
+    o match {
+      case I(u) => df = df.filter(col("pb") === u)
+      case L(v) => df = df.filter(col("pb") === v)
+      case _ => ()
+    }
+    val varPos: Seq[(String, String)] =
+      (Seq("pa" -> s, "pb" -> o).collect { case (c, V(n)) => (c, n) }) :+ ("g" -> gv)
+    // repeated variables (incl. ?gv reused as an endpoint) add in-pattern
+    // equalities, same contract as compilePattern
+    varPos.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { dup =>
+      dup.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => df = df.filter(col(a) === col(b))
+        case _ => ()
+      }
+    }
+    val keep = varPos.distinctBy(_._2)
+    Frag(df.select(keep.map { case (c, n) => col(c).as(n) }: _*),
+      keep.map(_._2), Set.empty)
   }
 
   // ---- filters -------------------------------------------------------------------

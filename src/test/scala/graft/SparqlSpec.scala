@@ -217,7 +217,23 @@ class SparqlSpec extends AnyFunSuite {
           if (ext.nonEmpty) ext else Seq(m)
         }
       case GUnion(bs) => acc = joinB(acc, bs.flatMap(evalGroup(_, ts, active)))
-      case GSub(sub) => acc = joinB(acc, evalSelect(sub, scoped))
+      case GSub(sub) =>
+        // under GRAPH ?g the sub-select evaluates once PER NAMED GRAPH and
+        // each solution carries the graph binding (compatible-checked in
+        // case the inner query binds the same name)
+        val subSols: Seq[B] = active match {
+          case Some(V(gv)) =>
+            ts.map(_._4).filter(_.nonEmpty).distinct.flatMap { gname =>
+              evalSelect(sub, ts.filter(_._4 == gname)).flatMap { m =>
+                m.get(gv) match {
+                  case Some(x) if x != gname => None
+                  case _ => Some(m + (gv -> gname))
+                }
+              }
+            }
+          case _ => evalSelect(sub, scoped)
+        }
+        acc = joinB(acc, subSols)
       case GValues(vs, rows) =>
         // UNDEF = absent from the mapping = compatible with anything
         val vb = rows.map(r => vs.zip(r).collect {
@@ -232,16 +248,28 @@ class SparqlSpec extends AnyFunSuite {
         acc = acc.filterNot(m => r.exists(x =>
           compatible(m, x) && m.keySet.intersect(x.keySet).nonEmpty))
       case GPath(s, path, o) =>
-        val pairs0 = evalPath(path, scoped)
         // spec zero-length completeness for top-level '*'/'?': a constant
         // endpoint relates to itself even when absent from the graph
         val topZeroish = path match { case _: PStar | _: POpt => true; case _ => false }
         val consts = Seq(s, o).collect { case I(u) => u; case L(l) => l }
-        val pairs =
+        def pairsOver(qs: Seq[Quad]): Seq[(String, String)] = {
+          val pairs0 = evalPath(path, qs)
           if (topZeroish && consts.nonEmpty) (pairs0 ++ consts.map(t => (t, t))).distinct
           else pairs0
-        val binds = pairs.flatMap { case (x, y) =>
-          bindT(s, x, Map.empty).flatMap(bindT(o, y, _))
+        }
+        // under GRAPH ?g the whole path (closures included) evaluates per
+        // named graph, binding ?g alongside the endpoints
+        val binds: Seq[B] = active match {
+          case Some(V(gv)) =>
+            ts.map(_._4).filter(_.nonEmpty).distinct.flatMap { gname =>
+              pairsOver(ts.filter(_._4 == gname)).flatMap { case (x, y) =>
+                bindT(s, x, Map(gv -> gname)).flatMap(bindT(o, y, _))
+              }
+            }
+          case _ =>
+            pairsOver(scoped).flatMap { case (x, y) =>
+              bindT(s, x, Map.empty).flatMap(bindT(o, y, _))
+            }
         }
         acc = joinB(acc, binds)
       case GBind(expr, name) =>
@@ -1491,18 +1519,93 @@ class SparqlSpec extends AnyFunSuite {
         |  GRAPH ?g { { ?s <urn:p> "x" } UNION { ?s <urn:p> "y" } }
         |} ORDER BY ?g""".stripMargin, quads)).flatMap(_.flatten) ==
       Seq("urn:g:1", "urn:g:2", "urn:g:2"))
-    // paths and sub-selects inside GRAPH ?var stay out of the subset
+    // modifiers inside a sub-select under GRAPH ?var are refused (per-graph
+    // windows are not compiled); the sub-select itself compiles (below)
     assert(refuse(
-      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p>+ ?o } }", quads)
-      .contains("per-graph"))
-    assert(refuse(
-      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o . { SELECT ?s WHERE { ?s <urn:p> ?o2 } } } }",
-      quads).contains("sub-SELECT inside GRAPH"))
+      "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p> ?o . { SELECT ?s WHERE { ?s <urn:p> ?o2 } LIMIT 2 } } }",
+      quads).contains("per-graph"))
     // xsd:dateTime under a non-XSD prefix is refused at parse
     val msg = intercept[SparqlParseException](SparqlParser.parse(
       """PREFIX foo:<http://example.org/> SELECT ?t WHERE {
         |  ?s <urn:p> ?t . FILTER(?t > foo:dateTime("2024")) }""".stripMargin)).getMessage
     assert(msg.contains("xsd:dateTime"))
+  }
+
+  test("GRAPH ?var × property paths: closures stay inside one graph") {
+    val s = spark
+    import s.implicits._
+    // chain a->b->c in g1; a->b in g2; the SAME edge a->b also in the
+    // default graph (must never leak into GRAPH ?g)
+    val quads = Seq(
+      ("urn:a", "urn:n", "urn:b", "urn:g:1"),
+      ("urn:b", "urn:n", "urn:c", "urn:g:1"),
+      ("urn:a", "urn:n", "urn:b", "urn:g:2"),
+      ("urn:a", "urn:n", "urn:b", ""))
+      .toDF("s", "p", "o", "g")
+    val plus = rows(SparqlCompiler.compile(
+      "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:n>+ ?y } } ORDER BY ?g ?x ?y",
+      quads)).map(_.flatten)
+    assert(plus == Seq(
+      Seq("urn:g:1", "urn:a", "urn:b"),
+      Seq("urn:g:1", "urn:a", "urn:c"), // closure within g1
+      Seq("urn:g:1", "urn:b", "urn:c"),
+      Seq("urn:g:2", "urn:a", "urn:b")),
+      "the a->c closure must exist ONLY in g1, never across graphs")
+    // sequence paths carry the graph key through each step join
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?g WHERE { GRAPH ?g { <urn:a> <urn:n>/<urn:n> <urn:c> } }",
+      quads)).map(_.flatten) == Seq(Seq("urn:g:1")))
+    // '*' zero-length solutions are per graph (terms occurring there);
+    // constant endpoints absent from a graph still self-relate per graph
+    val star = rows(SparqlCompiler.compile(
+      "SELECT ?g ?y WHERE { GRAPH ?g { <urn:zz> <urn:n>* ?y } } ORDER BY ?g",
+      quads)).map(_.flatten)
+    assert(star == Seq(Seq("urn:g:1", "urn:zz"), Seq("urn:g:2", "urn:zz")))
+    // the graph var reused as an endpoint forces the in-pattern equality
+    val self = Seq(("urn:g:1", "urn:n", "urn:q", "urn:g:1"),
+      ("urn:g:9", "urn:n", "urn:q", "urn:g:2")).toDF("s", "p", "o", "g")
+    assert(rows(SparqlCompiler.compile(
+      "SELECT ?g ?y WHERE { GRAPH ?g { ?g <urn:n>+ ?y } }", self))
+      .map(_.flatten) == Seq(Seq("urn:g:1", "urn:q")))
+    // differential: per-graph paths against the evaluator
+    for (seed <- 11 to 13) {
+      diffSelectQ("SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <urn:p:knows>+ ?b . } }",
+        randomQuads(seed, 16))
+      diffSelectQ(
+        """SELECT DISTINCT ?g ?a ?n WHERE {
+          |  GRAPH ?g { ?a <urn:p:knows>/<urn:p:name> ?n . } }""".stripMargin,
+        randomQuads(seed * 7, 16))
+    }
+  }
+
+  test("GRAPH ?var × sub-SELECT: per-graph evaluation, per-graph aggregation") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq(
+      ("urn:d1", "urn:t", "urn:C", "urn:g:1"),
+      ("urn:d2", "urn:t", "urn:C", "urn:g:1"),
+      ("urn:d3", "urn:t", "urn:C", "urn:g:2"),
+      ("urn:d9", "urn:t", "urn:C", ""))  // default graph: out of scope
+      .toDF("s", "p", "o", "g")
+    // aggregation inside GRAPH ?g groups per (class, graph)
+    val agg = rows(SparqlCompiler.compile(
+      """SELECT ?g ?c ?n WHERE {
+        |  GRAPH ?g { { SELECT ?c (COUNT(?d) AS ?n) WHERE { ?d <urn:t> ?c } GROUP BY ?c } }
+        |} ORDER BY ?g ?c""".stripMargin, quads)).map(_.flatten)
+    assert(agg == Seq(Seq("urn:g:1", "urn:C", "2"), Seq("urn:g:2", "urn:C", "1")))
+    // a plain (non-agg) sub-select joins the enclosing graph-scoped pattern
+    val join = rows(SparqlCompiler.compile(
+      """SELECT ?g ?d WHERE {
+        |  GRAPH ?g { ?d <urn:t> <urn:C> . { SELECT ?d WHERE { ?d <urn:t> ?c2 } } }
+        |} ORDER BY ?g ?d""".stripMargin, quads)).map(_.flatten)
+    assert(join == Seq(Seq("urn:g:1", "urn:d1"), Seq("urn:g:1", "urn:d2"),
+      Seq("urn:g:2", "urn:d3")))
+    // differential: sub-select aggregation per graph
+    for (seed <- 21 to 23)
+      diffSelectQ(
+        """SELECT ?g ?a ?n WHERE {
+          |  GRAPH ?g { { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <urn:p:knows> ?b } GROUP BY ?a } }
+          |}""".stripMargin, randomQuads(seed, 16))
   }
 
   test("lang()/langMatches(): tag semantics over the ol column") {
@@ -1762,15 +1865,31 @@ class SparqlSpec extends AnyFunSuite {
           "(<urn:p:knows>|<urn:p:name>)", "^<urn:p:knows>/<urn:p:name>")
         body ++= s"?$anchor ${paths(rnd.nextInt(paths.size))} ?$v .\n"
       case 7 => // GRAPH block anchored on a safe var; the fuzzer's data is
-        // quads, so graph scoping is differentially checked too
+        // quads, so graph scoping is differentially checked too — the body
+        // is a plain pattern, a property path (per-graph closure), or an
+        // aggregate sub-select (per-graph grouping)
         val anchor = someSafe()
-        if (rnd.nextBoolean()) {
-          val gv = fresh(); safe += gv
-          val v = fresh(); safe += v
-          body ++= s"GRAPH ?$gv { ?$anchor <urn:p:knows> ?$v . }\n"
-        } else {
-          val v = fresh(); safe += v
-          body ++= s"GRAPH <urn:gr:1> { ?$anchor <urn:p:name> ?$v . }\n"
+        rnd.nextInt(4) match {
+          case 0 =>
+            val gv = fresh(); safe += gv
+            val v = fresh(); safe += v
+            body ++= s"GRAPH ?$gv { ?$anchor <urn:p:knows> ?$v . }\n"
+          case 1 =>
+            val v = fresh(); safe += v
+            body ++= s"GRAPH <urn:gr:1> { ?$anchor <urn:p:name> ?$v . }\n"
+          case 2 =>
+            val gv = fresh(); safe += gv
+            val v = fresh(); safe += v
+            val path = Seq("<urn:p:knows>+", "<urn:p:knows>/<urn:p:name>",
+              "(<urn:p:knows>|<urn:p:name>)")(rnd.nextInt(3))
+            body ++= s"GRAPH ?$gv { ?$anchor $path ?$v . }\n"
+          case 3 =>
+            val gv = fresh(); safe += gv
+            // the COUNT output is NUMERIC (bigint): keep it out of every
+            // reuse pool so no later step joins/filters it against strings
+            val v = fresh()
+            body ++= s"GRAPH ?$gv { { SELECT ?$anchor (COUNT(?z_s) AS ?$v) " +
+              s"WHERE { ?$anchor <urn:p:knows> ?z_s } GROUP BY ?$anchor } }\n"
         }
       case 9 => // VALUES constraining an already-bound var (broadcast
         // inline relation); UNDEF rows stay out — the var is a join key
