@@ -22,6 +22,18 @@ import graft.sources.TranscriptGen
   *   KgMain query <file.rq|-> <workDir>    run SPARQL over the published
   *                                         graph ('-': GRAFT_SPARQL env, or
   *                                         the river config's query[] list)
+  *   KgMain dedup-update <deltaParquet> <workDir>
+  *                                         fold a (doc_id, text) delta into
+  *                                         the incremental dedup index
+  *                                         (O(delta) bucket rewrites;
+  *                                         GRAFT_DEDUP_REMOVED=id,id,...
+  *                                         retires deleted docs;
+  *                                         GRAFT_RUN_ID pins idempotent
+  *                                         crash-retry)
+  *   KgMain dedup-candidates <deltaParquet> <workDir>
+  *                                         duplicate candidates for a delta
+  *                                         against the index (bucket-pruned
+  *                                         lookup, never a corpus scan)
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -62,6 +74,34 @@ object KgMain {
       case c             => c.toString
     }.mkString("\"", "", "\"")
 
+  /** The dedup-update / dedup-candidates mode body (separated from main()
+    * so specs can drive the app path on a shared session): nightly CDC
+    * deltas update / query the incremental dedup index in O(delta) bucket
+    * rewrites — never a corpus re-scan (IncrementalDedupIndex scaladoc).
+    * The delta parquet carries (doc_id, text); returns the mode's one-line
+    * JSON report. */
+  private[graft] def runDedup(spark: SparkSession, mode: String,
+      deltaPath: String, workDir: String, removed: Seq[Long],
+      runId: String, buckets: Int = 64): String = {
+    val idx = new graft.dedup.IncrementalDedupIndex(workDir, buckets)
+    val delta = spark.read.parquet(deltaPath)
+    require(delta.columns.contains("doc_id") && delta.columns.contains("text"),
+      s"dedup delta at $deltaPath needs (doc_id, text) columns, has " +
+        delta.columns.mkString("(", ", ", ")"))
+    if (mode == "dedup-update") {
+      val (fpB, docB) = idx.update(spark, delta, runId, removed)
+      s"""{"mode":"dedup-update","run_id":${jsonStr(runId)},""" +
+        s""""touched_fp_buckets":${fpB.size},"touched_doc_buckets":${docB.size},""" +
+        s""""removed":${removed.size}}"""
+    } else {
+      val out = idx.candidates(spark, delta)
+      val outDir = s"$workDir/dedup_candidates"
+      out.orderBy("doc_id", "dup_id").write.mode("overwrite").parquet(outDir)
+      val n = spark.read.parquet(outDir).count()
+      s"""{"mode":"dedup-candidates","rows":$n,"out":${jsonStr(outDir)}}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: KgMain full|sync|ingest-nt|ingest-rdfxml|ingest-stream " +
@@ -69,11 +109,13 @@ object KgMain {
     val Array(mode, turnsDir, workDir) = args.take(3)
     require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
         mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats" ||
-        mode == "diff" || mode == "query",
+        mode == "diff" || mode == "query" || mode == "dedup-update" ||
+        mode == "dedup-candidates",
       s"unknown mode: $mode (stats ignores <inputDir>, pass '-'; " +
         "diff takes <genA,genB> in the <inputDir> position; " +
         "query takes a .rq file path — or '-' to use GRAFT_SPARQL / the " +
-        "river config's query[] list)")
+        "river config's query[] list; dedup-update/dedup-candidates take a " +
+        "delta parquet of (doc_id, text) in the <inputDir> position)")
 
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
@@ -251,6 +293,18 @@ object KgMain {
           s""""columns":${out.columns.map(jsonStr).mkString("[", ",", "]")},""" +
           s""""out":${jsonStr(outDir)}}""")
       }
+      spark.stop()
+      return
+    }
+
+    if (mode == "dedup-update" || mode == "dedup-candidates") {
+      println(runDedup(spark, mode, turnsDir, workDir,
+        removed = sys.env.get("GRAFT_DEDUP_REMOVED").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong),
+        // honor an explicit runId so a crashed update RETRIED FROM A NEW
+        // PROCESS heals idempotently (same contract as sync)
+        runId = sys.env.getOrElse("GRAFT_RUN_ID", runId),
+        buckets = sys.env.get("GRAFT_DEDUP_BUCKETS").map(_.toInt).getOrElse(64)))
       spark.stop()
       return
     }

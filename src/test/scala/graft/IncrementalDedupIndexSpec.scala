@@ -175,4 +175,50 @@ class IncrementalDedupIndexSpec extends AnyFunSuite {
     var live = corpusV0.toMap ++ delta.toMap
     assert(snapshot === fullRecompute(live.toSeq))
   }
+
+  test("KgMain dedup-update / dedup-candidates app surface: delta parquet " +
+       "in, JSON report + candidates parquet out, idempotent retry") {
+    val spark = SparkTestSession.get
+    val wd = Files.createTempDirectory("graft-dd-app-").toString
+    def writeDelta(rows: Seq[(Long, String)], name: String): String = {
+      val p = s"$wd/$name"
+      docsDf(rows).write.mode("overwrite").parquet(p)
+      p
+    }
+    // seed the index through the app path
+    val seed = writeDelta(corpusV0, "delta0")
+    val r0 = graft.app.KgMain.runDedup(spark, "dedup-update", seed, wd,
+      removed = Nil, runId = "app-run0", buckets = B)
+    assert(r0.contains("\"mode\":\"dedup-update\"") &&
+      r0.contains("\"touched_fp_buckets\""))
+    // crash-retry: the SAME runId re-applies idempotently (no dup rows)
+    graft.app.KgMain.runDedup(spark, "dedup-update", seed, wd,
+      removed = Nil, runId = "app-run0", buckets = B)
+    val idx = new IncrementalDedupIndex(wd, buckets = B)
+    assert(indexContents(idx) === fullRecompute(corpusV0))
+    // candidates for a delta that token-permutes doc 0's text (same
+    // sorted-token-set fingerprint => a duplicate candidate), via the app
+    val probe = writeDelta(Seq((900L, "beta delta0 gamma0 alpha")), "delta1")
+    val r1 = graft.app.KgMain.runDedup(spark, "dedup-candidates", probe, wd,
+      removed = Nil, runId = "app-run1", buckets = B)
+    assert(r1.contains("\"mode\":\"dedup-candidates\""))
+    val cand = spark.read.parquet(s"$wd/dedup_candidates")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.nonEmpty && cand.forall(_._1 == 900L),
+      s"probe 900 must find its permuted duplicates, got $cand")
+    assert(cand.contains((900L, 0L)))
+    // removal through the app path retires the rows
+    val edit = writeDelta(Seq((1L, "totally new text one")), "delta2")
+    graft.app.KgMain.runDedup(spark, "dedup-update", edit, wd,
+      removed = Seq(2L), runId = "app-run2", buckets = B)
+    val live = corpusV0.toMap - 2L + (1L -> "totally new text one")
+    assert(indexContents(idx) === fullRecompute(live.toSeq))
+    // a delta without the contract columns refuses loudly
+    val bad = s"$wd/bad"
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "body").write.parquet(bad)
+    val msg = intercept[IllegalArgumentException](graft.app.KgMain.runDedup(
+      spark, "dedup-update", bad, wd, Nil, "app-run3", B)).getMessage
+    assert(msg.contains("doc_id"))
+  }
 }
