@@ -72,14 +72,14 @@ object StreamingSync {
       "detectLanguage=true on the streaming path needs a langStateTable " +
         "(the per-conversation profile counters live in their own bucketed " +
         "table, committed in lockstep with each batch)")
-    // ...but derived-table propagation is refused under detectLanguage: a
-    // language flip re-keys support rows, and edges drop conv_id, so
-    // propagating the re-key would need per-key weight RETIREMENT — the
-    // batch sync's job, deliberately absent from the append-only stream
-    require(!cfg.detectLanguage || edgeTable.isEmpty,
-      "detectLanguage + derived-table propagation is not supported on the " +
-        "streaming path (a language flip would need edge-weight retirement); " +
-        "propagate edges with the batch sync, or stamp a fixed language")
+    // Derived-table propagation under detectLanguage (round-5): a language
+    // flip re-keys support rows, and edges drop conv_id — so the flip
+    // propagates into the edge delta as a RETRACT+EMIT pair derived from
+    // the flipped conversations' PRE-batch support rows (read via the same
+    // preBatchRead snapshot discipline as the node-refcount anti-join); an
+    // edge key whose weight retires to zero drops, and node refcounts
+    // decrement for dead keys exactly as they increment for created ones —
+    // see derivedStep.
     // scoredLinking IS streaming-safe (round-4): contextual disambiguation
     // is per-(conv, turn, alias) over the turn's OWN tokens, and a turn is
     // never split across micro-batches — resolving inside foreachBatch is
@@ -308,7 +308,7 @@ object StreamingSync {
             .groupBy("conv_id", "subj", "pred", "obj")
             .agg(count(lit(1)).as("weight"))
           val stampedLang = langState match {
-            case Some((langNow, _, _)) =>
+            case Some((langNow, _, _, _)) =>
               // batch-conv-sized broadcastable join; pick() defaulted every
               // conversation, the coalesce only guards join-miss corners
               grouped.join(langNow, Seq("conv_id"), "left")
@@ -345,7 +345,7 @@ object StreamingSync {
                 // cumulative winner BEFORE the key-merge, so a flip unifies
                 // old and new rows under one lang instead of splitting them
                 val rekeyed = langState match {
-                  case Some((langNow, _, _)) =>
+                  case Some((langNow, _, _, _)) =>
                     pruned.join(langNow.withColumnRenamed("lang", "lang_now"),
                         Seq("conv_id"), "left")
                       .withColumn("lang",
@@ -374,14 +374,15 @@ object StreamingSync {
           (edgeTable, nodeTable) match {
             case (Some(e), Some(n)) =>
               derivedStep(s, supports, e, n, docTable, cfg, B,
-                cfg.bucketKeyExpr, s"stream-$ckptId-$batchId")
+                cfg.bucketKeyExpr, s"stream-$ckptId-$batchId",
+                supTbl = table, flips = langState.map(_._3))
             case _ =>
           }
           // coref + language state publish AFTER the supports and BEFORE
           // the stamp: then every crash window replays correctly (see
           // corefStep / langStep)
           publishCorefState()
-          langState.foreach(_._3())
+          langState.foreach(_._4())
           // lineage id BEFORE the batch stamp: a crash between the two must
           // never leave lastBatch set with no (or a stale) lineage id — the
           // strict guard above would then brick or bypass the table
@@ -408,8 +409,14 @@ object StreamingSync {
     * published generation's PARENT ([[preBatchRead]]); reading the advanced
     * generation instead would find zero "new" keys and publish a wrong
     * (empty-delta) node merge in the crash window where the node publish is
-    * still pending. The stream is append-only (weights only grow), so there
-    * is no retirement path here — deletes belong to the batch sync.
+    * still pending.
+    *
+    * The ONE retirement path here is the detectLanguage flip (`flips`): a
+    * flipped conversation's pre-batch support rows retract at the old lang
+    * and emit at the new one, a key whose merged weight reaches zero drops
+    * from the edge table, and node refcounts decrement for dead keys
+    * symmetric to created ones. Everything else stays append-only —
+    * vanished-data deletes belong to the batch sync.
     *
     * Crash safety: edges publish before nodes, both before the coref state
     * and the lastBatch stamp; publishes are runId-idempotent. Replay
@@ -420,12 +427,37 @@ object StreamingSync {
   private def derivedStep(s: SparkSession, supports: DataFrame,
                           eTbl: TableCommitter, nTbl: TableCommitter,
                           docTbl: Option[TableCommitter], cfg: PipelineConfig,
-                          B: Int, keyExpr: String, runId: String): Unit = {
+                          B: Int, keyExpr: String, runId: String,
+                          supTbl: TableCommitter = null,
+                          flips: Option[DataFrame] = None): Unit = {
     val edgeBucket = PipelineConfig.bucketCol(keyExpr, "subj", B)
     val nodeBucket = PipelineConfig.bucketCol(keyExpr, "entity_id", B)
     val eKeys = Seq("subj", "pred", "obj", "lang")
-    val eDelta = supports
+    // language-flip propagation (detectLanguage): a flipped conversation's
+    // PRE-batch support rows (snapshot read — the supports table already
+    // advanced this batch) become a retract at the old lang (-weight) and
+    // an emit at the new one (+weight). Edge weights are sums of support
+    // weights over conversations, so the retract subtracts exactly this
+    // conversation's contribution — a key retiring to zero drops below.
+    val flipDelta: Option[DataFrame] = flips.filter(f => !f.isEmpty).flatMap { f =>
+      preBatchRead(s, supTbl, runId).map { priorSup =>
+        val flipBuckets = f
+          .select(PipelineConfig.bucketCol(keyExpr, "conv_id", B).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val rows = priorSup
+          .filter(col("bucket").isin(flipBuckets: _*)) // pruned
+          .join(f.select(col("conv_id"), col("lang").as("lang_new")),
+            Seq("conv_id"), "inner")
+        rows.select(col("subj"), col("pred"), col("obj"), col("lang"),
+            (-col("weight")).as("weight"))
+          .unionByName(rows.select(col("subj"), col("pred"), col("obj"),
+            col("lang_new").as("lang"), col("weight")))
+      }
+    }
+    val eDelta = flipDelta.foldLeft(
+        supports.select((eKeys :+ "weight").map(col): _*))(_ unionByName _)
       .groupBy(eKeys.map(col): _*).agg(sum(col("weight")).as("weight"))
+      .filter(col("weight") =!= 0L) // a flip's retract+emit can cancel
       .withColumn("bucket", edgeBucket)
       // batch-edge-sized; feeds the bucket set, the merge AND the new-key
       // anti-join — materialized once
@@ -436,38 +468,54 @@ object StreamingSync {
     val pre = preBatchRead(s, eTbl, runId)
       .map(_.filter(col("bucket").isin(eTouched.toSeq: _*)) // pruned
         .select((eKeys :+ "weight").map(col): _*)
-        .localCheckpoint(true)) // consumed by the merge and the anti-join
-    val combinedE = pre match {
+        .localCheckpoint(true)) // consumed by the merge and the anti-joins
+    val combinedE = (pre match {
       case Some(cur) => cur.unionByName(eDelta.drop("bucket"))
         .groupBy(eKeys.map(col): _*).agg(sum(col("weight")).as("weight"))
       case None => eDelta.drop("bucket")
-    }
+    }).filter(col("weight") > 0) // retired keys drop out of the table
+      // consumed by the stage AND the created/dead key joins below
+      .localCheckpoint(true)
     eTbl.stagePartitioned(combinedE.withColumn("bucket", edgeBucket), runId)
     eTbl.publishBuckets(runId, eTouched)
 
+    // node refcounts count DISTINCT edge keys per entity: +1 per key this
+    // batch CREATES (present after the merge, absent before), -1 per key it
+    // RETIRES (present before, absent after — only possible under a flip)
     val newKeys = pre match {
       case Some(cur) =>
-        eDelta.join(cur.select(eKeys.map(col): _*), eKeys, "left_anti")
-      case None => eDelta
+        combinedE.join(cur.select(eKeys.map(col): _*), eKeys, "left_anti")
+      case None => combinedE
     }
-    val nDelta = newKeys
-      .select(explode(array(col("subj"), col("obj"))).as("entity_id"))
-      .groupBy("entity_id").agg(count(lit(1)).as("refs"))
+    val deadKeys = pre match {
+      case Some(cur) if flipDelta.isDefined =>
+        cur.join(combinedE.select(eKeys.map(col): _*), eKeys, "left_anti")
+      case _ => null
+    }
+    val refDelta = Option(deadKeys).foldLeft(
+      newKeys.select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+        lit(1L).as("d")))((acc, dead) => acc.unionByName(
+      dead.select(explode(array(col("subj"), col("obj"))).as("entity_id"),
+        lit(-1L).as("d"))))
+    val nDelta = refDelta
+      .groupBy("entity_id").agg(sum(col("d")).as("refs"))
+      .filter(col("refs") =!= 0L)
       .withColumn("bucket", nodeBucket)
       .localCheckpoint(true)
     val nTouched = nDelta.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    if (nTouched.isEmpty) return // every delta key already existed
-    val combinedN = nTbl.read(s) match {
-      case Some(cur) => cur
-        .filter(col("bucket").isin(nTouched.toSeq: _*)) // pruned
-        .select(col("entity_id"), col("refs"))
-        .unionByName(nDelta.drop("bucket"))
-        .groupBy("entity_id").agg(sum(col("refs")).as("refs"))
-      case None => nDelta.drop("bucket")
+    if (nTouched.nonEmpty) {
+      val combinedN = (nTbl.read(s) match {
+        case Some(cur) => cur
+          .filter(col("bucket").isin(nTouched.toSeq: _*)) // pruned
+          .select(col("entity_id"), col("refs"))
+          .unionByName(nDelta.drop("bucket"))
+          .groupBy("entity_id").agg(sum(col("refs")).as("refs"))
+        case None => nDelta.drop("bucket")
+      }).filter(col("refs") > 0) // an entity with no remaining edges drops
+      nTbl.stagePartitioned(combinedN.withColumn("bucket", nodeBucket), runId)
+      nTbl.publishBuckets(runId, nTouched)
     }
-    nTbl.stagePartitioned(combinedN.withColumn("bucket", nodeBucket), runId)
-    nTbl.publishBuckets(runId, nTouched)
 
     // optional doc sink, per micro-batch (the batch sync's incremental doc
     // rebuild at batch granularity): docs pivot per (subj, lang) over ALL
@@ -482,7 +530,14 @@ object StreamingSync {
     // NO snapshot gymnastics: the doc input is the post-merge edge
     // generation, which is what every replay window reads too (later
     // batches have not run), and a published doc runId no-ops.
-    docTbl.foreach { dTbl =>
+    //
+    // Skip condition: with no created keys and no flips, every doc would
+    // re-render byte-identically (weights do not render) — the historical
+    // fast path. Under a flip the per-entity ref deltas can CANCEL
+    // (retire at en + create at cs), so nTouched alone cannot prove docs
+    // unchanged and the rebuild always runs.
+    val docsUnchanged = nTouched.isEmpty && flipDelta.isEmpty
+    docTbl.filter(_ => !docsUnchanged).foreach { dTbl =>
       val changedSubj = eDelta.select("subj").distinct().localCheckpoint(true)
       val postEdges = eTbl.read(s).get
       val slice = postEdges
@@ -538,7 +593,7 @@ object StreamingSync {
     * discarded — the same argument as corefStep. */
   private def langStep(batch: Dataset[Turn], st: TableCommitter,
                        cfg: PipelineConfig, bucketOf: Column,
-                       runId: String): (DataFrame, Set[Int], () => Unit) = {
+                       runId: String): (DataFrame, Set[Int], DataFrame, () => Unit) = {
     val s = batch.sparkSession
     val profs = graft.text.LangDetect.sortedProfiles(cfg.langProfiles)
     val k = profs.size
@@ -564,21 +619,25 @@ object StreamingSync {
     // consumed by the support stamp AND the re-key join
     val langNow = graft.text.LangDetect.pick(cumM, profs, cfg.language)
       .localCheckpoint(true)
-    // re-key work = buckets of conversations whose winner FLIPPED: a
-    // conversation with no prior state has no published rows to re-key, and
-    // a stable winner leaves its bucket untouched (else every chatty
-    // conversation would force a byte-identical bucket rewrite per batch)
-    val flipped: Set[Int] = prior match {
-      case None => Set.empty
+    // re-key work = conversations whose winner FLIPPED: a conversation
+    // with no prior state has no published rows to re-key, and a stable
+    // winner leaves its bucket untouched (else every chatty conversation
+    // would force a byte-identical bucket rewrite per batch). The flip
+    // rows (conv_id, lang_prior, lang) also drive the derived tables'
+    // retract+emit propagation (see derivedStep).
+    val flips: DataFrame = (prior match {
+      case None =>
+        langNow.limit(0).withColumn("lang_prior", lit(""))
       case Some(p) =>
         val priorWin = graft.text.LangDetect.pick(p, profs, cfg.language)
           .withColumnRenamed("lang", "lang_prior")
         langNow.join(priorWin, Seq("conv_id"), "inner")
           .filter(col("lang") =!= col("lang_prior"))
-          .select(bucketOf.as("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-    }
-    (langNow, flipped, () => {
+    }).select("conv_id", "lang_prior", "lang")
+      .localCheckpoint(true) // batch-conv-bounded; bucket set + derived deltas
+    val flipped: Set[Int] = flips.select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    (langNow, flipped, flips, () => {
       if (touched.nonEmpty) {
         st.stagePartitioned(cumM.withColumn("bucket", bucketOf), runId)
         st.publishBuckets(runId, touched)

@@ -130,6 +130,90 @@ class StreamingLangSpec extends AnyFunSuite {
       "the language counters must still advance")
   }
 
+  test("derived tables under detectLanguage: a mid-stream language flip " +
+       "retracts old-lang edges, re-emits, and fixes node refs + docs") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val profiles = Map(
+      "lorA" -> Set("lorem", "ipsum", "dolor"),
+      "lorB" -> Set("sed", "do", "tempor"))
+    val cfg = PipelineConfig(detectLanguage = true, langProfiles = profiles,
+      workDir = tmp("slang-work-"))
+    val catalog = TranscriptGen.catalog(2)
+    // batch 1: conversation votes lorA; batch 2: enough lorB tokens that
+    // the CUMULATIVE winner flips — proven here, not assumed
+    val t0 = t("cf", 0, "al0x uses al1x lorem ipsum dolor")
+    val t1 = t("cf", 1, "al0x uses al1x sed do tempor sed do tempor")
+    val profs = LangDetect.sortedProfiles(profiles)
+    def winner(ts: Seq[Turn]): String = LangDetect
+      .pick(LangDetect.counts(ts.toDF(), profs), profs, cfg.language)
+      .collect().head.getString(1)
+    assert(winner(Seq(t0)) == "lorA" && winner(Seq(t0, t1)) == "lorB",
+      "fixture must flip the cumulative winner in batch 2")
+
+    val inDir = tmp("slang-in-")
+    def writeFile(turn: Turn, mtime: Long): Unit = {
+      Seq(turn).toDS().coalesce(1).write.mode("append").parquet(inDir)
+      // pin modification times so the file source feeds batch 1 before
+      // batch 2 (the flip needs the lorA file FIRST)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val cur = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (cur > mtime)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+    }
+    writeFile(t0, 1700000000000L)
+    writeFile(t1, 1700000100000L)
+
+    val table = new TableCommitter(tmp("slang-tbl-"))
+    val lang = new TableCommitter(tmp("slang-state-"))
+    val eTbl = new TableCommitter(tmp("slang-e-"))
+    val nTbl = new TableCommitter(tmp("slang-n-"))
+    val dTbl = new TableCommitter(tmp("slang-d-"))
+    StreamingSync.ingestAvailableNow(spark, inDir, tmp("slang-ckpt-"),
+      catalog, TranscriptGen.markerPreds, cfg, table,
+      maxFilesPerBatch = Some(1), langStateTable = Some(lang),
+      edgeTable = Some(eTbl), nodeTable = Some(nTbl), docTable = Some(dTbl))
+    assert(table.currentGeneration("lastBatch").exists(_.toLong >= 1),
+      "expected two micro-batches")
+
+    // expectation: the batch pipeline's whole-input result
+    val allTurns = Seq(t0, t1)
+    val expectSupports = graft.extract.Extractor
+      .extract(allTurns.toDS(), catalog, TranscriptGen.markerPreds,
+        canon = TranscriptGen.components(catalog)).toDF()
+      .groupBy("subj", "pred", "obj").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        "lorB") -> r.getLong(3)).toMap
+    assert(expectSupports.nonEmpty, "fixture must extract supports")
+
+    val edges = eTbl.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> r.getLong(4)).toMap
+    assert(edges == expectSupports,
+      s"streamed edges must equal the batch result at the FINAL language " +
+        s"(no stale lorA keys): $edges")
+    assert(!edges.keys.exists(_._4 == "lorA"), "old-lang edges must retire")
+
+    // node refcounts: distinct edge keys per entity over the final edges
+    val expectRefs = expectSupports.keys.toSeq
+      .flatMap(k => Seq(k._1, k._3)).groupBy(identity)
+      .map { case (e, xs) => e -> xs.size.toLong }
+    val nodes = nTbl.read(spark).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes == expectRefs,
+      s"node refs must match the final edge keys (stale refs retired): $nodes")
+
+    // docs re-render under the final language only
+    val docs = dTbl.read(spark).get
+    val docLangs = docs.select("lang").collect().map(_.getString(0)).toSet
+    assert(docLangs == Set("lorB"), s"docs must re-key to the winner: $docLangs")
+  }
+
   test("profile signatures cannot collide across delimiter-bearing words") {
     val a = Map("a" -> Set("x;b:y"))
     val b = Map("a" -> Set("x"), "b" -> Set("y"))
@@ -150,15 +234,6 @@ class StreamingLangSpec extends AnyFunSuite {
         catalog, TranscriptGen.markerPreds, cfg,
         new TableCommitter(tmp("slang-tbl-"))))
     assert(e1.getMessage.contains("langStateTable"))
-
-    val e2 = intercept[IllegalArgumentException](
-      StreamingSync.ingestAvailableNow(spark, inDir, tmp("slang-ckpt-"),
-        catalog, TranscriptGen.markerPreds, cfg,
-        new TableCommitter(tmp("slang-tbl-")),
-        langStateTable = Some(new TableCommitter(tmp("slang-state-"))),
-        edgeTable = Some(new TableCommitter(tmp("slang-e-"))),
-        nodeTable = Some(new TableCommitter(tmp("slang-n-")))))
-    assert(e2.getMessage.contains("retirement"))
 
     // profile pin: counters are positional over the sorted profile keys, so
     // an edited profile set must refuse to write into the same state lineage
