@@ -35,22 +35,28 @@ object ConnectedComponents {
     val spark = edgesIn.sparkSession
 
     // Canonical directed form (hi -> lo), self-loops dropped, deduped.
+    // The INPUT's convergence signature rides the persist materialization
+    // via observe (it completes inside round 1's job — no up-front action),
+    // so an ALREADY-CONVERGED input (the common star shape from dedup
+    // group-min edges) is recognized after ONE round instead of two.
+    // Round fusion — two star rounds per action — was TRIED here and
+    // measured 2.4–5x SLOWER at sf0.1 (the outer round's repeated
+    // references recompute the inner DAG; even a lazy persist of the
+    // intermediate costs more than the saved driver sync), so one round
+    // per action stays deliberate.
+    val obs0 = new org.apache.spark.sql.Observation("cc-sig-init")
     var edges = edgesIn
       .select(
         greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("c"),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // sentinel: the first round never reads as converged, so the up-front
-    // signature action (one full extra job before round 1) is gone. Round
-    // fusion — two star rounds per action — was TRIED here and measured
-    // 2.4–5x SLOWER at sf0.1 (the outer round's repeated references
-    // recompute the inner DAG; even a lazy persist of the intermediate
-    // costs more than the saved driver sync), so one round per action
-    // stays deliberate.
-    var prevSig: (Long, Long) = (-1L, -1L)
+    var prevSig: (Long, Long) = (-1L, -1L) // replaced by obs0 after round 1
+    var first = true
     var converged = false
     var it = 0
 
@@ -88,6 +94,13 @@ object ConnectedComponents {
         .localCheckpoint(true) // truncate lineage each round; fires the observation
 
       val sig = (obs.get("c").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+      if (first) {
+        // the input frame materialized inside this round's job, so its
+        // signature is available now — round 1 can read as converged
+        prevSig = (obs0.get("c").asInstanceOf[Long],
+          obs0.get("h").asInstanceOf[Long])
+        first = false
+      }
       // (count, hash-sum) can collide: when it repeats, confirm the fixpoint
       // with ONE exact set check (counts already match, so one-sided except
       // suffices) — runs only at the candidate fixpoint, never per round
