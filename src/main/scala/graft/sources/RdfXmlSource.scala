@@ -417,13 +417,21 @@ object RdfXmlSource {
       case Some("Literal") =>
         // XML literal (W3C RDF/XML 7.2.17; the reference accepts these via
         // Jena, Harvester.java:1711-1716): the object is the element
-        // content re-serialized as XML, typed rdf:XMLLiteral. Subset note:
-        // this is a faithful event re-serialization (elements with their
-        // OWN namespace declarations, attributes, escaped text; comments/
-        // PIs dropped), not exclusive-c14n — ancestor-inherited namespace
-        // prefixes used inside the literal without a redeclaration are out
-        // of the subset, and surface as an unbound-prefix reject rather
-        // than a silently wrong literal.
+        // content re-serialized as XML, typed rdf:XMLLiteral.
+        //
+        // Canonicalization status (round-5): within the subset the
+        // serialization follows Canonical XML's node rules — namespace
+        // declarations sorted by prefix, attributes sorted by (namespace
+        // URI, local name), C14N-exact escaping (&<> + #xD in text;
+        // &<" + #x9/#xA/#xD in attributes), empty elements as start+end
+        // tags — so two subset inputs differing only in attribute/xmlns
+        // order hash identically, matching Jena's canonical form for
+        // literals whose declarations are minimal and local. REMAINING
+        // divergences, all documented: comments and PIs are dropped (C14N
+        // keeps PIs), and ancestor-inherited namespace prefixes used inside
+        // the literal without a redeclaration are out of the subset —
+        // surfaced as an unbound-prefix reject rather than a silently
+        // wrong literal.
         val sb = new java.lang.StringBuilder()
         def qn(prefix: String, local: String): String =
           if (prefix == null || prefix.isEmpty) local else s"$prefix:$local"
@@ -442,14 +450,20 @@ object RdfXmlSource {
               depth += 1
               sb.append('<').append(qn(r.getPrefix, r.getLocalName))
               var here = Set.empty[String]
+              // canonical-XML node ordering (round-5; closes most of the
+              // exc-c14n hash gap vs Jena within the subset): namespace
+              // declarations sorted by prefix (default first), then
+              var nsDecls = List.empty[(String, String)]
               var i = 0
               while (i < r.getNamespaceCount) {
                 val p = Option(r.getNamespacePrefix(i)).getOrElse("")
                 here += p
-                sb.append(" xmlns").append(if (p.isEmpty) "" else ":" + p)
-                  .append("=\"").append(escAttr(r.getNamespaceURI(i)))
-                  .append('"')
+                nsDecls ::= (p, r.getNamespaceURI(i))
                 i += 1
+              }
+              nsDecls.sortBy(_._1).foreach { case (p, uri) =>
+                sb.append(" xmlns").append(if (p.isEmpty) "" else ":" + p)
+                  .append("=\"").append(escAttr(uri)).append('"')
               }
               scopes = here :: scopes
               // a prefixed name whose declaration lives OUTSIDE the literal
@@ -471,6 +485,10 @@ object RdfXmlSource {
                   "XML literal element inherits a default namespace " +
                     "declared outside the literal (out of the supported " +
                     "subset)")
+              // ...then attributes sorted by (namespace URI, local name) —
+              // the C14N attribute order (unprefixed attrs have the empty
+              // URI and sort first)
+              var attrs = List.empty[((String, String), String, String)]
               i = 0
               while (i < r.getAttributeCount) {
                 val ap = Option(r.getAttributePrefix(i)).getOrElse("")
@@ -478,10 +496,14 @@ object RdfXmlSource {
                   throw new IllegalStateException(
                     s"XML literal uses prefix '$ap' declared outside the " +
                       "literal (out of the supported subset)")
-                sb.append(' ').append(qn(ap, r.getAttributeLocalName(i)))
-                  .append("=\"").append(escAttr(r.getAttributeValue(i)))
-                  .append('"')
+                val uri = Option(r.getAttributeNamespace(i)).getOrElse("")
+                attrs ::= ((uri, r.getAttributeLocalName(i)),
+                  qn(ap, r.getAttributeLocalName(i)), r.getAttributeValue(i))
                 i += 1
+              }
+              attrs.sortBy(_._1).foreach { case (_, name, value) =>
+                sb.append(' ').append(name)
+                  .append("=\"").append(escAttr(value)).append('"')
               }
               sb.append('>')
             case XMLStreamConstants.END_ELEMENT =>

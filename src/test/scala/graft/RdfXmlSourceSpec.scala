@@ -220,6 +220,22 @@ class RdfXmlSourceSpec extends AnyFunSuite {
     assert(sib.head.obj == """<q:a xmlns:q="urn:q"></q:a><r xmlns="urn:r"></r>""")
     assert(sib.head.objType == RdfXmlSource.RdfNs + "XMLLiteral")
 
+    // canonical node ordering (round-5): two literals differing ONLY in
+    // attribute / xmlns order serialize to the SAME object (namespace
+    // decls sorted by prefix, attributes by (namespace URI, local name)),
+    // so cross-serializer hashes agree within the subset
+    def literalOf(body: String): String = parse(
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         |         xmlns:p="urn:p:">
+         |  <rdf:Description rdf:about="urn:s:9">
+         |    <p:doc rdf:parseType="Literal">$body</p:doc>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin).head.obj
+    val a = literalOf("""<b xmlns:z="urn:z" xmlns="urn:h" k="v" a="1" z:m="2">x</b>""")
+    val b = literalOf("""<b a="1" xmlns="urn:h" z:m="2" k="v" xmlns:z="urn:z">x</b>""")
+    assert(a == b, s"order-insensitive canonical form: $a vs $b")
+    assert(a == """<b xmlns="urn:h" xmlns:z="urn:z" a="1" k="v" z:m="2">x</b>""")
+
     // the 'xml' prefix (xml:lang, xml:space) is implicitly bound by
     // Namespaces in XML §3 — it never appears in an xmlns declaration and
     // must NOT trip the out-of-scope-prefix reject (XHTML literals carry
