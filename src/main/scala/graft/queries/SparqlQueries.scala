@@ -685,6 +685,38 @@ object SparqlQueries {
         dtFrame(s, d))
     },
 
+    // ---- VAR-VAR value-space ordering: FILTER(?n > ?m) over TWO
+    // proven-integer vars compares numerically via the castable proof
+    // (round-5: previously this shape compiled lexicographically — "99" >
+    // "400" — the silent-divergence class the proof contract exists to
+    // kill; a provably MIXED ordering now refuses). The self-join pairs
+    // same-class documents by length, a relational asymmetric-join shape
+    // SPARQL endpoints run constantly (price < otherPrice etc).
+    "sparql_varvar_numeric" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT ta.s AS a, tb.s AS b
+         |FROM dtr ta
+         |JOIN dtr na ON na.s = ta.s AND na.p = 'urn:p:nchars'
+         |  AND na.dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |JOIN dtr tb ON tb.p = 'urn:p:type' AND tb.o = 'urn:c:0'
+         |JOIN dtr nb ON nb.s = tb.s AND nb.p = 'urn:p:nchars'
+         |  AND nb.dt = 'http://www.w3.org/2001/XMLSchema#integer'
+         |WHERE ta.p = 'urn:p:type' AND ta.o = 'urn:c:0'
+         |  AND TRY_CAST(na.o AS BIGINT) > TRY_CAST(nb.o AS BIGINT)
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?a ?b WHERE {
+          |  ?a <urn:p:type> ?t . ?a <urn:p:nchars> ?n .
+          |  ?b <urn:p:type> ?t . ?b <urn:p:nchars> ?m .
+          |  FILTER(?t = <urn:c:0>)
+          |  FILTER(datatype(?n) = xsd:integer)
+          |  FILTER(datatype(?m) = xsd:integer)
+          |  FILTER(?n > ?m)
+          |} ORDER BY ?a ?b""".stripMargin,
+        dtFrame(s, d))
+    },
+
     // ---- SUM over a PROVEN-integer variable: the datatype() conjunct at
     // the binding scan pins the value space, so the aggregate compiles as
     // an exact BIGINT hash aggregate (map-side combinable) — never a sum

@@ -1459,13 +1459,51 @@ object SparqlCompiler {
         vals.map(v => c === term(v)).reduce(_ || _)
       case FCmp(op, l, r) =>
         val (a, b) = (term(l), term(r))
+        // Ordering semantics: equality stays the documented lexical
+        // term-model compare, but `<`/`>` over terms with a NUMERIC proof
+        // (an aggregate output, or a var proven numeric-typed at its
+        // binding scan via datatype()/a numeric-literal comparison)
+        // upgrades to a value-space comparison — "10" > "9" numerically,
+        // not lexicographically — mirroring applyOrderLimit's castable
+        // sort-key upgrade. A PROVABLY MIXED ordering (one side proven
+        // numeric, the other a string term) is refused: SPARQL makes it a
+        // type error, and the lexical compare would silently diverge.
+        // Neither-side-proven keeps the documented lexicographic term
+        // model (codepoint-correct for plain literals; exact for the
+        // reference's fixed-layout dateTime watermarks).
+        def numProof(t: Term): Option[Column] = t match {
+          case V(n) if numeric(n) => resolve(n)
+          case V(n) if castable.contains(n) =>
+            resolve(n).map(_.try_cast(castable(n)))
+          case _ => None
+        }
+        val ordering = op != "=" && op != "!="
+        val (av, bv) =
+          if (!ordering) (a, b)
+          else (numProof(l), numProof(r)) match {
+            case (Some(x), Some(y)) => (x, y)
+            case (None, None) => (a, b)
+            case (one, _) =>
+              def showT(t: Term): String = t match {
+                case V(n) => s"?$n"
+                case I(u) => s"<$u>"
+                case L(v) => "\"" + v + "\""
+              }
+              val (provenT, otherT) = if (one.isDefined) (l, r) else (r, l)
+              unsupported(s"FILTER(${showT(l)} $op ${showT(r)}): " +
+                s"${showT(provenT)} is proven numeric but ${showT(otherT)} " +
+                "is a string term — SPARQL makes a number-vs-string ordering " +
+                "a type error, and the lexical compare would silently " +
+                "diverge; prove both sides numeric (datatype(?v) = <numeric " +
+                "xsd type> at the binding pattern) or neither")
+          }
         op match {
-          case "=" => a === b
-          case "!=" => a =!= b
-          case "<" => a < b
-          case "<=" => a <= b
-          case ">" => a > b
-          case ">=" => a >= b
+          case "=" => av === bv
+          case "!=" => av =!= bv
+          case "<" => av < bv
+          case "<=" => av <= bv
+          case ">" => av > bv
+          case ">=" => av >= bv
         }
       case FBound(V(n)) => resolve(n).map(_.isNotNull).getOrElse(lit(false))
       case FRegex(t, pat) => term(t).rlike(pat)

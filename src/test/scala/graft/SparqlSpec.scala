@@ -124,8 +124,23 @@ class SparqlSpec extends AnyFunSuite {
   private def joinB(a: Seq[B], b: Seq[B]): Seq[B] =
     for (m1 <- a; m2 <- b if compatible(m1, m2)) yield m1 ++ m2
 
+  /** Vars with a STATIC numeric proof among a group's top-level filter
+    * conjuncts — a positive integer datatype() pin or a numeric-literal
+    * comparison. Mirrors the compiler's `provenCast`: ordering FCmp over
+    * two proven vars is a VALUE-space comparison, not lexicographic. */
+  private def provenNums(g: Group): Set[String] = {
+    def conj(e: FExpr): Seq[FExpr] = e match {
+      case FAnd(a, b) => conj(a) ++ conj(b)
+      case other => Seq(other)
+    }
+    g.elems.collect { case GFilter(e) => e }.flatMap(conj).collect {
+      case FDtCmp(v, true, "http://www.w3.org/2001/XMLSchema#integer") => v
+      case FNumCmp(v, _, _) => v
+    }.toSet
+  }
+
   /** three-valued filter eval: None = SPARQL type error (unbound var) */
-  private def evalF(e: FExpr, m: B): Option[Boolean] = e match {
+  private def evalF(e: FExpr, m: B, proven: Set[String] = Set.empty): Option[Boolean] = e match {
     case FStrFn("STRSTARTS", t, a) => term(t, m).map(_.startsWith(a))
     case FStrFn("STRENDS", t, a) => term(t, m).map(_.endsWith(a))
     case FStrFn("CONTAINS", t, a) => term(t, m).map(_.contains(a))
@@ -161,27 +176,50 @@ class SparqlSpec extends AnyFunSuite {
     }
     case FIn(t, vals) => term(t, m).map(v => vals.flatMap(x => term(x, m)).contains(v))
     case FCmp(op, l, r) =>
-      for (a <- term(l, m); b <- term(r, m)) yield op match {
-        case "=" => a == b
-        case "!=" => a != b
-        case "<" => a < b
-        case "<=" => a <= b
-        case ">" => a > b
-        case ">=" => a >= b
+      // ordering over two PROVEN-numeric vars is value-space (mirror of
+      // the compiler's castable upgrade); one-sided proofs are refused by
+      // the compiler, so reaching one here is a harness bug
+      val ordering = op != "=" && op != "!="
+      def isProven(t: Term): Boolean = t match {
+        case V(n) => proven(n); case _ => false
       }
+      if (ordering && isProven(l) && isProven(r))
+        // a non-numeric lexical form here = the compiler's try_cast null:
+        // type error, row removed (the pin filter removes it anyway; the
+        // filters are applied independently, so don't assume order)
+        for {
+          a <- term(l, m); b <- term(r, m)
+          x <- scala.util.Try(BigDecimal(a)).toOption
+          y <- scala.util.Try(BigDecimal(b)).toOption
+        } yield op match {
+          case "<" => x < y; case "<=" => x <= y
+          case ">" => x > y; case ">=" => x >= y
+        }
+      else if (ordering && (isProven(l) || isProven(r)))
+        fail(s"evaluator: one-sided proven ordering $e — the compiler " +
+          "refuses this shape, the generator must not emit it")
+      else
+        for (a <- term(l, m); b <- term(r, m)) yield op match {
+          case "=" => a == b
+          case "!=" => a != b
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case ">=" => a >= b
+        }
     case FBound(V(n)) => Some(m.contains(n))
     case FRegex(t, pat) => term(t, m).map(v => pat.r.findFirstIn(v).isDefined)
-    case FAnd(a, b) => (evalF(a, m), evalF(b, m)) match {
+    case FAnd(a, b) => (evalF(a, m, proven), evalF(b, m, proven)) match {
       case (Some(false), _) | (_, Some(false)) => Some(false)
       case (Some(true), Some(true)) => Some(true)
       case _ => None
     }
-    case FOr(a, b) => (evalF(a, m), evalF(b, m)) match {
+    case FOr(a, b) => (evalF(a, m, proven), evalF(b, m, proven)) match {
       case (Some(true), _) | (_, Some(true)) => Some(true)
       case (Some(false), Some(false)) => Some(false)
       case _ => None
     }
-    case FNot(a) => evalF(a, m).map(!_)
+    case FNot(a) => evalF(a, m, proven).map(!_)
   }
 
   private def term(t: Term, m: B): Option[String] = t match {
@@ -210,9 +248,12 @@ class SparqlSpec extends AnyFunSuite {
         val ofs = og.elems.collect { case GFilter(e) => e }
         val core = Group(og.elems.filterNot(_.isInstanceOf[GFilter]))
         val r = evalGroup(core, ts, active)
+        // merged-solution filters see proofs from BOTH scopes (mirror of
+        // the compiler's a.castable ++ c.castable)
+        val oproven = provenNums(g) ++ provenNums(og)
         acc = acc.flatMap { m =>
           val ext = r.filter(x => compatible(m, x) &&
-              ofs.forall(f => evalF(f, m ++ x).contains(true)))
+              ofs.forall(f => evalF(f, m ++ x, oproven).contains(true)))
             .map(m ++ _)
           if (ext.nonEmpty) ext else Seq(m)
         }
@@ -284,8 +325,9 @@ class SparqlSpec extends AnyFunSuite {
         fail("evaluator: SERVICE is not modeled (the fuzzer never emits it; " +
           "fixed tests cover the registered-graph path)")
     }
+    val proven = provenNums(g)
     val filtered =
-      filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m).contains(true)))
+      filters.foldLeft(acc)((a, e) => a.filter(m => evalF(e, m, proven).contains(true)))
     // NOTE: like the compiler, this evaluates EXISTS against the OWN
     // group's bindings only — an EXISTS reaching an enclosing group's
     // binding is exactly what the compiler REFUSES, so the differential
@@ -458,8 +500,11 @@ class SparqlSpec extends AnyFunSuite {
       (nodes(rnd.nextInt(nodes.size)), "urn:p:name", names(rnd.nextInt(names.size)))
     } ++ (0 until n / 2).map { _ =>
       // all-digit objects: typed xsd:integer by the diff frames' dt stamp,
-      // the substrate for the fuzzer's numeric comparisons and SUMs
-      (nodes(rnd.nextInt(nodes.size)), "urn:p:age", (18 + rnd.nextInt(9)).toString)
+      // the substrate for the fuzzer's numeric comparisons and SUMs.
+      // MIXED digit lengths (1–3) on purpose: numeric order must differ
+      // from lexicographic ("9" < "10" numerically, > lexicographically)
+      // or the differential is blind to a lexical mis-compile
+      (nodes(rnd.nextInt(nodes.size)), "urn:p:age", (5 + rnd.nextInt(120)).toString)
     }).distinct
   }
 
@@ -638,6 +683,50 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(SparqlCompiler.compile(
       "SELECT ?s WHERE { ?s <urn:size> ?n . FILTER(11 < ?n) }",
       frame)).map(_.flatten) == Seq(Seq("urn:e")))
+  }
+
+  test("var-var ordering: value-space over two proven vars, refusal on " +
+       "provably mixed, lexical term model otherwise") {
+    val s = spark
+    import s.implicits._
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val frame = Seq(
+      ("urn:a", "urn:lo", "10", xsdInt), ("urn:a", "urn:hi", "9", xsdInt),
+      ("urn:b", "urn:lo", "7", xsdInt), ("urn:b", "urn:hi", "70", xsdInt),
+      ("urn:a", "urn:tag", "x", ""), ("urn:b", "urn:tag", "x", ""))
+      .toDF("s", "p", "o", "dt")
+    val pin = s"FILTER(datatype(?x) = <$xsdInt>) FILTER(datatype(?y) = <$xsdInt>)"
+    // both proven: "10" > "9" NUMERICALLY (lexicographic says "10" < "9")
+    assert(rows(SparqlCompiler.compile(
+      s"""SELECT ?s WHERE { ?s <urn:lo> ?x . ?s <urn:hi> ?y . $pin
+         |  FILTER(?x > ?y) }""".stripMargin, frame)).map(_.flatten) ==
+      Seq(Seq("urn:a")))
+    // provably MIXED (one side proven, the other a plain-literal var):
+    // refused, never a silent lexical compare
+    val msg = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      s"""SELECT ?s WHERE { ?s <urn:lo> ?x . ?s <urn:tag> ?t .
+         |  FILTER(datatype(?x) = <$xsdInt>) FILTER(?x > ?t) }""".stripMargin,
+      frame).collect()).getMessage
+    assert(msg.contains("proven numeric"))
+    // neither proven: the documented lexicographic term model is unchanged
+    // ("10" < "9" and "7" < "70" lexically => BOTH rows; numerically only
+    // urn:b — the proven form above returns the complement)
+    assert(rows(SparqlCompiler.compile(
+      """SELECT ?s WHERE { ?s <urn:lo> ?x . ?s <urn:hi> ?y .
+        |  FILTER(?x < ?y) } ORDER BY ?s""".stripMargin, frame)).map(_.flatten) ==
+      Seq(Seq("urn:a"), Seq("urn:b")))
+    assert(rows(SparqlCompiler.compile(
+      s"""SELECT ?s WHERE { ?s <urn:lo> ?x . ?s <urn:hi> ?y . $pin
+         |  FILTER(?x < ?y) }""".stripMargin, frame)).map(_.flatten) ==
+      Seq(Seq("urn:b")))
+    // differential: the evaluator mirrors the proof scope
+    diffSelectQ(
+      """SELECT ?s ?a ?b WHERE {
+        |  ?s <urn:p:age> ?a . ?s <urn:p:age> ?b .
+        |  FILTER(datatype(?a) = <http://www.w3.org/2001/XMLSchema#integer>)
+        |  FILTER(datatype(?b) = <http://www.w3.org/2001/XMLSchema#integer>)
+        |  FILTER(?a < ?b) }""".stripMargin,
+      randomQuads(11, 20))
   }
 
   test("numeric FILTER over an aggregate output (residual path)") {
@@ -1820,7 +1909,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(11) match {
+    for (_ <- 1 to steps) rnd.nextInt(12) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh vars (become loose), maybe a
         // filter, sometimes a two-triple group
@@ -1907,6 +1996,20 @@ class SparqlSpec extends AnyFunSuite {
           val cmp = Seq(">", ">=", "<", "<=")(rnd.nextInt(4))
           body ++= s"FILTER(?$v $cmp ${17 + rnd.nextInt(9)})\n"
         }
+      case 11 => // var-var VALUE-space ordering: two integer-pinned vars
+        // (each solely-object-bound at its own pattern) compared with an
+        // ordering op — compiles to a numeric compare via the castable
+        // proof, NOT lexicographic ("10" > "9"); self-contained so both
+        // pins sit in the same group as the comparison (the scope the
+        // evaluator mirrors)
+        val a1 = someSafe(); val a2 = someSafe()
+        val x = fresh(); numvars += x
+        val y = fresh(); numvars += y
+        val pin = "FILTER(datatype(?%s) = <http://www.w3.org/2001/XMLSchema#integer>)\n"
+        body ++= s"?$a1 <urn:p:age> ?$x .\n" + pin.format(x)
+        body ++= s"?$a2 <urn:p:age> ?$y .\n" + pin.format(y)
+        val cmp = Seq(">", ">=", "<", "<=")(rnd.nextInt(4))
+        body ++= s"FILTER(?$x $cmp ?$y)\n"
       case 8 => // forward-connected pair split by a FILTER: the first
         // triple is disconnected at its source position and only the
         // bridge after the interleaved filter connects it (the BGP-run
