@@ -34,6 +34,20 @@ import graft.sources.TranscriptGen
   *                                         duplicate candidates for a delta
   *                                         against the index (bucket-pruned
   *                                         lookup, never a corpus scan)
+  *   KgMain multi <rivers.json> <baseWorkDir>
+  *                                         concurrent multi-river harvests
+  *                                         (the reference's pool across
+  *                                         rivers, Indexer.java:78): each
+  *                                         river {name, mode: full|sync,
+  *                                         input, config?, catalog?} runs
+  *                                         under <baseWorkDir>/<name> in its
+  *                                         own FAIR scheduler pool;
+  *                                         GRAFT_MAX_CONCURRENT caps
+  *                                         parallelism (default 6, the
+  *                                         reference's
+  *                                         max_concurrent_harvests); one
+  *                                         failed river never blocks the
+  *                                         others (exit 1 after all ran)
   *
   * Pipeline knobs (env, all optional):
   *   GRAFT_CONFIG_JSON=<path>   river-config JSON (the reference's settings
@@ -102,48 +116,20 @@ object KgMain {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: KgMain full|sync|ingest-nt|ingest-rdfxml|ingest-stream " +
-        "<inputDir> <workDir> [catalogParquetDir]")
-    val Array(mode, turnsDir, workDir) = args.take(3)
-    require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
-        mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats" ||
-        mode == "diff" || mode == "query" || mode == "dedup-update" ||
-        mode == "dedup-candidates",
-      s"unknown mode: $mode (stats ignores <inputDir>, pass '-'; " +
-        "diff takes <genA,genB> in the <inputDir> position; " +
-        "query takes a .rq file path — or '-' to use GRAFT_SPARQL / the " +
-        "river config's query[] list; dedup-update/dedup-candidates take a " +
-        "delta parquet of (doc_id, text) in the <inputDir> position)")
+  private def envFlag(name: String): Boolean = sys.env.get(name) match {
+    case None => false
+    case Some("1") | Some("true") => true
+    case Some("0") | Some("false") => false
+    case Some(other) => // loud: a typo must not silently disable a feature
+      sys.error(s"$name must be 0/1/true/false, got '$other'")
+  }
 
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
-      .appName("graft-kg")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    def envFlag(name: String): Boolean = sys.env.get(name) match {
-      case None => false
-      case Some("1") | Some("true") => true
-      case Some("0") | Some("false") => false
-      case Some(other) => // loud: a typo must not silently disable a feature
-        sys.error(s"$name must be 0/1/true/false, got '$other'")
-    }
-    // data-shaping keys come from the river-config JSON when given (the
-    // reference's settings blob, S7); scale knobs layer on top via env
-    val baseCfg = sys.env.get("GRAFT_CONFIG_JSON")
-      .map(p => graft.config.ConfigParsing.fromJson(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
-      .getOrElse(PipelineConfig())
-    val cfg = baseCfg.copy(workDir = workDir,
+  /** Process-level env knobs applied on top of a river config — ONE overlay
+    * shared by the single-river and multi-river paths so they can never
+    * diverge on what a flag means. */
+  private[app] def envOverlay(baseCfg: PipelineConfig,
+      workDir: String): PipelineConfig =
+    baseCfg.copy(workDir = workDir,
       useDistributedCanon = envFlag("GRAFT_DISTRIBUTED_CANON"),
       publishDocs = envFlag("GRAFT_PUBLISH_DOCS"),
       detectLanguage = envFlag("GRAFT_DETECT_LANGUAGE"),
@@ -153,6 +139,47 @@ object KgMain {
       syncOldData = baseCfg.syncOldData || envFlag("GRAFT_SYNC_OLD_DATA"),
       syncBuckets = sys.env.get("GRAFT_SYNC_BUCKETS").map(_.toInt)
         .getOrElse(baseCfg.syncBuckets))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: KgMain full|sync|ingest-nt|ingest-rdfxml|ingest-stream " +
+        "<inputDir> <workDir> [catalogParquetDir]")
+    val Array(mode, turnsDir, workDir) = args.take(3)
+    require(mode == "full" || mode == "sync" || mode == "ingest-nt" ||
+        mode == "ingest-rdfxml" || mode == "ingest-stream" || mode == "stats" ||
+        mode == "diff" || mode == "query" || mode == "dedup-update" ||
+        mode == "dedup-candidates" || mode == "multi",
+      s"unknown mode: $mode (stats ignores <inputDir>, pass '-'; " +
+        "diff takes <genA,genB> in the <inputDir> position; " +
+        "query takes a .rq file path — or '-' to use GRAFT_SPARQL / the " +
+        "river config's query[] list; dedup-update/dedup-candidates take a " +
+        "delta parquet of (doc_id, text) in the <inputDir> position; " +
+        "multi takes a rivers.json in the <inputDir> position and a BASE " +
+        "workDir — see MultiRiver)")
+
+    val builder = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions) // SQL access to graft_dot etc.
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .appName("graft-kg")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // concurrent rivers share executors fairly (per-river scheduler pools,
+    // MultiRiver scaladoc) instead of FIFO-starving each other
+    val spark = (if (mode == "multi") builder.config("spark.scheduler.mode", "FAIR")
+                 else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // data-shaping keys come from the river-config JSON when given (the
+    // reference's settings blob, S7); scale knobs layer on top via env
+    val baseCfg = sys.env.get("GRAFT_CONFIG_JSON")
+      .map(p => graft.config.ConfigParsing.fromJson(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+      .getOrElse(PipelineConfig())
+    val cfg = envOverlay(baseCfg, workDir)
     val pipeline = new KgPipeline(cfg)
     // sync runIds are watermark-derived so a crashed sync RETRIED FROM A NEW
     // PROCESS resumes the original run (stage checkpoints + idempotent
@@ -294,6 +321,31 @@ object KgMain {
           s""""out":${jsonStr(outDir)}}""")
       }
       spark.stop()
+      return
+    }
+
+    if (mode == "multi") {
+      // concurrent multi-river harvests (the reference's pool-of-6 across
+      // rivers, Indexer.java:78) — <inputDir> is the rivers.json spec,
+      // <workDir> the BASE dir (each river publishes under <base>/<name>)
+      val rivers = MultiRiver.parseSpec(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(turnsDir)),
+        workDir)
+      val maxConc = sys.env.get("GRAFT_MAX_CONCURRENT").map(_.toInt).getOrElse(6)
+      val reports = MultiRiver.run(spark, rivers, maxConc, envOverlay)
+      reports.foreach { r =>
+        if (r.ok) println(r.detail)
+        else println(s"""{"river":${jsonStr(r.name)},"mode":"${r.mode}",""" +
+          s""""ok":false,"error":${jsonStr(r.detail)}}""")
+      }
+      val failed = reports.count(!_.ok)
+      println(s"""{"mode":"multi","rivers":${reports.size},"failed":$failed,""" +
+        s""""max_concurrent":$maxConc}""")
+      spark.stop()
+      // ops contract: any failed river fails the invocation AFTER all
+      // rivers ran (the reference logs per-thread and keeps going; a batch
+      // job needs the nonzero exit for its scheduler to alert on)
+      if (failed > 0) sys.exit(1)
       return
     }
 
