@@ -501,6 +501,51 @@ object SparqlQueries {
         tripleFrame(s, d))
     },
 
+    // ---- BIND string-function surface (r5): SUBSTR (1-based, code-point),
+    // REPLACE (GLOBAL regex replace — DuckDB needs the explicit 'g' flag to
+    // match fn:replace), STRBEFORE (first occurrence, '' when absent). All
+    // compile to codegen'd Column functions — zero shuffles added.
+    "sparql_bind_strfns" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT s, substr(o, 1, 5) AS pre,
+         |       regexp_replace(o, '[aeiou]', '_', 'g') AS msk,
+         |       CASE WHEN strpos(o, ' ') > 0
+         |            THEN substr(o, 1, strpos(o, ' ') - 1) ELSE '' END AS w1
+         |FROM dtr WHERE p = 'urn:p:title'
+         |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?pre ?msk ?w1 WHERE {
+          |  ?s <urn:p:title> ?t .
+          |  BIND(SUBSTR(?t, 1, 5) AS ?pre)
+          |  BIND(REPLACE(?t, "[aeiou]", "_") AS ?msk)
+          |  BIND(STRBEFORE(?t, " ") AS ?w1)
+          |} ORDER BY ?s ?pre ?msk ?w1""".stripMargin,
+        dtFrame(s, d))
+    },
+
+    // ---- IF over the filter grammar + COALESCE over an optionally-bound
+    // var (r5): the OPTIONAL's in-group filter rides as the LeftJoin
+    // condition; BOUND dispatches on the null slot; COALESCE's constant
+    // fallback makes ?cls structurally never-null.
+    "sparql_bind_if_coalesce" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT n.s AS s,
+         |       CASE WHEN ty.o IS NOT NULL THEN 'class0'
+         |            ELSE coalesce(ty.o, 'other') END AS cls
+         |FROM dtr n
+         |LEFT JOIN dtr ty ON ty.s = n.s AND ty.p = 'urn:p:type'
+         |  AND ty.o = 'urn:c:0'
+         |WHERE n.p = 'urn:p:nchars'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?cls WHERE {
+          |  ?s <urn:p:nchars> ?n .
+          |  OPTIONAL { ?s <urn:p:type> ?ty . FILTER(?ty = <urn:c:0>) }
+          |  BIND(IF(BOUND(?ty), "class0", COALESCE(?ty, "other")) AS ?cls)
+          |} ORDER BY ?s ?cls""".stripMargin,
+        dtFrame(s, d))
+    },
+
     // ---- join over a branch-ASYMMETRIC union (the reference's own
     // SparqlSelectTest.java:19 shape): branch 1 shares ?d with the outer
     // pattern, branch 2 shares ?c. The compiler distributes —

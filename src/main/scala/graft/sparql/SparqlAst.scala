@@ -167,6 +167,24 @@ object SparqlAst {
   final case class BConcat(parts: Seq[BExpr]) extends BExpr
   /** UCASE / LCASE wrapper (ASCII-stable case mapping on both engines) */
   final case class BCase(upper: Boolean, e: BExpr) extends BExpr
+  /** SUBSTR(e, start [, len]) — start/len are INTEGER LITERALS (1-based,
+    * start >= 1, len >= 0; expression arguments are out of the subset).
+    * Counting is by Unicode code point on both engines. */
+  final case class BSubstr(e: BExpr, start: Long, len: Option[Long]) extends BExpr
+  /** REPLACE(e, "pattern", "replacement") — global regex replace (XPath
+    * fn:replace semantics: ALL matches). Pattern/replacement are literals;
+    * the flags argument is out of the subset (REGEX parity). */
+  final case class BReplace(e: BExpr, pattern: String, replacement: String) extends BExpr
+  /** STRBEFORE / STRAFTER with a LITERAL separator: the slice before/after
+    * the FIRST occurrence; "" when absent (SPARQL 17.4.3.4/5). */
+  final case class BStrSide(before: Boolean, e: BExpr, sep: String) extends BExpr
+  /** IF(cond, then, else) — cond uses the FILTER grammar; an ERROR cond
+    * (e.g. an unbound var) makes the whole IF an error (BIND leaves the
+    * target unbound), per SPARQL's three-valued semantics. */
+  final case class BIf(cond: FExpr, t: BExpr, f: BExpr) extends BExpr
+  /** COALESCE(e1, ..., en) — the first argument that evaluates without
+    * error (an unbound variable is an error and is skipped). */
+  final case class BCoalesce(parts: Seq[BExpr]) extends BExpr
 
   // ---- projections ----------------------------------------------------------
 

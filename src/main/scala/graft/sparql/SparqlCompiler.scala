@@ -701,11 +701,23 @@ object SparqlCompiler {
                 unsupported(s"BIND over the aggregate-valued ?$v would coerce " +
                   "a number into the string-term model")
               }
+              // the group's own scan proofs (provenCast) are attached to the
+              // result AFTER the element loop, but an IF condition inside
+              // this BIND needs them NOW — merge exactly what the deferred
+              // filters will see, so FILTER(?x > ?y) and IF(?x > ?y, ..)
+              // can never disagree on value- vs lexical-space
+              val bindCast = a.castable ++
+                provenCast.filter { case (v, _) => a.vars.contains(v) }
               val c = compileBind(expr,
-                v => if (a.vars.contains(v)) Some(col(v)) else None)
+                v => if (a.vars.contains(v)) Some(col(v)) else None,
+                a.numeric, bindCast)
               // a reference to an unbound / optionally-bound var follows
-              // SPARQL error semantics: the bound var is simply unbound
-              val mayNull = refs.exists(v => !a.vars.contains(v) || a.maybeNull(v))
+              // SPARQL error semantics: the bound var is simply unbound —
+              // EXCEPT where the expression is structurally never-null
+              // (e.g. COALESCE with a constant fallback), which yields a
+              // definitely-bound var usable as a later join key
+              val mayNull = !neverNullBind(expr,
+                v => a.vars.contains(v) && !a.maybeNull(v))
               acc = Some(Frag(a.df.withColumn(name, c), a.vars :+ name,
                 if (mayNull) a.maybeNull + name else a.maybeNull, a.numeric,
                 a.numSql, a.castable))
@@ -993,7 +1005,30 @@ object SparqlCompiler {
     case BConst(_) => Set.empty
     case BConcat(parts) => parts.flatMap(bvars).toSet
     case BCase(_, inner) => bvars(inner)
+    case BSubstr(inner, _, _) => bvars(inner)
+    case BReplace(inner, _, _) => bvars(inner)
+    case BStrSide(_, inner, _) => bvars(inner)
+    case BIf(cond, t, f) => fvars(cond) ++ bvars(t) ++ bvars(f)
+    case BCoalesce(parts) => parts.flatMap(bvars).toSet
   }
+
+  /** Structurally never-null BIND expressions: a COALESCE with such a part
+    * (or a constant chain) yields a definitely-bound variable, usable as a
+    * later join key where a maybeNull var is refused. `boundNonNull` answers
+    * for variables in the enclosing fragment. BIf is never in this set: a
+    * NULL condition (SPARQL error) leaves the target unbound. */
+  private def neverNullBind(e: BExpr, boundNonNull: String => Boolean): Boolean =
+    e match {
+      case BConst(_) => true
+      case BVar(n) => boundNonNull(n)
+      case BConcat(parts) => parts.forall(neverNullBind(_, boundNonNull))
+      case BCase(_, inner) => neverNullBind(inner, boundNonNull)
+      case BSubstr(inner, _, _) => neverNullBind(inner, boundNonNull)
+      case BReplace(inner, _, _) => neverNullBind(inner, boundNonNull)
+      case BStrSide(_, inner, _) => neverNullBind(inner, boundNonNull)
+      case BCoalesce(parts) => parts.exists(neverNullBind(_, boundNonNull))
+      case _: BIf => false
+    }
 
   /** String-vs-aggregate join keys would silently coerce (Spark widens a
     * BIGINT=STRING equality to DOUBLE); both-numeric keys are fine. */
@@ -1007,13 +1042,42 @@ object SparqlCompiler {
   /** BIND expression -> Column; an unresolved variable is SPARQL's
     * evaluation error, which leaves the bound variable unbound (NULL —
     * concat propagates it, matching error propagation). */
-  private def compileBind(e: BExpr, resolve: String => Option[Column]): Column = e match {
+  private def compileBind(e: BExpr, resolve: String => Option[Column],
+      numeric: Set[String] = Set.empty,
+      castable: Map[String, String] = Map.empty): Column = e match {
     case BVar(n) => resolve(n).getOrElse(lit(null).cast("string"))
     case BConst(v) => lit(v)
-    case BConcat(parts) => concat(parts.map(compileBind(_, resolve)): _*)
+    case BConcat(parts) => concat(parts.map(compileBind(_, resolve, numeric, castable)): _*)
     case BCase(up, inner) =>
-      val c = compileBind(inner, resolve)
+      val c = compileBind(inner, resolve, numeric, castable)
       if (up) upper(c) else lower(c)
+    case BSubstr(inner, start, len) =>
+      // 1-based code-point slice; start past the end yields "" on both
+      // engines, and a NULL input (an errored sub-expression) propagates
+      val c = compileBind(inner, resolve, numeric, castable)
+      c.substr(lit(start.toInt), len.map(l => lit(l.toInt)).getOrElse(length(c)))
+    case BReplace(inner, pat, rep) =>
+      // global replace (XPath fn:replace), Java regex on both engines
+      regexp_replace(compileBind(inner, resolve, numeric, castable), pat, rep)
+    case BStrSide(before, inner, sep) =>
+      val c = compileBind(inner, resolve, numeric, castable)
+      val pos = locate(sep, c) // 1-based code points; 0 = absent; ""@1
+      val hit =
+        if (before) c.substr(lit(1), pos - 1)
+        else c.substr(pos + sep.codePointCount(0, sep.length), length(c))
+      // no-occurrence => "" (SPARQL 17.4.3.4/5), but a NULL input stays
+      // NULL — when()'s null-condition fallthrough would otherwise turn an
+      // ERROR into ""
+      when(c.isNull, lit(null).cast("string"))
+        .when(pos > 0, hit).otherwise(lit(""))
+    case BIf(cond, t, f) =>
+      val c = compileFilter(cond, resolve, numeric, castable)
+      // no .otherwise: a NULL condition is SPARQL's error -> the IF errors
+      // -> the BIND target stays unbound (when() yields NULL)
+      when(c, compileBind(t, resolve, numeric, castable))
+        .when(!c, compileBind(f, resolve, numeric, castable))
+    case BCoalesce(parts) =>
+      coalesce(parts.map(compileBind(_, resolve, numeric, castable)): _*)
   }
 
   /** VALUES compiles to a broadcast inline relation joined on its shared

@@ -745,6 +745,67 @@ object SparqlParser {
       val upper = f.equalsIgnoreCase("UCASE")
       p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(")")
       BCase(upper, e)
+    case TName(f, _) if f.equalsIgnoreCase("SUBSTR") =>
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(",")
+      def intArg(what: String, min: Long): Long = p.next() match {
+        case TNum(v, pos) =>
+          if (v.contains(".")) fail(s"SUBSTR $what must be an integer", pos)
+          val n = v.toLong
+          if (n < min) fail(s"SUBSTR $what must be >= $min (1-based, XPath " +
+            "zero/negative-index edge semantics are out of the subset)", pos)
+          n
+        case other => fail(s"SUBSTR $what must be an integer literal " +
+          s"(expression arguments are out of the subset), got ${describe(other)}",
+          other.pos)
+      }
+      val start = intArg("start", 1L)
+      val len = if (p.isPunct(",")) { p.next(); Some(intArg("length", 0L)) } else None
+      p.eatPunct(")")
+      BSubstr(e, start, len)
+    case TName(f, _) if f.equalsIgnoreCase("REPLACE") =>
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(",")
+      def litArg(what: String): String = p.next() match {
+        case TLit(v, _) => v
+        case other => fail(s"REPLACE $what must be a string literal, got " +
+          describe(other), other.pos)
+      }
+      val patPos = p.peek.pos
+      val pat = litArg("pattern")
+      // validate HERE so a bad pattern is a positioned parse error, not a
+      // task-time Spark exception
+      try java.util.regex.Pattern.compile(pat)
+      catch { case ex: java.util.regex.PatternSyntaxException =>
+        fail(s"REPLACE pattern does not compile: ${ex.getDescription}", patPos) }
+      p.eatPunct(",")
+      val rep = litArg("replacement")
+      if (p.isPunct(","))
+        fail("REPLACE flags are not supported (REGEX parity)", p.peek.pos)
+      p.eatPunct(")")
+      BReplace(e, pat, rep)
+    case TName(f, _) if f.equalsIgnoreCase("STRBEFORE") || f.equalsIgnoreCase("STRAFTER") =>
+      val before = f.equalsIgnoreCase("STRBEFORE")
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(",")
+      val sep = p.next() match {
+        case TLit(v, _) => v
+        case other => fail(s"$f separator must be a string literal, got " +
+          describe(other), other.pos)
+      }
+      p.eatPunct(")")
+      BStrSide(before, e, sep)
+    case TName(f, _) if f.equalsIgnoreCase("IF") =>
+      p.next(); p.eatPunct("(")
+      val cond = parseOr(p)
+      p.eatPunct(",")
+      val t = parseBindExpr(p); p.eatPunct(",")
+      val fb = parseBindExpr(p); p.eatPunct(")")
+      BIf(cond, t, fb)
+    case TName(f, _) if f.equalsIgnoreCase("COALESCE") =>
+      p.next(); p.eatPunct("(")
+      val parts = Seq.newBuilder[BExpr]
+      parts += parseBindExpr(p)
+      while (p.isPunct(",")) { p.next(); parts += parseBindExpr(p) }
+      p.eatPunct(")")
+      BCoalesce(parts.result())
     case TName(v, pos) => p.next(); BConst(p.expand(v, pos))
     case other => fail(s"unsupported BIND expression ${describe(other)}", other.pos)
   }

@@ -314,8 +314,11 @@ class SparqlSpec extends AnyFunSuite {
         }
         acc = joinB(acc, binds)
       case GBind(expr, name) =>
+        // IF conditions inside the BIND see the same numeric proofs as the
+        // compiler (it passes the fragment's castable map into compileBind)
+        val bproven = provenNums(g)
         acc = acc.map { m =>
-          evalB(expr, m) match {
+          evalB(expr, m, bproven) match {
             case Some(v) => m + (name -> v)
             case None => m // expression error: ?name stays unbound
           }
@@ -380,14 +383,40 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   /** BIND expression; None = SPARQL evaluation error (unbound ref) */
-  private def evalB(e: BExpr, m: B): Option[String] = e match {
+  private def evalB(e: BExpr, m: B,
+      proven: Set[String] = Set.empty): Option[String] = e match {
     case BVar(n) => m.get(n)
     case BConst(v) => Some(v)
     case BConcat(parts) =>
-      val vs = parts.map(evalB(_, m))
+      val vs = parts.map(evalB(_, m, proven))
       if (vs.forall(_.isDefined)) Some(vs.flatten.mkString) else None
     case BCase(up, inner) =>
-      evalB(inner, m).map(s => if (up) s.toUpperCase else s.toLowerCase)
+      evalB(inner, m, proven).map(s => if (up) s.toUpperCase else s.toLowerCase)
+    case BSubstr(inner, start, len) =>
+      // 1-based CODE-POINT slice (the compiler's substr counts code points)
+      evalB(inner, m, proven).map { s =>
+        val n = s.codePointCount(0, s.length)
+        val from = math.min(start - 1, n.toLong).toInt
+        val until = len.map(l => math.min(from + l, n.toLong).toInt).getOrElse(n)
+        s.substring(s.offsetByCodePoints(0, from),
+          s.offsetByCodePoints(0, math.max(from, until)))
+      }
+    case BReplace(inner, pat, rep) =>
+      evalB(inner, m, proven).map(_.replaceAll(pat, rep))
+    case BStrSide(before, inner, sep) =>
+      evalB(inner, m, proven).map { s =>
+        val i = s.indexOf(sep)
+        if (i < 0) ""
+        else if (before) s.substring(0, i)
+        else s.substring(i + sep.length)
+      }
+    case BIf(cond, t, f) => evalF(cond, m, proven) match {
+      case Some(true) => evalB(t, m, proven)
+      case Some(false) => evalB(f, m, proven)
+      case None => None // errored condition errors the IF: target unbound
+    }
+    case BCoalesce(parts) =>
+      parts.view.flatMap(evalB(_, m, proven)).headOption
   }
 
   /** aggregate over a group's solutions; None = unbound result (MIN/MAX/
@@ -1370,6 +1399,76 @@ class SparqlSpec extends AnyFunSuite {
       .contains("optionally bound"))
   }
 
+  test("BIND string functions: SUBSTR/REPLACE/STRBEFORE/STRAFTER/IF/COALESCE") {
+    val ts = Seq(
+      ("urn:a", "urn:p", "hello world"),
+      ("urn:b", "urn:p", "ann"),
+      ("urn:c", "urn:p", "x-y-z"))
+    def one(q: String): Seq[Seq[Option[String]]] = rows(SparqlCompiler.compile(q, toDf(ts)))
+    // SUBSTR is 1-based; start past the end is ""; no-len runs to the end
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, 2, 3) AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some("ell"), Some("nn"), Some("-y-")))
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, 7) AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some("world"), Some(""), Some("")))
+    // REPLACE is a GLOBAL regex replace (fn:replace), like the compiler's
+    // regexp_replace — not first-match-only
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "[aeiou]", "_") AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some("h_ll_ w_rld"), Some("_nn"), Some("x-y-z")))
+    // STRBEFORE/STRAFTER: first occurrence; "" when absent
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(STRBEFORE(?o, "-") AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some(""), Some(""), Some("x")))
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(STRAFTER(?o, "-") AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some(""), Some(""), Some("y-z")))
+    // IF over the filter grammar; an ERRORED condition (unbound var) leaves
+    // the target UNBOUND — never the else branch
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o .
+                 |  BIND(IF(CONTAINS(?o, " "), "multi", "single") AS ?t) } ORDER BY ?s""".stripMargin)
+      .map(_.last) == Seq(Some("multi"), Some("single"), Some("single")))
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o .
+                 |  BIND(IF(CONTAINS(?ghost, " "), "a", "b") AS ?t) }""".stripMargin)
+      .map(_.last) == Seq(None, None, None))
+    // COALESCE skips errored (unbound) args; with a constant fallback the
+    // result is structurally never-null and usable as a later join key
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o .
+                 |  OPTIONAL { ?s <urn:q> ?x } BIND(COALESCE(?x, "none") AS ?t) } ORDER BY ?s""".stripMargin)
+      .map(_.last) == Seq(Some("none"), Some("none"), Some("none")))
+    val joinable = rows(SparqlCompiler.compile(
+      """SELECT ?s ?z WHERE { ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?x }
+        |  BIND(COALESCE(?x, "ann") AS ?k) . ?z <urn:p> ?k } ORDER BY ?s""".stripMargin,
+      toDf(ts))).map(_.flatten)
+    assert(joinable == Seq(Seq("urn:a", "urn:b"), Seq("urn:b", "urn:b"), Seq("urn:c", "urn:b")))
+    // EMPTY separator (SPARQL 17.4.3.4/5): STRBEFORE(x, "") = "",
+    // STRAFTER(x, "") = x — pins Spark's locate("", s) = 1 convention
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(STRBEFORE(?o, "") AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some(""), Some(""), Some("")))
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(STRAFTER(?o, "") AS ?t) } ORDER BY ?s""")
+      .map(_.last) == Seq(Some("hello world"), Some("ann"), Some("x-y-z")))
+    // parse-time refusals: expression SUBSTR args, REPLACE flags, bad regex
+    def badParse(q: String): String =
+      intercept[SparqlParseException](SparqlParser.parse(q)).getMessage
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, ?n) AS ?t) }""")
+      .contains("integer literal"))
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, 0) AS ?t) }""")
+      .contains(">= 1"))
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "a", "b", "i") AS ?t) }""")
+      .contains("flags"))
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "[", "b") AS ?t) }""")
+      .contains("does not compile"))
+    // differential over random graphs: compose every new function
+    for (seed <- 4 to 6) {
+      val rts = randomTriples(seed, 20)
+      diffSelect(
+        """SELECT ?a ?t WHERE { ?a <urn:p:name> ?n .
+          |  BIND(CONCAT(SUBSTR(?n, 1, 2), "|", REPLACE(?n, "n", "m"),
+          |              "|", STRAFTER(?n, "a")) AS ?t) }""".stripMargin, rts)
+      diffSelect(
+        """SELECT ?a ?t WHERE { ?a <urn:p:knows> ?b .
+          |  OPTIONAL { ?a <urn:p:name> ?n }
+          |  BIND(IF(BOUND(?n), COALESCE(?n, "x"), STRBEFORE(STR(?a), ":")) AS ?t) }""".stripMargin,
+        rts)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // 5. union-join distribution, lang()/langMatches(), and the reference's
   //    OWN test queries (SparqlSelectTest.java:19, SparqlConstructTest.java:17)
@@ -1909,7 +2008,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(12) match {
+    for (_ <- 1 to steps) rnd.nextInt(13) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh vars (become loose), maybe a
         // filter, sometimes a two-triple group
@@ -2009,7 +2108,29 @@ class SparqlSpec extends AnyFunSuite {
         body ++= s"?$a1 <urn:p:age> ?$x .\n" + pin.format(x)
         body ++= s"?$a2 <urn:p:age> ?$y .\n" + pin.format(y)
         val cmp = Seq(">", ">=", "<", "<=")(rnd.nextInt(4))
-        body ++= s"FILTER(?$x $cmp ?$y)\n"
+        // half the time the value-space comparison rides inside an IF —
+        // exercising the castable-proof pass-through into BIND conditions
+        if (rnd.nextBoolean()) body ++= s"FILTER(?$x $cmp ?$y)\n"
+        else {
+          val t = fresh(); loose += t
+          body ++= s"""BIND(IF(?$x $cmp ?$y, "hi", "lo") AS ?$t)\n"""
+        }
+      case 12 => // BIND string-function surface: SUBSTR/REPLACE/STRBEFORE/
+        // STRAFTER/IF/COALESCE composed over bound (and maybe-null) vars —
+        // the result stays out of the join-key pool (IF/COALESCE results
+        // can be maybe-null)
+        val v = someSafe(); val t = fresh()
+        val exprs = Seq(
+          s"""SUBSTR(?$v, 1, ${1 + rnd.nextInt(4)})""",
+          s"""REPLACE(?$v, "[abn]", "_")""",
+          s"""STRBEFORE(?$v, "${Seq("a", "n", ":")(rnd.nextInt(3))}")""",
+          s"""STRAFTER(?$v, "n")""",
+          s"""IF(CONTAINS(?$v, "a"), UCASE(?$v), CONCAT("z-", ?$v))""",
+          if (loose.nonEmpty)
+            s"""COALESCE(?${loose(rnd.nextInt(loose.size))}, ?$v, "k")"""
+          else s"""COALESCE(?$v, "k")""")
+        body ++= s"BIND(${exprs(rnd.nextInt(exprs.size))} AS ?$t)\n"
+        loose += t
       case 8 => // forward-connected pair split by a FILTER: the first
         // triple is disconnected at its source position and only the
         // bridge after the interleaved filter connects it (the BGP-run
