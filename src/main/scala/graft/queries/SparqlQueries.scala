@@ -219,6 +219,52 @@ object SparqlQueries {
       |           substr(lower(text), 1, 12), ''
       |    FROM documents))""".stripMargin
 
+  /** A TERM-KIND frame (s, p, o, dt, tk): the dt frame's rows plus a
+    * blank-node provenance triple per doc — tk stamps the object's kind
+    * ('i' resource, 'l' literal, 'b' blank), the column that makes
+    * isIRI()/isLiteral()/isBlank() and SPEC-exact negative datatype()/
+    * lang() comparisons compilable (a non-literal under those is a type
+    * error, not an untagged literal). */
+  private[graft] def tkFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val subj = concat(lit("urn:doc:"), col("doc_id").cast("string"))
+    val nchars = docs.select(subj.as("s"), lit("urn:p:nchars").as("p"),
+      col("n_chars").cast("string").as("o"),
+      lit("http://www.w3.org/2001/XMLSchema#integer").as("dt"),
+      lit("l").as("tk"))
+    val types = docs.select(subj.as("s"), lit("urn:p:type").as("p"),
+      concat(lit("urn:c:"), (col("doc_id") % 3).cast("string")).as("o"),
+      lit("").as("dt"), lit("i").as("tk"))
+    val titles = docs.select(subj.as("s"), lit("urn:p:title").as("p"),
+      substring(lower(col("text")), 1, 12).as("o"), lit("").as("dt"),
+      lit("l").as("tk"))
+    val provs = docs.select(subj.as("s"), lit("urn:p:prov").as("p"),
+      concat(lit("_:prov"), (col("doc_id") % 5).cast("string")).as("o"),
+      lit("").as("dt"), lit("b").as("tk"))
+    nchars.unionAll(types).unionAll(titles).unionAll(provs).distinct()
+  }
+
+  /** The same derivation in DuckDB SQL (CTE body producing table `tkr`). */
+  private val tkFrameSql: String =
+    """tkr AS (
+      |  SELECT DISTINCT s, p, o, dt, tk FROM (
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s,
+      |           'urn:p:nchars' AS p, CAST(n_chars AS VARCHAR) AS o,
+      |           'http://www.w3.org/2001/XMLSchema#integer' AS dt, 'l' AS tk
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:type',
+      |           'urn:c:' || CAST(doc_id % 3 AS VARCHAR), '', 'i'
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:title',
+      |           substr(lower(text), 1, 12), '', 'l'
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), 'urn:p:prov',
+      |           '_:prov' || CAST(doc_id % 5 AS VARCHAR), '', 'b'
+      |    FROM documents))""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- the reference's CHANGE-DETECTION query (Harvester.java:1204-1215
@@ -544,6 +590,39 @@ object SparqlQueries {
           |  BIND(IF(BOUND(?ty), "class0", COALESCE(?ty, "other")) AS ?cls)
           |} ORDER BY ?s ?cls""".stripMargin,
         dtFrame(s, d))
+    },
+
+    // ---- term-kind filters (r5): isIRI/isLiteral/isBlank over the tk
+    // frame column — both polarities convert to data-source filters at the
+    // binding pattern's scan. !isLiteral retains the OTHER two kinds
+    // (total boolean, no type error).
+    "sparql_term_kind" -> Q(
+      s"""WITH $tkFrameSql
+         |SELECT s, o FROM tkr WHERE tk <> 'l'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o WHERE {
+          |  ?s ?p ?o . FILTER(!isLiteral(?o))
+          |} ORDER BY ?s ?o""".stripMargin,
+        tkFrame(s, d))
+    },
+
+    // ---- SPEC-exact negative datatype() on a tk frame (r5): datatype()
+    // over a non-literal is a type error that REMOVES the row, so the
+    // result is the literal-only non-integer slice — on tk-less frames the
+    // same query keeps the documented union divergence (resources
+    // retained), which sparql_datatype_filter pins from the positive side.
+    "sparql_neg_datatype" -> Q(
+      s"""WITH $tkFrameSql
+         |SELECT s, o FROM tkr
+         |WHERE tk = 'l' AND dt <> 'http://www.w3.org/2001/XMLSchema#integer'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o WHERE {
+          |  ?s ?p ?o .
+          |  FILTER(datatype(?o) != <http://www.w3.org/2001/XMLSchema#integer>)
+          |} ORDER BY ?s ?o""".stripMargin,
+        tkFrame(s, d))
     },
 
     // ---- join over a branch-ASYMMETRIC union (the reference's own

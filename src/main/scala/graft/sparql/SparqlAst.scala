@@ -97,6 +97,14 @@ object SparqlAst {
     * row), the rest compare as numbers. Equality (=/!=) deliberately stays
     * [[FCmp]]'s lexical-form compare (the documented string-term model). */
   final case class FNumCmp(v: String, op: String, lex: String) extends FExpr
+  /** isIRI/isURI (kind 'i') / isLiteral ('l') / isBlank ('b') over ?v;
+    * pos=false is the !-negated form (normalized at parse). Unlike lang()/
+    * datatype(), these are total booleans over ANY term (SPARQL 17.4.2.1-3
+    * — no type error), so the negation simply retains the other two kinds.
+    * Same pushdown contract as lang(): the kind lives in the frame's `tk`
+    * column ('i'/'l'/'b', non-null), read at the ONE pattern binding ?v in
+    * object position. */
+  final case class FTermKind(v: String, kind: Char, pos: Boolean) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr

@@ -103,9 +103,15 @@ object SparqlCompiler {
     * (s, p, o), plus optionally `ol` (the object's language tag, ''/null
     * when untagged) — required only by lang()/langMatches() filters — and
     * `dt` (typed-literal datatype IRI) — required by datatype()/numeric
-    * comparisons. ASK compiles to a 0-or-1-row frame with a single `ask`
-    * column (use [[ask]] for the boolean). `services` maps SERVICE IRIs to
-    * pre-materialized local graph frames. */
+    * comparisons — and `tk` (the OBJECT term's kind: 'i' IRI / 'l' literal
+    * / 'b' blank, non-null) — required by isIRI()/isLiteral()/isBlank()
+    * filters. A frame WITH `tk` also gets exact spec semantics for
+    * negative lang()/datatype() comparisons (a non-literal binding is the
+    * spec's type error and the row is removed); without it the documented
+    * union divergence in [[langCondCol]]'s scaladoc applies. ASK compiles
+    * to a 0-or-1-row frame with a single `ask` column (use [[ask]] for the
+    * boolean). `services` maps SERVICE IRIs to pre-materialized local
+    * graph frames. */
   def compile(query: String, triples: DataFrame,
       services: Services = Map.empty): DataFrame =
     compileAst(SparqlParser.parse(query), triples, services)
@@ -564,8 +570,8 @@ object SparqlCompiler {
       else {
         scanList.map(scanCondColumn).distinct.foreach { c =>
           if (!triples.columns.contains(c))
-            unsupported(s"${if (c == "dt") "datatype()/numeric comparisons" else "lang()/langMatches()"} " +
-              s"need${if (c == "dt") "" else "s"} a triple frame with a `$c` column; this frame has " +
+            unsupported(s"${scanCondWhat(c)} a triple frame with a `$c` " +
+              "column; this frame has " +
               triples.columns.mkString("(", ", ", ")"))
         }
         scanList.groupBy(e => fvars(e).head).map { case (v, es) =>
@@ -579,7 +585,8 @@ object SparqlCompiler {
               s"object position of a plain triple pattern in the same group " +
               s"(found $objBinds object bindings out of $totalBinds binding " +
               "occurrences) — the tag/datatype columns exist only at that scan")
-          v -> es.map(langCondCol).reduce(_ && _)
+          v -> es.map(langCondCol(_, triples.columns.contains("tk")))
+            .reduce(_ && _)
         }
       }
     // numeric-type proofs established by the pushed conjuncts: a positive
@@ -901,6 +908,7 @@ object SparqlCompiler {
     case FNumCmp(v, _, _) => Set(v)
     case FLangCmp(v, _, _) => Set(v)
     case FLangMatches(v, _) => Set(v)
+    case FTermKind(v, _, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
     case FOr(a, b) => fvars(a) ++ fvars(b)
     case FNot(a) => fvars(a)
@@ -919,7 +927,7 @@ object SparqlCompiler {
     * given elements (otherwise it compiles as a plain filter, valid over
     * numeric aggregate columns / proven-castable vars, refused elsewhere). */
   private def scanCondIn(elems: Seq[GElem])(e: FExpr): Boolean = e match {
-    case _: FLangCmp | _: FLangMatches | _: FDtCmp => true
+    case _: FLangCmp | _: FLangMatches | _: FDtCmp | _: FTermKind => true
     case FNumCmp(v, _, _) =>
       elems.count {
         case GTriple(TP(_, _, V(n))) => n == v
@@ -931,8 +939,15 @@ object SparqlCompiler {
   /** the frame column a scan condition needs */
   private def scanCondColumn(e: FExpr): String = e match {
     case _: FDtCmp | _: FNumCmp => "dt"
+    case _: FTermKind => "tk"
     case _ => "ol"
   }
+
+  /** what the missing-column refusal names per scan column */
+  private val scanCondWhat: Map[String, String] = Map(
+    "dt" -> "datatype()/numeric comparisons need",
+    "ol" -> "lang()/langMatches() needs",
+    "tk" -> "isIRI()/isLiteral()/isBlank() needs")
 
   /** The `ol`-column condition for one lang conjunct. A null `ol` means
     * untagged (lang ""), same as ''. The null handling is spelled as
@@ -943,9 +958,11 @@ object SparqlCompiler {
     * residual. langMatches' case-insensitive compare is inherently
     * non-convertible and stays a residual.
     *
-    * DOCUMENTED DIVERGENCE (negative comparisons over non-literals): the
-    * frame model carries no term-kind marker, so an IRI-valued object has
-    * ol/dt null — indistinguishable from an untagged plain literal. Per
+    * DOCUMENTED DIVERGENCE (negative comparisons over non-literals, on
+    * frames WITHOUT a `tk` term-kind column — with one, the literalOnly
+    * conjunct below restores exact spec semantics): absent tk, an
+    * IRI-valued object has ol/dt null — indistinguishable from an untagged
+    * plain literal. Per
     * SPARQL, `datatype()`/`lang()` over an IRI is a type error that
     * REMOVES the row; here `FDtCmp(false, iri)` (dt null or ≠ iri) and
     * `lang(?o) = ""`/`lang(?o) != tag` RETAIN such rows, treating every
@@ -956,13 +973,23 @@ object SparqlCompiler {
     * comparison get the union, not the literal-only slice. Positive
     * comparisons (dt === iri, ol === tag) are unaffected (null never
     * matches). */
-  private def langCondCol(e: FExpr): Column = {
+  private def langCondCol(e: FExpr, hasTk: Boolean): Column = {
     val ol = col("ol")
+    // The divergence above CLOSES when the frame carries a `tk` term-kind
+    // column: lang()/datatype() over a non-literal is the spec's type error
+    // (row removed), expressed by conjoining tk = 'l' on exactly the shapes
+    // whose ol/dt condition would otherwise accept a null-stamp row — the
+    // negative compares and lang(?v) = "". Positive compares need nothing
+    // (a nonempty stamp implies a literal). An AND of attribute-literal
+    // predicates stays data-source-convertible, so the pushdown plan lock
+    // holds.
+    def literalOnly(c: Column): Column =
+      if (hasTk) col("tk") === "l" && c else c
     e match {
-      case FLangCmp(_, true, "") => ol.isNull || ol === ""
+      case FLangCmp(_, true, "") => literalOnly(ol.isNull || ol === "")
       case FLangCmp(_, true, value) => ol === value
       case FLangCmp(_, false, "") => ol.isNotNull && ol =!= ""
-      case FLangCmp(_, false, value) => ol.isNull || ol =!= value
+      case FLangCmp(_, false, value) => literalOnly(ol.isNull || ol =!= value)
       case FLangMatches(_, "*") => ol.isNotNull && ol =!= ""
       // RFC 4647 basic filtering: case-insensitive exact, or "range-" prefix
       case FLangMatches(_, range) =>
@@ -971,7 +998,13 @@ object SparqlCompiler {
         lt === lr || lt.startsWith(lr + "-")
       // datatype(): same pushable null-handling shapes over `dt`
       case FDtCmp(_, true, iri) => col("dt") === iri
-      case FDtCmp(_, false, iri) => col("dt").isNull || col("dt") =!= iri
+      case FDtCmp(_, false, iri) =>
+        literalOnly(col("dt").isNull || col("dt") =!= iri)
+      // term-kind checks are total (no type error, no null slot by the tk
+      // contract): the negation is a plain inequality retaining the other
+      // two kinds — both polarities convert to data-source filters
+      case FTermKind(_, k, true) => col("tk") === k.toString
+      case FTermKind(_, k, false) => col("tk") =!= k.toString
       // numeric ordering: value-space comparison over the numeric-typed
       // slice. dt ∈ numericDts is the spec's type-error-removes-row for
       // non-numeric bindings (plain literals, IRIs, strings); the dt
@@ -1600,6 +1633,13 @@ object SparqlCompiler {
         unsupported(s"datatype(?$v) is only supported as a top-level FILTER " +
           "conjunct over a variable bound in exactly one object position of " +
           "the same group (the datatype lives in the frame's `dt` column)")
+      case FTermKind(v, _, _) =>
+        unsupported(s"isIRI/isLiteral/isBlank(?$v) is only supported as a " +
+          "top-level FILTER conjunct (possibly !-negated) over a variable " +
+          "bound in exactly one object position of the same group (the " +
+          "term kind lives in the frame's `tk` column, not in the string " +
+          "term, so it cannot ride into ||/&& sub-expressions or lifted " +
+          "join conditions)")
       case FNumCmp(v, op, lex) =>
         // residual numeric ordering: valid over a genuine numeric column
         // (an aggregate output) or a var PROVEN numeric-typed at its

@@ -840,7 +840,16 @@ object SparqlParser {
   }
 
   private def parseUnary(p: P): FExpr =
-    if (p.isPunct("!")) { p.next(); FNot(parseUnary(p)) }
+    if (p.isPunct("!")) {
+      p.next()
+      parseUnary(p) match {
+        // term-kind checks are TOTAL booleans (no type error), so the
+        // negation folds into the node — the compiler's scan pushdown then
+        // sees one shape for both polarities
+        case FTermKind(v, k, pos) => FTermKind(v, k, !pos)
+        case e => FNot(e)
+      }
+    }
     else if (p.isPunct("(")) { p.eatPunct("("); val e = parseOr(p); p.eatPunct(")"); e }
     else parsePrimary(p)
 
@@ -903,6 +912,20 @@ object SparqlParser {
       }
       p.eatPunct(")")
       return FBound(v)
+    }
+    val kindFns = Seq("ISIRI" -> 'i', "ISURI" -> 'i', "ISLITERAL" -> 'l',
+      "ISBLANK" -> 'b')
+    kindFns.find { case (fn, _) => p.isName(fn) } match {
+      case Some((fn, kind)) =>
+        p.next(); p.eatPunct("(")
+        val v = p.next() match {
+          case TVar(x, _) => x
+          case other => fail(s"$fn() takes a variable (constant-term kind " +
+            s"checks fold at write time), got ${describe(other)}", other.pos)
+        }
+        p.eatPunct(")")
+        return FTermKind(v, kind, pos = true)
+      case None => ()
     }
     val strFns = Seq("STRSTARTS", "STRENDS", "CONTAINS")
     strFns.find(p.isName) match {

@@ -157,12 +157,20 @@ class SparqlSpec extends AnyFunSuite {
       fail("evaluator: lang() is not modeled (no ol column)")
     // datatype(): mirrors the diff frames' dt stamp (xsd:integer on
     // all-digit objects, '' otherwise — the engine's plain-literal
-    // convention)
-    case FDtCmp(v, eq, iri) => m.get(v).map { s =>
-      val dt = if (s.nonEmpty && s.forall(_.isDigit))
-        "http://www.w3.org/2001/XMLSchema#integer" else ""
-      if (eq) dt == iri else dt != iri
+    // convention). The diff frames carry tk, so non-literal bindings are
+    // the SPEC's type error (row removed) — mirror of the compiler's
+    // literalOnly conjunct on tk frames.
+    case FDtCmp(v, eq, iri) => m.get(v).flatMap { s =>
+      if (kindOf(s) != "l") None
+      else {
+        val dt = if (s.nonEmpty && s.forall(_.isDigit))
+          "http://www.w3.org/2001/XMLSchema#integer" else ""
+        Some(if (eq) dt == iri else dt != iri)
+      }
     }
+    // term-kind checks are TOTAL booleans over any bound term
+    case FTermKind(v, k, pos) =>
+      m.get(v).map(s => (kindOf(s) == k.toString) == pos)
     // numeric ordering: the diff frames stamp dt=xsd:integer exactly on
     // all-digit objects (diffSelectDf), so "parses as a long" here is the
     // same value space as the compiler's dt ∈ numericDts scan condition;
@@ -227,6 +235,12 @@ class SparqlSpec extends AnyFunSuite {
     case I(u) => Some(u)
     case L(v) => Some(v)
   }
+
+  /** object-term kind by the diff substrate's lexical convention — must
+    * mirror diffSelectDf's tk stamp exactly: blanks are "_:"-prefixed,
+    * IRIs are "urn:"-prefixed, everything else (names, digits) a literal */
+  private def kindOf(s: String): String =
+    if (s.startsWith("_:")) "b" else if (s.startsWith("urn:")) "i" else "l"
 
   private def evalGroup(g: Group, ts: Seq[Quad],
       active: Option[Term] = None): Seq[B] = {
@@ -498,6 +512,12 @@ class SparqlSpec extends AnyFunSuite {
     val df0 = df00.withColumn("dt",
       when(col("o").rlike("^[0-9]+$"),
         lit("http://www.w3.org/2001/XMLSchema#integer")).otherwise(lit("")))
+      // tk stamps the substrate's lexical convention — must mirror kindOf
+      // exactly (the evaluator's side of the same convention)
+      .withColumn("tk",
+        when(col("o").startsWith("_:"), lit("b"))
+          .when(col("o").startsWith("urn:"), lit("i"))
+          .otherwise(lit("l")))
     val sel = SparqlParser.parse(q).asInstanceOf[SelectQ]
     val df = SparqlCompiler.compile(q, df0)
     val vars = df.columns.toSeq
@@ -534,6 +554,11 @@ class SparqlSpec extends AnyFunSuite {
       // from lexicographic ("9" < "10" numerically, > lexicographically)
       // or the differential is blind to a lexical mis-compile
       (nodes(rnd.nextInt(nodes.size)), "urn:p:age", (5 + rnd.nextInt(120)).toString)
+    } ++ (0 until n / 3).map { _ =>
+      // blank-node objects ("_:" prefix, tk = 'b' by the diff frames'
+      // stamp): the substrate for the fuzzer's isBlank/isIRI/isLiteral
+      // term-kind filters
+      (nodes(rnd.nextInt(nodes.size)), "urn:p:alias", s"_:b${rnd.nextInt(4)}")
     }).distinct
   }
 
@@ -1469,6 +1494,62 @@ class SparqlSpec extends AnyFunSuite {
     }
   }
 
+  test("term-kind: isIRI/isLiteral/isBlank over tk frames, spec-exact negative datatype()") {
+    val s = spark
+    import s.implicits._
+    val frame = Seq(
+      ("urn:a", "urn:p", "urn:x", "i", ""),
+      ("urn:a", "urn:p", "hello", "l", ""),
+      ("urn:b", "urn:p", "42", "l", "http://www.w3.org/2001/XMLSchema#integer"),
+      ("urn:b", "urn:p", "_:b0", "b", "")
+    ).toDF("s", "p", "o", "tk", "dt")
+    def q(body: String, df: DataFrame = frame): Seq[String] =
+      rows(SparqlCompiler.compile(
+        s"SELECT ?s ?o WHERE { ?s <urn:p> ?o . $body } ORDER BY ?s ?o", df))
+        .map(_.last.get)
+    assert(q("FILTER(isIRI(?o))") == Seq("urn:x"))
+    assert(q("FILTER(isURI(?o))") == Seq("urn:x"))
+    assert(q("FILTER(isLiteral(?o))") == Seq("hello", "42"))
+    assert(q("FILTER(isBlank(?o))") == Seq("_:b0"))
+    // the parse-folded negation retains the other two kinds
+    assert(q("FILTER(!isLiteral(?o))") == Seq("urn:x", "_:b0"))
+    assert(q("FILTER(!isBlank(?o))") == Seq("hello", "urn:x", "42"))
+    // NEGATIVE datatype() on a tk frame is spec-exact: datatype() over a
+    // non-literal is a type error that REMOVES the row — only the plain
+    // literal survives (the typed integer fails the !=, IRI/blank error out)
+    assert(q("FILTER(datatype(?o) != <http://www.w3.org/2001/XMLSchema#integer>)")
+      == Seq("hello"))
+    // without tk the documented union divergence stands: IRI/blank retained
+    assert(q("FILTER(datatype(?o) != <http://www.w3.org/2001/XMLSchema#integer>)",
+      frame.drop("tk")) == Seq("hello", "urn:x", "_:b0"))
+    // refusals: a tk-less frame, and a non-top-level-conjunct position
+    val eNoTk = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT ?o WHERE { ?s <urn:p> ?o . FILTER(isIRI(?o)) }", frame.drop("tk")))
+    assert(eNoTk.getMessage.contains("`tk`"))
+    val eOr = intercept[SparqlUnsupported](SparqlCompiler.compile(
+      """SELECT ?o WHERE { ?s <urn:p> ?o . FILTER(isIRI(?o) || CONTAINS(?o, "x")) }""",
+      frame))
+    assert(eOr.getMessage.contains("top-level FILTER conjunct"))
+    // pushdown plan lock: the tk condition reaches the parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("sparql-tk").toString
+    frame.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = SparqlCompiler.compile(
+      "SELECT ?s ?o WHERE { ?s <urn:p> ?o . FILTER(isLiteral(?o)) }", stored)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(tk,l)"), s"tk condition must reach the scan:\n$plan")
+    // differential over random graphs (blank-node substrate included)
+    for (seed <- 7 to 9) {
+      val ts = randomTriples(seed, 20)
+      diffSelect("SELECT ?a ?x WHERE { ?a <urn:p:alias> ?x . FILTER(isBlank(?x)) }", ts)
+      diffSelect("SELECT ?a ?o WHERE { ?a <urn:p:knows> ?o . FILTER(!isLiteral(?o)) }", ts)
+      diffSelect(
+        """SELECT ?a ?n WHERE { ?a <urn:p:name> ?n .
+          |  FILTER(datatype(?n) != <http://www.w3.org/2001/XMLSchema#integer>) }""".stripMargin,
+        ts)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // 5. union-join distribution, lang()/langMatches(), and the reference's
   //    OWN test queries (SparqlSelectTest.java:19, SparqlConstructTest.java:17)
@@ -2008,7 +2089,7 @@ class SparqlSpec extends AnyFunSuite {
       body ++= s"?$v ${preds(rnd.nextInt(preds.size))} ${term(0.6, 0.2)} .\n"
     }
     val steps = 2 + rnd.nextInt(4)
-    for (_ <- 1 to steps) rnd.nextInt(13) match {
+    for (_ <- 1 to steps) rnd.nextInt(14) match {
       case 0 => body ++= triple(anchor = true) + "\n"
       case 1 => // OPTIONAL with its own fresh vars (become loose), maybe a
         // filter, sometimes a two-triple group
@@ -2131,6 +2212,21 @@ class SparqlSpec extends AnyFunSuite {
           else s"""COALESCE(?$v, "k")""")
         body ++= s"BIND(${exprs(rnd.nextInt(exprs.size))} AS ?$t)\n"
         loose += t
+      case 13 => // term-kind surface: a fresh solely-object-bound var (out
+        // of every reuse pool — the tk scan pushdown needs exactly one
+        // binding occurrence) gated by isIRI/isLiteral/isBlank (half the
+        // time !-negated), or by a NEGATIVE datatype() compare, whose
+        // tk-frame semantics are the spec's literal-only slice
+        val anchor = someSafe()
+        val v = fresh()
+        val pred = Seq("<urn:p:knows>", "<urn:p:name>", "<urn:p:alias>")(rnd.nextInt(3))
+        body ++= s"?$anchor $pred ?$v .\n"
+        if (rnd.nextInt(3) < 2) {
+          val neg = if (rnd.nextBoolean()) "!" else ""
+          val fn = Seq("isIRI", "isLiteral", "isBlank")(rnd.nextInt(3))
+          body ++= s"FILTER($neg$fn(?$v))\n"
+        } else
+          body ++= s"FILTER(datatype(?$v) != <http://www.w3.org/2001/XMLSchema#integer>)\n"
       case 8 => // forward-connected pair split by a FILTER: the first
         // triple is disconnected at its source position and only the
         // bridge after the interleaved filter connects it (the BGP-run
