@@ -298,10 +298,11 @@ object KgMain {
         cfg.serviceGraphs.map { case (iri, path) =>
           val df =
             if (path.endsWith(".nt"))
-              graft.sources.NTriplesSource.read(spark, path)
-                .select(col("subj").as("s"), col("pred").as("p"),
-                  col("obj").as("o"), col("objLang").as("ol"),
-                  col("objType").as("dt"))
+              // kind-preserving read: SERVICE frames carry the full
+              // optional-column contract (ol + dt + tk), so lang()/
+              // datatype()/isIRI-family filters inside SERVICE bodies
+              // compile with exact spec semantics
+              graft.sources.NTriplesSource.readWithKind(spark, path)
             else {
               val raw = spark.read.parquet(path)
               if (raw.columns.contains("subj"))

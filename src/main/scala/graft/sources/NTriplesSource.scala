@@ -74,7 +74,14 @@ object NTriplesSource {
     s.matches("[A-Za-z][A-Za-z0-9+.-]*:[^\\s<>\"{}|^`]*")
 
   /** Parse one N-Triples line; None for blank/comment/malformed lines. */
-  def parseLine(raw: String): Option[Triple] = {
+  def parseLine(raw: String): Option[Triple] =
+    parseLineWithKind(raw).map(_._1)
+
+  /** Like [[parseLine]] but keeps the object term's KIND, which the parse
+    * knows exactly and [[Triple]] deliberately erases (the engine's
+    * string-term model): "i" IRI / "l" literal / "b" blank — the SPARQL
+    * frame contract's `tk` stamp. */
+  def parseLineWithKind(raw: String): Option[(Triple, String)] = {
     val p = new Parser(raw)
     p.ws()
     if (p.atEnd || p.peek == '#') return None
@@ -83,12 +90,33 @@ object NTriplesSource {
       _ = p.ws()
       pred <- p.iri()
       _ = p.ws()
+      // the object's first char decides its kind — the same dispatch
+      // objectTerm() is about to take, captured before the form is erased
+      kind = if (p.atEnd) "l"
+             else if (p.peek == '<') "i"
+             else if (p.peek == '_') "b"
+             else "l"
       obj <- p.objectTerm()
       _ = p.ws()
       _ <- if (p.consume('.')) Some(()) else None
       _ = p.ws()
       _ <- if (p.atEnd || p.peek == '#') Some(()) else None
-    } yield Triple(subj, pred, obj._1, obj._2, obj._3)
+    } yield (Triple(subj, pred, obj._1, obj._2, obj._3), kind)
+  }
+
+  /** Kind-preserving SPARQL frame read: (s, p, o, ol, dt, tk) with the
+    * full optional-column contract of [[graft.sparql.SparqlCompiler]] —
+    * lang()/langMatches() (ol), datatype()/numeric comparisons (dt), AND
+    * isIRI()/isLiteral()/isBlank() plus spec-exact negative lang()/
+    * datatype() (tk). [[read]]'s [[Triple]] surface stays kind-erased for
+    * the pipeline; this reader is for frame producers (e.g. SERVICE graph
+    * registration). */
+  def readWithKind(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => parseLineWithKind(l).map { case (t, k) =>
+        (t.subj, t.pred, t.obj, t.objLang, t.objType, k) })
+      .toDF("s", "p", "o", "ol", "dt", "tk")
   }
 
   /** Value of `n` hex digits at `from`, or -1 when any char is not [0-9a-fA-F]

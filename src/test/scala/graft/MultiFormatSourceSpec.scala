@@ -42,6 +42,35 @@ class MultiFormatSourceSpec extends AnyFunSuite {
       Triple("urn:s:3", "urn:p:x", "trailing comment", "", "")))
   }
 
+  test("readWithKind: tk stamps the parsed object form; isIRI/isBlank compile over it") {
+    val spark = SparkTestSession.get
+    val dir = Files.createTempDirectory("nt-tk-")
+    Files.writeString(dir.resolve("g.nt"),
+      """<urn:s:1> <urn:p:knows> <urn:s:2> .
+        |<urn:s:1> <urn:p:name> "Alice"@cs .
+        |<urn:s:1> <urn:p:age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<urn:s:1> <urn:p:prov> _:b7 .
+        |<urn:s:2> <urn:p:name> "urn:looks-like-an-iri" .
+        |""".stripMargin)
+    val frame = NTriplesSource.readWithKind(spark, dir.toString)
+    assert(frame.columns.toSeq == Seq("s", "p", "o", "ol", "dt", "tk"))
+    val byObj = frame.collect().map(r => r.getString(2) -> r.getString(5)).toMap
+    // the kind is the PARSED form — a literal whose lexical form looks like
+    // an IRI stays 'l' (exactly what a lexical heuristic would get wrong)
+    assert(byObj == Map("urn:s:2" -> "i", "Alice" -> "l", "42" -> "l",
+      "_:b7" -> "b", "urn:looks-like-an-iri" -> "l"))
+    def q(query: String): Set[String] =
+      graft.sparql.SparqlCompiler.compile(query, frame)
+        .collect().map(_.getString(0)).toSet
+    assert(q("SELECT ?o WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }") == Set("urn:s:2"))
+    assert(q("SELECT ?o WHERE { ?s ?p ?o . FILTER(isBlank(?o)) }") == Set("_:b7"))
+    // negative datatype() on this tk frame is spec-exact: IRI and blank
+    // objects are type errors (removed), not retained as untagged literals
+    assert(q("""SELECT ?o WHERE { ?s ?p ?o .
+               |  FILTER(datatype(?o) != <http://www.w3.org/2001/XMLSchema#integer>) }""".stripMargin)
+      == Set("Alice", "urn:looks-like-an-iri"))
+  }
+
   test("objLang flows from N-Triples into per-language doc routing (A6 e2e)") {
     val spark = SparkTestSession.get
     val dir = Files.createTempDirectory("nt-a6-")
