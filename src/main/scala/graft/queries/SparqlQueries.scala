@@ -625,6 +625,23 @@ object SparqlQueries {
         tkFrame(s, d))
     },
 
+    // ---- isNumeric (r5): total boolean over the dt column — spec-exact
+    // in BOTH polarities on any dt frame, no tk needed (a null/'' dt is
+    // simply false, per 17.4.2.4). The negative polarity keeps resources
+    // AND untyped literals — exactly the slice negative datatype() must
+    // NOT return on tk frames (sparql_neg_datatype pins that contrast).
+    "sparql_isnumeric" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT s, o FROM dtr
+         |WHERE dt <> 'http://www.w3.org/2001/XMLSchema#integer'
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?o WHERE {
+          |  ?s ?p ?o . FILTER(!isNumeric(?o))
+          |} ORDER BY ?s ?o""".stripMargin,
+        dtFrame(s, d))
+    },
+
     // ---- join over a branch-ASYMMETRIC union (the reference's own
     // SparqlSelectTest.java:19 shape): branch 1 shares ?d with the outer
     // pattern, branch 2 shares ?c. The compiler distributes —

@@ -105,6 +105,12 @@ object SparqlAst {
     * column ('i'/'l'/'b', non-null), read at the ONE pattern binding ?v in
     * object position. */
   final case class FTermKind(v: String, kind: Char, pos: Boolean) extends FExpr
+  /** isNumeric(?v) — true iff ?v is a literal with a numeric XSD datatype
+    * (SPARQL 17.4.2.4). Total boolean like the term-kind checks (false for
+    * IRIs/blanks/plain literals — no type error), so BOTH polarities are
+    * spec-exact on any dt-bearing frame, tk not required: a null dt (plain
+    * literal, IRI, blank) is simply false. Same scan pushdown contract. */
+  final case class FIsNumeric(v: String, pos: Boolean) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr

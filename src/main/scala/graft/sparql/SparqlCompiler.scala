@@ -599,7 +599,12 @@ object SparqlCompiler {
         val posDts = es.collect { case FDtCmp(_, true, iri) => iri }
         if (posDts.exists(integerDts)) Some(v -> "bigint")
         else if (posDts.exists(floatDts)) Some(v -> "double")
-        else if (es.exists(_.isInstanceOf[FNumCmp])) Some(v -> "double")
+        // a numeric comparison or a positive isNumeric() proves dt ∈
+        // numeric without pinning the family
+        else if (es.exists {
+          case _: FNumCmp | FIsNumeric(_, true) => true
+          case _ => false
+        }) Some(v -> "double")
         else None
       }
 
@@ -909,6 +914,7 @@ object SparqlCompiler {
     case FLangCmp(v, _, _) => Set(v)
     case FLangMatches(v, _) => Set(v)
     case FTermKind(v, _, _) => Set(v)
+    case FIsNumeric(v, _) => Set(v)
     case FAnd(a, b) => fvars(a) ++ fvars(b)
     case FOr(a, b) => fvars(a) ++ fvars(b)
     case FNot(a) => fvars(a)
@@ -927,7 +933,8 @@ object SparqlCompiler {
     * given elements (otherwise it compiles as a plain filter, valid over
     * numeric aggregate columns / proven-castable vars, refused elsewhere). */
   private def scanCondIn(elems: Seq[GElem])(e: FExpr): Boolean = e match {
-    case _: FLangCmp | _: FLangMatches | _: FDtCmp | _: FTermKind => true
+    case _: FLangCmp | _: FLangMatches | _: FDtCmp | _: FTermKind |
+         _: FIsNumeric => true
     case FNumCmp(v, _, _) =>
       elems.count {
         case GTriple(TP(_, _, V(n))) => n == v
@@ -938,7 +945,7 @@ object SparqlCompiler {
 
   /** the frame column a scan condition needs */
   private def scanCondColumn(e: FExpr): String = e match {
-    case _: FDtCmp | _: FNumCmp => "dt"
+    case _: FDtCmp | _: FNumCmp | _: FIsNumeric => "dt"
     case _: FTermKind => "tk"
     case _ => "ol"
   }
@@ -1005,6 +1012,12 @@ object SparqlCompiler {
       // two kinds — both polarities convert to data-source filters
       case FTermKind(_, k, true) => col("tk") === k.toString
       case FTermKind(_, k, false) => col("tk") =!= k.toString
+      // isNumeric is total and tk-free: a numeric XSD dt is true, anything
+      // else (null dt = plain literal / IRI / blank) is false — so the
+      // negation needs the explicit null disjunct, spec-exact either way
+      case FIsNumeric(_, true) => col("dt").isin(numericDts.toSeq: _*)
+      case FIsNumeric(_, false) =>
+        col("dt").isNull || !col("dt").isin(numericDts.toSeq: _*)
       // numeric ordering: value-space comparison over the numeric-typed
       // slice. dt ∈ numericDts is the spec's type-error-removes-row for
       // non-numeric bindings (plain literals, IRIs, strings); the dt
@@ -1631,6 +1644,10 @@ object SparqlCompiler {
           "object position of the same group")
       case FDtCmp(v, _, _) =>
         unsupported(s"datatype(?$v) is only supported as a top-level FILTER " +
+          "conjunct over a variable bound in exactly one object position of " +
+          "the same group (the datatype lives in the frame's `dt` column)")
+      case FIsNumeric(v, _) =>
+        unsupported(s"isNumeric(?$v) is only supported as a top-level FILTER " +
           "conjunct over a variable bound in exactly one object position of " +
           "the same group (the datatype lives in the frame's `dt` column)")
       case FTermKind(v, _, _) =>

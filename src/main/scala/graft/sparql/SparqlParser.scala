@@ -847,6 +847,7 @@ object SparqlParser {
         // negation folds into the node — the compiler's scan pushdown then
         // sees one shape for both polarities
         case FTermKind(v, k, pos) => FTermKind(v, k, !pos)
+        case FIsNumeric(v, pos) => FIsNumeric(v, !pos)
         case e => FNot(e)
       }
     }
@@ -926,6 +927,16 @@ object SparqlParser {
         p.eatPunct(")")
         return FTermKind(v, kind, pos = true)
       case None => ()
+    }
+    if (p.isName("ISNUMERIC")) {
+      p.next(); p.eatPunct("(")
+      val v = p.next() match {
+        case TVar(x, _) => x
+        case other => fail(s"isNumeric() takes a variable, got ${describe(other)}",
+          other.pos)
+      }
+      p.eatPunct(")")
+      return FIsNumeric(v, pos = true)
     }
     val strFns = Seq("STRSTARTS", "STRENDS", "CONTAINS")
     strFns.find(p.isName) match {

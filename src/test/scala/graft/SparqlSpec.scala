@@ -136,6 +136,7 @@ class SparqlSpec extends AnyFunSuite {
     g.elems.collect { case GFilter(e) => e }.flatMap(conj).collect {
       case FDtCmp(v, true, "http://www.w3.org/2001/XMLSchema#integer") => v
       case FNumCmp(v, _, _) => v
+      case FIsNumeric(v, true) => v
     }.toSet
   }
 
@@ -171,6 +172,11 @@ class SparqlSpec extends AnyFunSuite {
     // term-kind checks are TOTAL booleans over any bound term
     case FTermKind(v, k, pos) =>
       m.get(v).map(s => (kindOf(s) == k.toString) == pos)
+    // isNumeric: the substrate's only numeric datatype is xsd:integer,
+    // stamped on all-digit literal objects
+    case FIsNumeric(v, pos) =>
+      m.get(v).map(s =>
+        (kindOf(s) == "l" && s.nonEmpty && s.forall(_.isDigit)) == pos)
     // numeric ordering: the diff frames stamp dt=xsd:integer exactly on
     // all-digit objects (diffSelectDf), so "parses as a long" here is the
     // same value space as the compiler's dt ∈ numericDts scan condition;
@@ -1522,6 +1528,23 @@ class SparqlSpec extends AnyFunSuite {
     // without tk the documented union divergence stands: IRI/blank retained
     assert(q("FILTER(datatype(?o) != <http://www.w3.org/2001/XMLSchema#integer>)",
       frame.drop("tk")) == Seq("hello", "urn:x", "_:b0"))
+    // isNumeric is total and needs NO tk: both polarities are spec-exact
+    // on any dt frame (false for IRIs/blanks/plain literals)
+    assert(q("FILTER(isNumeric(?o))") == Seq("42"))
+    assert(q("FILTER(!isNumeric(?o))") == Seq("hello", "urn:x", "_:b0"))
+    assert(q("FILTER(isNumeric(?o))", frame.drop("tk")) == Seq("42"))
+    assert(q("FILTER(!isNumeric(?o))", frame.drop("tk"))
+      == Seq("hello", "urn:x", "_:b0"))
+    // a positive isNumeric() pin is a numeric PROOF for downstream
+    // aggregates: SUM over the pinned var compiles (refused without the
+    // pin — terms are strings until proven numeric)
+    assert(rows(SparqlCompiler.compile(
+      """SELECT (SUM(?o) AS ?t) WHERE { ?s <urn:p> ?o .
+        |  FILTER(isNumeric(?o)) }""".stripMargin,
+      frame)).map(_.last.get) == Seq("42.0"))
+    assert(intercept[SparqlUnsupported](SparqlCompiler.compile(
+      "SELECT (SUM(?o) AS ?t) WHERE { ?s <urn:p> ?o }", frame))
+      .getMessage.contains("provably numeric"))
     // refusals: a tk-less frame, and a non-top-level-conjunct position
     val eNoTk = intercept[SparqlUnsupported](SparqlCompiler.compile(
       "SELECT ?o WHERE { ?s <urn:p> ?o . FILTER(isIRI(?o)) }", frame.drop("tk")))
@@ -2219,11 +2242,12 @@ class SparqlSpec extends AnyFunSuite {
         // tk-frame semantics are the spec's literal-only slice
         val anchor = someSafe()
         val v = fresh()
-        val pred = Seq("<urn:p:knows>", "<urn:p:name>", "<urn:p:alias>")(rnd.nextInt(3))
+        val pred = Seq("<urn:p:knows>", "<urn:p:name>", "<urn:p:alias>",
+          "<urn:p:age>")(rnd.nextInt(4))
         body ++= s"?$anchor $pred ?$v .\n"
         if (rnd.nextInt(3) < 2) {
           val neg = if (rnd.nextBoolean()) "!" else ""
-          val fn = Seq("isIRI", "isLiteral", "isBlank")(rnd.nextInt(3))
+          val fn = Seq("isIRI", "isLiteral", "isBlank", "isNumeric")(rnd.nextInt(4))
           body ++= s"FILTER($neg$fn(?$v))\n"
         } else
           body ++= s"FILTER(datatype(?$v) != <http://www.w3.org/2001/XMLSchema#integer>)\n"
