@@ -303,6 +303,8 @@ object KgMain {
               // datatype()/isIRI-family filters inside SERVICE bodies
               // compile with exact spec semantics
               graft.sources.NTriplesSource.readWithKind(spark, path)
+            else if (path.endsWith(".rdf") || path.endsWith(".xml"))
+              graft.sources.RdfXmlSource.readWithKind(spark, path)
             else {
               val raw = spark.read.parquet(path)
               if (raw.columns.contains("subj"))

@@ -61,6 +61,24 @@ object RdfXmlSource {
       .flatMap { case (p, bytes) => parseBytes(p, bytes).getOrElse(Seq.empty) }
   }
 
+  /** Kind-preserving SPARQL frame read: (s, p, o, ol, dt, tk) — the
+    * RDF/XML twin of [[NTriplesSource.readWithKind]], same full optional-
+    * column contract for [[graft.sparql.SparqlCompiler]]. Malformed files
+    * are dropped whole, like [[read]]. */
+  def readWithKind(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseBytesWithKind(p, bytes).getOrElse(Seq.empty).map { case (t, k) =>
+          (t.subj, t.pred, t.obj, t.objLang, t.objType, k)
+        }
+      }
+      .toDF("s", "p", "o", "ol", "dt", "tk")
+  }
+
   /** Per-file parse result for the reject-surfacing read: `reason` is set
     * exactly when the file was rejected (then `triples` is empty). */
   final case class ParsedFile(path: String, reason: Option[String],
@@ -198,6 +216,13 @@ object RdfXmlSource {
     * ISO-8859-1 dumps into U+FFFD literals — the reference honors the
     * declaration via Jena). */
   def parseBytes(fileId: String, bytes: Array[Byte]): Either[String, Seq[Triple]] =
+    parseBytesWithKind(fileId, bytes).map(_.map(_._1))
+
+  /** Like [[parseBytes]] but keeps each object's term KIND ("i" IRI / "l"
+    * literal / "b" blank) — the SPARQL frame contract's `tk` stamp, which
+    * the parse knows exactly and [[Triple]] erases. */
+  def parseBytesWithKind(fileId: String,
+      bytes: Array[Byte]): Either[String, Seq[(Triple, String)]] =
     parseWith(fileId,
       f => f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes)))
 
@@ -207,9 +232,10 @@ object RdfXmlSource {
   def parseFile(fileId: String, xml: String): Either[String, Seq[Triple]] =
     parseWith(fileId,
       f => f.createXMLStreamReader(new java.io.StringReader(xml)))
+      .map(_.map(_._1))
 
   private def parseWith(fileId: String,
-      mk: XMLInputFactory => XMLStreamReader): Either[String, Seq[Triple]] = {
+      mk: XMLInputFactory => XMLStreamReader): Either[String, Seq[(Triple, String)]] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
@@ -236,7 +262,7 @@ object RdfXmlSource {
           }
         }
       } else parseNodeElement(reader, ctx, "", "")
-      Right(ctx.out.toSeq)
+      Right(ctx.out.toSeq.zip(ctx.kinds))
     } catch {
       case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString))
     } finally reader.close()
@@ -254,6 +280,10 @@ object RdfXmlSource {
 
   private final class Ctx(fileId: String) {
     val out = new ArrayBuffer[Triple]()
+    /** parallel to [[out]]: the object's term kind ("i"/"l"/"b") — the
+      * parse knows the form exactly where the kind-erased [[Triple]]
+      * cannot recover it (a literal may LOOK like an IRI) */
+    val kinds = new ArrayBuffer[String]()
     private val prefix = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(fileId.getBytes("UTF-8"))
@@ -262,9 +292,19 @@ object RdfXmlSource {
     private var n = 0
     def fresh(): String = { n += 1; s"_:g${prefix}b$n" }
     def mapNodeId(label: String): String = s"_:g${prefix}n$label"
+    /** literal-object emission */
     def emit(s: String, p: String, o: String, lang: String = "",
-             dtype: String = ""): Unit =
+             dtype: String = ""): Unit = {
       out += Triple(s, p, o, lang, dtype)
+      kinds += "l"
+    }
+    /** IRI-or-blank TERM emission: within this parser every blank node is
+      * "_:"-prefixed (fresh/mapNodeId) and subjects/objects of node
+      * elements are IRIs otherwise, so the prefix decides the kind */
+    def emitTerm(s: String, p: String, o: String): Unit = {
+      out += Triple(s, p, o, "", "")
+      kinds += (if (o.startsWith("_:")) "b" else "i")
+    }
   }
 
   /** Resolve `ref` against `base` per RFC 3986; a missing base or an opaque
@@ -289,7 +329,7 @@ object RdfXmlSource {
         .orElse(attr(r, RdfNs, "nodeID").map(ctx.mapNodeId))
         .getOrElse(ctx.fresh())
     if (!(ns == RdfNs && local == "Description"))
-      ctx.emit(subj, RdfNs + "type", ns + local)
+      ctx.emitTerm(subj, RdfNs + "type", ns + local)
     // property attributes: every non-rdf/xml attribute is a literal statement
     var i = 0
     while (i < r.getAttributeCount) {
@@ -299,7 +339,7 @@ object RdfXmlSource {
           r.getAttributeValue(i), lang)
       else if (ans == RdfNs && r.getAttributeLocalName(i) == "type")
         // rdf:type as an attribute takes an IRI object, not a literal
-        ctx.emit(subj, RdfNs + "type", resolve(base, r.getAttributeValue(i)))
+        ctx.emitTerm(subj, RdfNs + "type", resolve(base, r.getAttributeValue(i)))
       i += 1
     }
     // the container-membership ordinal counts ONLY rdf:li children (W3C
@@ -353,7 +393,7 @@ object RdfXmlSource {
       b.result()
     }
     def emitPropAttrs(obj: String): Unit = propAttrs.foreach { case (p, v) =>
-      if (p == RdfNs + "type") ctx.emit(obj, p, resolve(base, v))
+      if (p == RdfNs + "type") ctx.emitTerm(obj, p, resolve(base, v))
       else ctx.emit(obj, p, v, lang)
     }
 
@@ -382,7 +422,7 @@ object RdfXmlSource {
         // implicit blank node whose property elements are this element's
         // children
         val b = ctx.fresh()
-        ctx.emit(subj, pred, b)
+        ctx.emitTerm(subj, pred, b)
         var li = 0
         var done = false
         while (!done && r.hasNext) {
@@ -403,17 +443,17 @@ object RdfXmlSource {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               val cell = ctx.fresh()
-              if (head.isEmpty) { head = cell; ctx.emit(subj, pred, cell) }
-              else ctx.emit(tail, RdfNs + "rest", cell)
+              if (head.isEmpty) { head = cell; ctx.emitTerm(subj, pred, cell) }
+              else ctx.emitTerm(tail, RdfNs + "rest", cell)
               val item = parseNodeElement(r, ctx, lang, base)
-              ctx.emit(cell, RdfNs + "first", item)
+              ctx.emitTerm(cell, RdfNs + "first", item)
               tail = cell
             case XMLStreamConstants.END_ELEMENT => done = true
             case _ => ()
           }
         }
-        if (head.isEmpty) ctx.emit(subj, pred, RdfNs + "nil")
-        else ctx.emit(tail, RdfNs + "rest", RdfNs + "nil")
+        if (head.isEmpty) ctx.emitTerm(subj, pred, RdfNs + "nil")
+        else ctx.emitTerm(tail, RdfNs + "rest", RdfNs + "nil")
       case Some("Literal") =>
         // XML literal (W3C RDF/XML 7.2.17; the reference accepts these via
         // Jena, Harvester.java:1711-1716): the object is the element
@@ -525,19 +565,19 @@ object RdfXmlSource {
         throw new IllegalStateException(s"unsupported rdf:parseType=$other")
       case None if resource.isDefined =>
         val obj = resolve(base, resource.get)
-        ctx.emit(subj, pred, obj)
+        ctx.emitTerm(subj, pred, obj)
         emitPropAttrs(obj)
         consumeEmpty()
       case None if nodeId.isDefined =>
         val obj = ctx.mapNodeId(nodeId.get)
-        ctx.emit(subj, pred, obj)
+        ctx.emitTerm(subj, pred, obj)
         emitPropAttrs(obj)
         consumeEmpty()
       case None if propAttrs.nonEmpty =>
         // attrs-only empty property element: the object is an implicit
         // blank node carrying the attribute statements
         val b = ctx.fresh()
-        ctx.emit(subj, pred, b)
+        ctx.emitTerm(subj, pred, b)
         emitPropAttrs(b)
         consumeEmpty()
       case None =>
@@ -563,7 +603,7 @@ object RdfXmlSource {
             if (text.toString.trim.nonEmpty)
               throw new IllegalStateException(
                 s"mixed text and node element under property $pred")
-            ctx.emit(subj, pred, objSubj)
+            ctx.emitTerm(subj, pred, objSubj)
           case None =>
             if (datatype.isDefined)
               // rdf:datatype overrides any in-scope xml:lang (typed literals

@@ -27,6 +27,42 @@ class RdfXmlSourceSpec extends AnyFunSuite {
       if (t.objLang.isEmpty && t.objType.isEmpty) c(t.obj) else t.obj)).toSet
   }
 
+  test("parseBytesWithKind: kinds track the parsed form, not the lexical shape") {
+    val xml =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="urn:ex:">
+        |  <ex:Doc rdf:about="urn:s:1">
+        |    <ex:link rdf:resource="urn:s:2"/>
+        |    <ex:note>urn:looks-like-an-iri</ex:note>
+        |    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">7</ex:size>
+        |    <ex:prov rdf:nodeID="p1"/>
+        |  </ex:Doc>
+        |</rdf:RDF>""".stripMargin
+    val kinds = RdfXmlSource.parseBytesWithKind("t", xml.getBytes("UTF-8"))
+      .toOption.get.map { case (t, k) => (t.pred, k) }.toMap
+    assert(kinds == Map(
+      RDF + "type" -> "i",          // typed node element
+      "urn:ex:link" -> "i",         // rdf:resource
+      "urn:ex:note" -> "l",         // a literal that LOOKS like an IRI
+      "urn:ex:size" -> "l",         // typed literal
+      "urn:ex:prov" -> "b"))        // rdf:nodeID
+    // the distributed frame read compiles isIRI/isBlank over the tk column
+    val spark = SparkTestSession.get
+    val dir = Files.createTempDirectory("rdf-tk-")
+    Files.writeString(dir.resolve("g.rdf"), xml)
+    val frame = RdfXmlSource.readWithKind(spark, dir.toString)
+    assert(frame.columns.toSeq == Seq("s", "p", "o", "ol", "dt", "tk"))
+    def q(query: String): Set[String] =
+      graft.sparql.SparqlCompiler.compile(query, frame)
+        .collect().map(_.getString(0)).toSet
+    assert(q("SELECT ?o WHERE { ?s <urn:ex:link> ?o . FILTER(isIRI(?o)) }")
+      == Set("urn:s:2"))
+    assert(q("SELECT ?s WHERE { ?s <urn:ex:prov> ?o . FILTER(isBlank(?o)) }")
+      == Set("urn:s:1"))
+    assert(q("SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }")
+      == Set("urn:looks-like-an-iri", "7"))
+  }
+
   test("golden fixture: about/typed nodes, lang inheritance, datatype, resource") {
     val got = parse(
       """<?xml version="1.0"?>
