@@ -346,6 +346,11 @@ object DedupQueries {
       val fp = Tables.documents(s, d).select(col("doc_id"),
         TextNorm.fingerprintCol(col("text")).as("k"))
       val sim = simhashDf(s, d).withColumnRenamed("simhash", "k")
+      // the distinct LOOKS redundant (CC's canonical hi->lo form dedups in
+      // its own exchange) but removing it measured consistently SLOWER in
+      // interleaved min-of-3 A/B at sf0.1 (5.9/7.7 s with vs 6.9/10.0 s
+      // without): the extra exchange gives AQE a materialized stage whose
+      // stats shape the CC rounds. Deliberate.
       val edges = stars(fp).unionAll(stars(sim)).distinct()
       val comp = graft.canon.ConnectedComponents.run(edges)
       comp.select(col("id").as("doc_id"), col("component").as("cluster"),

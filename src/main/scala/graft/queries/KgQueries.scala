@@ -411,6 +411,8 @@ object KgQueries {
       val edges = ev.join(buckets, Seq("event_type", "day"))
         .filter(col("user_id") =!= col("mn"))
         .select(col("user_id").as("src"), col("mn").as("dst"))
+        // the distinct LOOKS redundant against CC's canonical-form dedup,
+        // but dropping it measured slower (see dd_dup_clusters' note)
         .distinct()
       ConnectedComponents.run(edges)
         .orderBy("id")
