@@ -625,6 +625,23 @@ object SparqlQueries {
         tkFrame(s, d))
     },
 
+    // ---- MD5/SHA256 BIND digests (r5): lowercase-hex UTF-8 on both
+    // engines — the content-addressed IRI-minting idiom a KG-construction
+    // pipeline lives on (IRI(CONCAT("urn:h:", MD5(?text)))).
+    "sparql_bind_hash" -> Q(
+      s"""WITH $dtFrameSql
+         |SELECT s, 'urn:h:' || md5(o) AS h, sha256(o) AS h2
+         |FROM dtr WHERE p = 'urn:p:title'
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      SparqlCompiler.compile(
+        """SELECT ?s ?h ?h2 WHERE {
+          |  ?s <urn:p:title> ?t .
+          |  BIND(CONCAT("urn:h:", MD5(?t)) AS ?h)
+          |  BIND(SHA256(?t) AS ?h2)
+          |} ORDER BY ?s ?h ?h2""".stripMargin,
+        dtFrame(s, d))
+    },
+
     // ---- isNumeric (r5): total boolean over the dt column — spec-exact
     // in BOTH polarities on any dt frame, no tk needed (a null/'' dt is
     // simply false, per 17.4.2.4). The negative polarity keeps resources

@@ -199,6 +199,11 @@ object SparqlAst {
   /** COALESCE(e1, ..., en) — the first argument that evaluates without
     * error (an unbound variable is an error and is skipped). */
   final case class BCoalesce(parts: Seq[BExpr]) extends BExpr
+  /** MD5 / SHA256 (SPARQL 17.4.4.x) — lowercase-hex digest of the UTF-8
+    * lexical form; cross-engine exact (Spark md5/sha2 == DuckDB md5/
+    * sha256). The KG-construction workhorse: content-addressed IRI minting
+    * via IRI(CONCAT("urn:x:", MD5(?text))). */
+  final case class BHash(bits: Int, e: BExpr) extends BExpr
 
   // ---- projections ----------------------------------------------------------
 

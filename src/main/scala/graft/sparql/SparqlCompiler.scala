@@ -1056,6 +1056,7 @@ object SparqlCompiler {
     case BStrSide(_, inner, _) => bvars(inner)
     case BIf(cond, t, f) => fvars(cond) ++ bvars(t) ++ bvars(f)
     case BCoalesce(parts) => parts.flatMap(bvars).toSet
+    case BHash(_, inner) => bvars(inner)
   }
 
   /** Structurally never-null BIND expressions: a COALESCE with such a part
@@ -1073,6 +1074,7 @@ object SparqlCompiler {
       case BReplace(inner, _, _) => neverNullBind(inner, boundNonNull)
       case BStrSide(_, inner, _) => neverNullBind(inner, boundNonNull)
       case BCoalesce(parts) => parts.exists(neverNullBind(_, boundNonNull))
+      case BHash(_, inner) => neverNullBind(inner, boundNonNull)
       case _: BIf => false
     }
 
@@ -1124,6 +1126,11 @@ object SparqlCompiler {
         .when(!c, compileBind(f, resolve, numeric, castable))
     case BCoalesce(parts) =>
       coalesce(parts.map(compileBind(_, resolve, numeric, castable)): _*)
+    case BHash(bits, inner) =>
+      // lowercase-hex UTF-8 digest on both engines; NULL input (errored
+      // sub-expression) propagates
+      val c = compileBind(inner, resolve, numeric, castable)
+      if (bits == 128) md5(c) else sha2(c, bits)
   }
 
   /** VALUES compiles to a broadcast inline relation joined on its shared

@@ -799,6 +799,14 @@ object SparqlParser {
       val t = parseBindExpr(p); p.eatPunct(",")
       val fb = parseBindExpr(p); p.eatPunct(")")
       BIf(cond, t, fb)
+    case TName(f, _) if f.equalsIgnoreCase("MD5") || f.equalsIgnoreCase("SHA256") =>
+      val bits = if (f.equalsIgnoreCase("MD5")) 128 else 256
+      p.next(); p.eatPunct("("); val e = parseBindExpr(p); p.eatPunct(")")
+      BHash(bits, e)
+    case TName(f, _) if f.equalsIgnoreCase("SHA1") || f.equalsIgnoreCase("SHA384") ||
+        f.equalsIgnoreCase("SHA512") =>
+      fail(s"only MD5 and SHA256 digests are supported (${f.toUpperCase} is " +
+        "out of the subset)", p.peek.pos)
     case TName(f, _) if f.equalsIgnoreCase("COALESCE") =>
       p.next(); p.eatPunct("(")
       val parts = Seq.newBuilder[BExpr]

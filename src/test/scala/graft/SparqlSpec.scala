@@ -437,6 +437,13 @@ class SparqlSpec extends AnyFunSuite {
     }
     case BCoalesce(parts) =>
       parts.view.flatMap(evalB(_, m, proven)).headOption
+    case BHash(bits, inner) =>
+      evalB(inner, m, proven).map { s =>
+        val alg = if (bits == 128) "MD5" else "SHA-256"
+        java.security.MessageDigest.getInstance(alg)
+          .digest(s.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      }
   }
 
   /** aggregate over a group's solutions; None = unbound result (MIN/MAX/
@@ -1474,9 +1481,17 @@ class SparqlSpec extends AnyFunSuite {
       .map(_.last) == Seq(Some(""), Some(""), Some("")))
     assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(STRAFTER(?o, "") AS ?t) } ORDER BY ?s""")
       .map(_.last) == Seq(Some("hello world"), Some("ann"), Some("x-y-z")))
+    // MD5/SHA256: lowercase-hex UTF-8 digests (the IRI-minting idiom);
+    // md5("hello world") is the well-known vector
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(MD5(?o) AS ?t) } ORDER BY ?s""")
+      .head.last.contains("5eb63bbbe01eeed093cb22bb8f5acdc3"))
+    assert(one("""SELECT ?s ?t WHERE { ?s <urn:p> ?o . BIND(SHA256(?o) AS ?t) } ORDER BY ?s""")
+      .forall(_.last.exists(h => h.length == 64 && h.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))))
     // parse-time refusals: expression SUBSTR args, REPLACE flags, bad regex
     def badParse(q: String): String =
       intercept[SparqlParseException](SparqlParser.parse(q)).getMessage
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SHA1(?o) AS ?t) }""")
+      .contains("out of the subset"))
     assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, ?n) AS ?t) }""")
       .contains("integer literal"))
     assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, 0) AS ?t) }""")
@@ -2229,6 +2244,7 @@ class SparqlSpec extends AnyFunSuite {
           s"""REPLACE(?$v, "[abn]", "_")""",
           s"""STRBEFORE(?$v, "${Seq("a", "n", ":")(rnd.nextInt(3))}")""",
           s"""STRAFTER(?$v, "n")""",
+          s"""CONCAT("urn:h:", ${if (rnd.nextBoolean()) "MD5" else "SHA256"}(?$v))""",
           s"""IF(CONTAINS(?$v, "a"), UCASE(?$v), CONCAT("z-", ?$v))""",
           if (loose.nonEmpty)
             s"""COALESCE(?${loose(rnd.nextInt(loose.size))}, ?$v, "k")"""
