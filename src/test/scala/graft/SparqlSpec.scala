@@ -517,20 +517,22 @@ class SparqlSpec extends AnyFunSuite {
     diffSelectDf(q, qs.toDF("s", "p", "o", "g"), qs)
   }
 
-  private def diffSelectDf(q: String, df00: DataFrame, qs: Seq[Quad]): Unit = {
+  /** the differential frames stamp dt = xsd:integer on all-digit objects
+    * (exactly the evaluator's "parses as a long" value space) and tk by
+    * the substrate's lexical convention — must mirror kindOf exactly */
+  private def stampDiffCols(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    // the differential frames stamp dt = xsd:integer on all-digit objects
-    // (exactly the evaluator's "parses as a long" value space) so the
-    // fuzzer's numeric comparisons compile and are differentially checked
-    val df0 = df00.withColumn("dt",
-      when(col("o").rlike("^[0-9]+$"),
-        lit("http://www.w3.org/2001/XMLSchema#integer")).otherwise(lit("")))
-      // tk stamps the substrate's lexical convention — must mirror kindOf
-      // exactly (the evaluator's side of the same convention)
+    df.withColumn("dt",
+        when(col("o").rlike("^[0-9]+$"),
+          lit("http://www.w3.org/2001/XMLSchema#integer")).otherwise(lit("")))
       .withColumn("tk",
         when(col("o").startsWith("_:"), lit("b"))
           .when(col("o").startsWith("urn:"), lit("i"))
           .otherwise(lit("l")))
+  }
+
+  private def diffSelectDf(q: String, df00: DataFrame, qs: Seq[Quad]): Unit = {
+    val df0 = stampDiffCols(df00)
     val sel = SparqlParser.parse(q).asInstanceOf[SelectQ]
     val df = SparqlCompiler.compile(q, df0)
     val vars = df.columns.toSeq
@@ -541,6 +543,27 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   private val bOrd: Ordering[B] = Ordering.by(m => m.toSeq.sorted.mkString("|"))
+
+  /** CONSTRUCT differential: the compiled triple SET == per-solution
+    * template instantiation with per-TRIPLE unbound skips (the compiler's
+    * null filter) and set semantics (its final distinct). */
+  private def diffConstructQ(q: String, qs: Seq[Quad]): Unit = {
+    val s = spark
+    import s.implicits._
+    val cq = SparqlParser.parse(q).asInstanceOf[ConstructQ]
+    require(cq.limit.isEmpty, "generator must not emit CONSTRUCT LIMIT " +
+      "(unordered solutions make it nondeterministic)")
+    val got = rows(SparqlCompiler.compile(q, stampDiffCols(qs.toDF("s", "p", "o", "g"))))
+      .map(_.flatten).toSet
+    val sols = evalGroup(cq.where, qs)
+    val want: Set[Seq[String]] =
+      (for {
+        m <- sols; tp <- cq.template
+        sv <- term(tp.s, m); pv <- term(tp.p, m); ov <- term(tp.o, m)
+      } yield Seq(sv, pv, ov)).toSet
+    assert(got == want,
+      s"CONSTRUCT differential mismatch for: $q\n got=$got\nwant=$want")
+  }
 
   /** random quads: the triple distribution of [[randomTriples]] spread
     * over two named graphs and the default graph */
@@ -2278,6 +2301,20 @@ class SparqlSpec extends AnyFunSuite {
         body ++= s"?$x <urn:p:knows> ?$anchor .\n"
         safe += x; safe += n
     }
+    // every ~5th query wraps as CONSTRUCT over the SAME random body: 1-2
+    // template triples drawn from the var pools (loose vars exercise the
+    // per-TRIPLE unbound skip), sometimes with a constant object — the
+    // triple-set differential (diffConstructQ) checks set semantics
+    if (rnd.nextInt(5) == 0) {
+      val pool = (safe ++ loose).distinct
+      def tv() = pool(rnd.nextInt(pool.size))
+      val t1 = s"?${someSafe()} <urn:t:p1> ?${tv()} ."
+      val t2 =
+        if (rnd.nextBoolean())
+          s" ?${tv()} <urn:t:p2> ${if (rnd.nextBoolean()) "<urn:t:c>" else s"?${tv()}"} ."
+        else ""
+      return s"CONSTRUCT { $t1$t2 } WHERE {\n$body}"
+    }
     // every 4th query wraps as an aggregate: group on one safe var, COUNT
     // a bound var and MIN a (possibly loose) one — exercises the agg path
     // composed over the SAME random bodies
@@ -2309,7 +2346,11 @@ class SparqlSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       val q = randomQuery(rnd)
       val qs = randomQuads(seed * 31 + 7, 6 + rnd.nextInt(18))
-      try { diffSelectQ(q, qs); ran += 1 }
+      try {
+        if (q.startsWith("CONSTRUCT")) diffConstructQ(q, qs)
+        else diffSelectQ(q, qs)
+        ran += 1
+      }
       catch {
         case e: SparqlUnsupported => // generator strayed out of subset: fine,
           // refusals are part of the contract — but most queries must compile
