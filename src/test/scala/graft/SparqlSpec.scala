@@ -544,6 +544,16 @@ class SparqlSpec extends AnyFunSuite {
 
   private val bOrd: Ordering[B] = Ordering.by(m => m.toSeq.sorted.mkString("|"))
 
+  /** ASK differential: the compiled boolean gate == evaluator nonEmpty */
+  private def diffAskQ(q: String, qs: Seq[Quad]): Unit = {
+    val s = spark
+    import s.implicits._
+    val aq = SparqlParser.parse(q).asInstanceOf[AskQ]
+    val got = SparqlCompiler.ask(q, stampDiffCols(qs.toDF("s", "p", "o", "g")))
+    val want = evalGroup(aq.where, qs).nonEmpty
+    assert(got == want, s"ASK differential mismatch for: $q\n got=$got want=$want")
+  }
+
   /** CONSTRUCT differential: the compiled triple SET == per-solution
     * template instantiation with per-TRIPLE unbound skips (the compiler's
     * null filter) and set semantics (its final distinct). */
@@ -2301,6 +2311,9 @@ class SparqlSpec extends AnyFunSuite {
         body ++= s"?$x <urn:p:knows> ?$anchor .\n"
         safe += x; safe += n
     }
+    // every ~10th query wraps as ASK over the SAME random body — the
+    // boolean differential (compiled 0/1-row gate == evaluator nonEmpty)
+    if (rnd.nextInt(10) == 0) return s"ASK {\n$body}"
     // every ~5th query wraps as CONSTRUCT over the SAME random body: 1-2
     // template triples drawn from the var pools (loose vars exercise the
     // per-TRIPLE unbound skip), sometimes with a constant object — the
@@ -2348,6 +2361,7 @@ class SparqlSpec extends AnyFunSuite {
       val qs = randomQuads(seed * 31 + 7, 6 + rnd.nextInt(18))
       try {
         if (q.startsWith("CONSTRUCT")) diffConstructQ(q, qs)
+        else if (q.startsWith("ASK")) diffAskQ(q, qs)
         else diffSelectQ(q, qs)
         ran += 1
       }
