@@ -544,6 +544,33 @@ class SparqlSpec extends AnyFunSuite {
 
   private val bOrd: Ordering[B] = Ordering.by(m => m.toSeq.sorted.mkString("|"))
 
+  /** DESCRIBE differential: the compiled description == all frame rows
+    * whose subject is a described IRI or a described-var binding (the
+    * frame's FULL column set rides through, so dt/tk/g compare too). */
+  private def diffDescribeQ(q: String, qs: Seq[Quad]): Unit = {
+    val s = spark
+    import s.implicits._
+    val dq = SparqlParser.parse(q).asInstanceOf[DescribeQ]
+    val got = rows(SparqlCompiler.compile(q, stampDiffCols(qs.toDF("s", "p", "o", "g"))))
+      .map(_.flatten).toSet
+    val iris = dq.terms.collect { case I(u) => u }.toSet
+    val vs = dq.terms.collect { case V(n) => n }
+    val varSubj: Set[String] =
+      if (vs.isEmpty) Set.empty
+      else {
+        val sols = evalGroup(dq.where.get, qs)
+        vs.flatMap(v => sols.flatMap(_.get(v))).toSet
+      }
+    val subj = iris ++ varSubj
+    val want = qs.filter(t => subj(t._1)).map { case (s0, p0, o0, g0) =>
+      val dt = if (o0.nonEmpty && o0.forall(_.isDigit))
+        "http://www.w3.org/2001/XMLSchema#integer" else ""
+      Seq(s0, p0, o0, g0, dt, kindOf(o0))
+    }.toSet
+    assert(got == want,
+      s"DESCRIBE differential mismatch for: $q\n got=$got\nwant=$want")
+  }
+
   /** ASK differential: the compiled boolean gate == evaluator nonEmpty */
   private def diffAskQ(q: String, qs: Seq[Quad]): Unit = {
     val s = spark
@@ -2314,6 +2341,12 @@ class SparqlSpec extends AnyFunSuite {
     // every ~10th query wraps as ASK over the SAME random body — the
     // boolean differential (compiled 0/1-row gate == evaluator nonEmpty)
     if (rnd.nextInt(10) == 0) return s"ASK {\n$body}"
+    // every ~12th as DESCRIBE over a bound var (sometimes + a constant
+    // IRI) — the subject-description differential, full column set
+    if (rnd.nextInt(12) == 0) {
+      val extra = if (rnd.nextBoolean()) s" <urn:n:${rnd.nextInt(8)}>" else ""
+      return s"DESCRIBE ?${someSafe()}$extra WHERE {\n$body}"
+    }
     // every ~5th query wraps as CONSTRUCT over the SAME random body: 1-2
     // template triples drawn from the var pools (loose vars exercise the
     // per-TRIPLE unbound skip), sometimes with a constant object — the
@@ -2362,6 +2395,7 @@ class SparqlSpec extends AnyFunSuite {
       try {
         if (q.startsWith("CONSTRUCT")) diffConstructQ(q, qs)
         else if (q.startsWith("ASK")) diffAskQ(q, qs)
+        else if (q.startsWith("DESCRIBE")) diffDescribeQ(q, qs)
         else diffSelectQ(q, qs)
         ran += 1
       }
@@ -2378,6 +2412,51 @@ class SparqlSpec extends AnyFunSuite {
     info(s"$ran/$total random queries compiled and matched the evaluator")
     refusals.toSeq.sortBy(-_._2).foreach { case (m, n) => info(s"  refused $n: $m") }
     assert(ran >= (total * 14) / 15, s"too many refusals: only $ran/$total compiled — generator drifted")
+  }
+
+  test("hostile mutation sweep: refusal, positioned error, or valid execution — never a raw crash") {
+    // the NT parser has its 20000-hostile-lines test; this is the SPARQL
+    // analogue: mutate WELL-FORMED random queries (truncate / delete /
+    // duplicate / flip / inject) and require every outcome to be inside
+    // the contract — SparqlParseException (positioned), SparqlUnsupported
+    // (refusal), or a clean execution when the mutation stays valid.
+    val mrnd = new scala.util.Random(0xbad5eed)
+    val frame = stampDiffCols({
+      val s = spark
+      import s.implicits._
+      randomQuads(11, 12).toDF("s", "p", "o", "g")
+    })
+    var executed = 0
+    for (seed <- 1 to 300) {
+      val q0 = randomQuery(new scala.util.Random(seed))
+      val n = q0.length
+      val m = mrnd.nextInt(5) match {
+        case 0 => q0.take(mrnd.nextInt(n))
+        case 1 =>
+          val i = mrnd.nextInt(n)
+          q0.take(i) + q0.drop(math.min(n, i + 1 + mrnd.nextInt(8)))
+        case 2 =>
+          val i = mrnd.nextInt(n)
+          val j = math.min(n, i + 1 + mrnd.nextInt(8))
+          q0.take(j) + q0.substring(i, j) + q0.drop(j)
+        case 3 =>
+          q0.updated(mrnd.nextInt(n), "?<>\"{}().!|&^#@".charAt(mrnd.nextInt(15)))
+        case 4 =>
+          val toks = Seq("FILTER", "OPTIONAL {", "}}", "UNION", "??",
+            "<urn:", "\"", "GRAPH", "SERVICE <urn:x>", "5.5", "AS ?x)")
+          val i = mrnd.nextInt(n)
+          q0.take(i) + " " + toks(mrnd.nextInt(toks.size)) + " " + q0.drop(i)
+      }
+      try {
+        SparqlCompiler.compile(m, frame).collect()
+        executed += 1 // the mutation stayed valid: executing is the check
+      } catch {
+        case _: SparqlParseException | _: SparqlUnsupported => () // contract
+        case e: Throwable =>
+          fail(s"mutated query crashed OUTSIDE the contract (seed=$seed):\n$m\n$e")
+      }
+    }
+    info(s"300 mutated queries inside the contract ($executed still valid and executed)")
   }
 
   test("GRAPH ?g never binds the default graph (g = '')") {
