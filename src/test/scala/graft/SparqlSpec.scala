@@ -2427,7 +2427,9 @@ class SparqlSpec extends AnyFunSuite {
       randomQuads(11, 12).toDF("s", "p", "o", "g")
     })
     var executed = 0
-    for (seed <- 1 to 300) {
+    // GRAFT_MUTATE_N widens the sweep for one-off deep soaks
+    val totalM = sys.env.get("GRAFT_MUTATE_N").map(_.toInt).getOrElse(300)
+    for (seed <- 1 to totalM) {
       val q0 = randomQuery(new scala.util.Random(seed))
       val n = q0.length
       val m = mrnd.nextInt(5) match {
@@ -2456,7 +2458,7 @@ class SparqlSpec extends AnyFunSuite {
           fail(s"mutated query crashed OUTSIDE the contract (seed=$seed):\n$m\n$e")
       }
     }
-    info(s"300 mutated queries inside the contract ($executed still valid and executed)")
+    info(s"$totalM mutated queries inside the contract ($executed still valid and executed)")
   }
 
   test("GRAPH ?g never binds the default graph (g = '')") {
