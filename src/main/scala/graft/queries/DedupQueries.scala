@@ -335,12 +335,16 @@ object DedupQueries {
          |       count(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // star edges of one equality relation keyed by `k`: doc -> group min
+      // star edges of one equality relation keyed by `k`: doc -> group min.
+      // Group min + group count attach as TWO functions over ONE window —
+      // a single exchange, vs the former groupBy + join pair (guide §2.4;
+      // same idiom as the CC round body)
       def stars(keyed: DataFrame): DataFrame = {
-        val g = keyed.groupBy("k")
-          .agg(min(col("doc_id")).as("m"), count(lit(1)).as("c"))
-          .filter(col("c") > 1)
-        keyed.join(g, "k").filter(col("doc_id") =!= col("m"))
+        val w = Window.partitionBy("k")
+        keyed
+          .withColumn("m", min(col("doc_id")).over(w))
+          .withColumn("c", count(lit(1)).over(w))
+          .filter(col("c") > 1 && col("doc_id") =!= col("m"))
           .select(col("doc_id").as("src"), col("m").as("dst"))
       }
       val fp = Tables.documents(s, d).select(col("doc_id"),

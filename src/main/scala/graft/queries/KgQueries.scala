@@ -405,10 +405,13 @@ object KgQueries {
         |  UNION
         |  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      // bucket-min attach as a WINDOW over the bucket key — one exchange,
+      // no groupBy+join pair (guide §2.4; same idiom as the CC round body)
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("day"))
-      val buckets = ev.groupBy("event_type", "day").agg(min(col("user_id")).as("mn"))
-      val edges = ev.join(buckets, Seq("event_type", "day"))
+      val edges = ev
+        .withColumn("mn", min(col("user_id"))
+          .over(Window.partitionBy("event_type", "day")))
         .filter(col("user_id") =!= col("mn"))
         .select(col("user_id").as("src"), col("mn").as("dst"))
         // the distinct LOOKS redundant against CC's canonical-form dedup,
