@@ -19,7 +19,14 @@ import graft.text.TextNorm
 object DedupQueries {
 
   /** Distinct word-level 3-gram shingles per doc (docs shorter than 3 tokens
-    * have none). */
+    * have none). NOTE two optimization dead ends measured this round and
+    * deliberately NOT taken: (a) per-doc dedup via row-local
+    * `array_distinct` — over STRING arrays it is an O(n^2) equality scan
+    * per row (no hash fast path for non-primitive element types), 10x
+    * slower than the distinct exchange it replaced; (b) computing the
+    * min-hash family over a row-local array with `transform`/`array_min` —
+    * higher-order functions are CodegenFallback (interpreted per element),
+    * ~7x slower than the codegen'd explode + min-aggregate kept below. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val l = TextNorm.tokensCol(col("text"))
     Tables.documents(s, d)
@@ -135,22 +142,34 @@ object DedupQueries {
     */
   def winnowOverlap(docs: DataFrame, p: Int = 8, maxDf: Int = 50,
                     minShared: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val l = TextNorm.tokensCol(col("text"))
-    val grams = docs.select(col("doc_id"), l.as("l"))
+    // 5-gram build, hash, 0-mod-p selection AND per-doc dedup all ROW-LOCAL
+    // (a doc's fingerprints never span rows): the former exploded
+    // `.distinct()` paid a global exchange for a per-doc set (guide §2.4).
+    // array_distinct here runs over LONG arrays — the hash-set fast path —
+    // unlike string arrays, where it degrades to an O(n^2) scan. The scan
+    // is round-robined first so the md5-heavy row-local stage does not run
+    // on the single partition a sub-split-size file reads as (guide §2.5).
+    val sel = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), l.as("l"))
       .filter(size(col("l")) >= 5)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), transform(
         sequence(lit(0), size(col("l")) - 5),
-        i => concat_ws(" ", (1 to 5).map(j => element_at(col("l"), i + j)): _*)))
-        .as("s"))
-    val sel = grams
-      .select(col("doc_id"),
-        conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10)
-          .cast("long").as("h"))
-      .filter(col("h") % p === 0)
-      .distinct()
-    val keep = sel.join(
-      sel.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf), "h")
+        i => concat_ws(" ", (1 to 5).map(j => element_at(col("l"), i + j)): _*))
+        .as("g"))
+      .select(col("doc_id"), explode(array_distinct(filter(
+        transform(col("g"), x =>
+          conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")),
+        h => h % p === 0))).as("h"))
+    // stop-fingerprint df cap attaches as a WINDOW count over h — one
+    // exchange, no groupBy+join pair; the pair join on h then REUSES the
+    // window's hash partitioning (both sides are the same subplan), so the
+    // join adds no exchange of its own
+    val keep = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
       .select("doc_id", "h")
     val x = keep.select(col("doc_id").as("a"), col("h"))
     val y = keep.select(col("doc_id").as("b"), col("h"))
@@ -250,7 +269,10 @@ object DedupQueries {
       val sh = shingles(s, d)
       // one digest per shingle; all 16 permuted min-hashes in ONE
       // aggregation pass (no x16 row blow-up; arithmetic identical to the
-      // oracle's perm VALUES — see MinHash)
+      // oracle's perm VALUES — see MinHash). This stays the exploded
+      // codegen'd aggregate: the row-local transform/array_min variant was
+      // measured 7x SLOWER (interpreted higher-order functions; see
+      // shingles' scaladoc)
       val h = conv(substring(md5(col("s").cast("binary")), 1, 7), 16, 10)
         .cast("long")
       val hh = sh.select(col("doc_id"), h.as("h"))
@@ -275,7 +297,7 @@ object DedupQueries {
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       // verification: only candidate docs' shingles matter — semi-join the
-      // doc set down before any per-shingle work, then one sorted array per
+      // doc set down before any per-shingle work, then one array per
       // doc and an array_intersect per candidate pair
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
@@ -394,12 +416,21 @@ object DedupQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // the quadratic nested-loop STREAMS one side: a sub-split-size table
+      // scans as a single input partition, serializing the whole O(n^2) loop
+      // onto one core — round-robin to the session's parallelism first (the
+      // shuffled rows are n vectors, nothing vs the n^2 pair work; guide
+      // §2.5 input skew / §2.6 idle capacity)
+      val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
       val a = n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.4)
-        .select("a", "b", "cos")
+      // conjunct order matters: the id comparison SHORT-CIRCUITS the dot
+      // product for the a >= b half of the loop (the pushed-down filter
+      // otherwise lands first and dots every ordered pair); survivors
+      // recompute cos once in the projection — negligible vs the loop
+      a.join(b, col("a") < col("b") && cos >= 0.4)
+        .select(col("a"), col("b"), cos.as("cos"))
         .orderBy("a", "b")
     },
 
@@ -420,8 +451,12 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val q = broadcast(n.filter(col("vec_id") < 20)
+      val n0 = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // parallelize the (queries x corpus) loop across the session's cores
+      // (a sub-split-size scan is one partition; see dd_embed_cosine); the
+      // broadcast query side builds from the UN-shuffled frame
+      val n = n0.repartition(s.sparkContext.defaultParallelism)
+      val q = broadcast(n0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
       val scored = q.join(n, col("qid") =!= col("vec_id"))
         .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
@@ -523,11 +558,15 @@ object DedupQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val n = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      val qz = n.select(col("vec_id"),
+      val qz0 = n.select(col("vec_id"),
         transform(col("v"), x =>
           floor(greatest(least(x / col("nrm"), lit(1.0)), lit(-1.0)) * 127)
             .cast("double")).as("q"))
-      val qs = broadcast(qz.filter(col("vec_id") < 20)
+      // parallelize the (queries x codes) loop across the session's cores
+      // (a sub-split-size scan is one partition; see dd_embed_cosine); the
+      // broadcast query side builds from the UN-shuffled frame
+      val qz = qz0.repartition(s.sparkContext.defaultParallelism)
+      val qs = broadcast(qz0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("q").as("qq")))
       val scored = qs.join(qz, col("qid") =!= col("vec_id"))
         .withColumn("dotq", dot(col("qq"), col("q")).cast("long"))
