@@ -1374,16 +1374,23 @@ object SparqlCompiler {
   }
 
   /** transitive closure to the FIXPOINT by iterative doubling (see
-    * [[pathPairs]]); empty input short-circuits without a join round. */
+    * [[pathPairs]]); empty input short-circuits without a join round. The
+    * fixpoint count RIDES the checkpoint materialization via
+    * Dataset.observe — one driver action per round, not a checkpoint plus
+    * a separate count job (same idiom as ConnectedComponents' signature). */
   private def pathClosure(base: DataFrame): DataFrame = {
-    var p = base.distinct().localCheckpoint(true)
-    var n = p.count()
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"path-closure-${System.nanoTime()}")
+      val out = df.observe(obs, count(lit(1)).as("c")).localCheckpoint(true)
+      (out, obs.get("c").asInstanceOf[Long])
+    }
+    var (p, n) = ckptCounted(base.distinct())
     var converged = n == 0
     while (!converged) {
       val ext = p.alias("a").join(p.alias("b"), col("a.pb") === col("b.pa"))
         .select(col("a.pa").as("pa"), col("b.pb").as("pb"))
-      val nxt = p.unionAll(ext).distinct().localCheckpoint(true)
-      val n2 = nxt.count()
+      val (nxt, n2) = ckptCounted(p.unionAll(ext).distinct())
       if (n2 == n) converged = true else { p = nxt; n = n2 }
     }
     p
@@ -1481,17 +1488,22 @@ object SparqlCompiler {
     }
   }
 
-  /** per-graph transitive closure: the doubling join keys on (pb, g) */
+  /** per-graph transitive closure: the doubling join keys on (pb, g);
+    * fixpoint count rides the checkpoint via observe (see [[pathClosure]]) */
   private def pathClosureG(base: DataFrame): DataFrame = {
-    var p = base.distinct().localCheckpoint(true)
-    var n = p.count()
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"path-closure-g-${System.nanoTime()}")
+      val out = df.observe(obs, count(lit(1)).as("c")).localCheckpoint(true)
+      (out, obs.get("c").asInstanceOf[Long])
+    }
+    var (p, n) = ckptCounted(base.distinct())
     var converged = n == 0
     while (!converged) {
       val ext = p.alias("a").join(p.alias("b"),
           col("a.pb") === col("b.pa") && col("a.g") === col("b.g"))
         .select(col("a.pa").as("pa"), col("b.pb").as("pb"), col("a.g").as("g"))
-      val nxt = p.unionAll(ext).distinct().localCheckpoint(true)
-      val n2 = nxt.count()
+      val (nxt, n2) = ckptCounted(p.unionAll(ext).distinct())
       if (n2 == n) converged = true else { p = nxt; n = n2 }
     }
     p
