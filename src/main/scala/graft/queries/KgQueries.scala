@@ -279,8 +279,14 @@ object KgQueries {
          |ORDER BY doc_id, alias""".stripMargin) { (s, d) =>
       import s.implicits._
       val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      // restrict to dictionary terms BEFORE the (doc, tok) distinct: the
+      // alias dictionary is a compile-time literal, so the equality join
+      // can be pre-applied as an isin filter below the exchange — the
+      // distinct then dedups only matching tokens (~2% of positions)
+      // instead of the whole token stream (guide §2.3: shuffle fewer bytes)
       val toks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(aliasEntities.map(_._1).distinct: _*))
         .distinct()
       val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
       toks.join(dict, col("tok") === col("alias"))
@@ -313,6 +319,11 @@ object KgQueries {
          |SELECT doc_id, entity_id, score FROM scored WHERE rn = 1
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      // NOTE r6: splitting this into a countDistinct for dn plus an
+      // isin-pre-filtered distinct for the overlap (as kg_entity_link_rank
+      // does) was A/B-measured SLOWER — dn needs the full-vocabulary
+      // distinct either way, so the split only duplicated the wide token
+      // aggregation. The shared distinct stays deliberate.
       val dtoks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
         .distinct()
@@ -366,9 +377,18 @@ object KgQueries {
       import s.implicits._
       val dict = broadcast(mtAliasEntities.toDF("alias", "entity_id", "rnk"))
       val toksl = turns(s, d).select(col("doc_id"), TextNorm.tokensCol(col("text")).as("l"))
-      val dtoks = toksl.select(col("doc_id"), explode(col("l")).as("tok")).distinct()
+      // both distincts dedup only rows that can join: the context-token and
+      // bigram-alias dictionaries are compile-time literals, so the isin
+      // pre-filters run below the exchanges (guide §2.3; neither count
+      // feeds a full-vocabulary size here, unlike kg_link_jaccard's dn)
+      val mtCtxTerms = mtEntityCtx
+        .flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct
+      val dtoks = toksl.select(col("doc_id"), explode(col("l")).as("tok"))
+        .filter(col("tok").isin(mtCtxTerms: _*))
+        .distinct()
       val bigrams = toksl
         .select(col("doc_id"), explode(TextNorm.bigramsCol(col("l"))).as("bg"))
+        .filter(col("bg").isin(mtAliasEntities.map(_._1).distinct: _*))
         .distinct()
       val ctoks = mtEntityCtx.toDF("entity_id", "ctx_text")
         .select(col("entity_id"), explode(TextNorm.tokensCol(col("ctx_text"))).as("tok"))
