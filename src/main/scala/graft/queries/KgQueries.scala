@@ -577,8 +577,12 @@ object KgQueries {
       import s.implicits._
       val winners = rankWinners(s)
       val preds = broadcast(termPreds.toDF("term", "pred"))
+      // both dictionaries are compile-time literals: restrict the token
+      // stream to their union below the distinct exchange (guide §2.3)
       val tks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(
+          (termPreds.map(_._1) ++ aliasEntities.map(_._1)).distinct: _*))
         .distinct()
       val ment = tks.join(winners, col("tok") === col("alias"))
         .select("doc_id", "entity_id").distinct()
@@ -718,8 +722,12 @@ object KgQueries {
       import s.implicits._
       val preds = broadcast(termPreds.toDF("term", "pred"))
       val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
+      // both dictionaries are compile-time literals: restrict the token
+      // stream to their union below the distinct exchange (guide §2.3)
       val toks = turns(s, d)
         .select(col("doc_id"), col("lang"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(
+          (termPreds.map(_._1) ++ aliasEntities.map(_._1)).distinct: _*))
         .distinct()
       val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
       val linked = toks.join(dict, col("tok") === col("alias"))
@@ -759,8 +767,13 @@ object KgQueries {
       import s.implicits._
       val functional = Seq("urn:p:tech", "urn:p:artifact")
       val preds = broadcast(termPreds.toDF("term", "pred"))
+      // only terms mapping to a functional predicate can survive the join +
+      // pred filter — pre-apply that literal set below the distinct exchange
+      val funTerms = termPreds.collect {
+        case (t, p) if functional.contains(p) => t }.distinct
       turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(funTerms: _*))
         .distinct()
         .join(preds, col("tok") === col("term"))
         .filter(col("pred").isin(functional: _*))
@@ -810,6 +823,7 @@ object KgQueries {
       val dict = broadcast(aliasEntities.toDF("alias", "entity_id", "rnk"))
       val toks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(aliasEntities.map(_._1).distinct: _*))
         .distinct()
       val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
       val pos = toks.join(dict, col("tok") === col("alias"))
@@ -863,6 +877,7 @@ object KgQueries {
       val preds = broadcast(termPreds.toDF("term", "pred"))
       val triples = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(termPreds.map(_._1).distinct: _*))
         .distinct()
         .join(preds, col("tok") === col("term"))
         .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),
@@ -923,6 +938,7 @@ object KgQueries {
       val inf = broadcast(inferred.toDF("entity_id", "cls"))
       val toks = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(aliasEntities.map(_._1).distinct: _*))
         .distinct()
       val w = Window.partitionBy("doc_id", "alias").orderBy(col("rnk"), col("entity_id"))
       val links = toks.join(dict, col("tok") === col("alias"))
@@ -975,6 +991,7 @@ object KgQueries {
       val preds = broadcast(termPreds.toDF("term", "pred"))
       val triples = turns(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok").isin(termPreds.map(_._1).distinct: _*))
         .distinct()
         .join(preds, col("tok") === col("term"))
         .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("subj"),

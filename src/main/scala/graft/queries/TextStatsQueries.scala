@@ -119,10 +119,14 @@ object TextStatsQueries {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextNorm.tokensCol(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      // document frequency attaches as a count WINDOW over tok — one
+      // exchange, no groupBy+join pair (guide §2.4; same idiom as the CC
+      // round body). toks rows are unique per (doc, tok), so the window
+      // count equals the former df aggregate.
       val w = Window.partitionBy("doc_id")
         .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
-      toks.join(df, "tok")
+      toks
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
         .withColumn("w", col("tf").cast("double") / col("df"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
