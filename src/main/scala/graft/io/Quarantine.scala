@@ -22,13 +22,18 @@ object Quarantine {
     Check("negative_turn_idx", col("turn_idx").isNull || col("turn_idx") >= 0),
     Check("null_text", col("text").isNotNull))
 
+  /** First failing check (in order), null when every check passes — the
+    * single source of the quarantine predicate (split and any observe-side
+    * bad-row count must agree exactly). */
+  def reasonCol(checks: Seq[Check]): Column =
+    checks.foldRight(lit(null).cast("string")) { (c, acc) =>
+      when(!c.passes, c.name).otherwise(acc)
+    }
+
   /** @return (good rows, quarantined rows + `quarantine_reason`). The reason
     *         is the first failing check, evaluated in order. */
   def split(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
-    val reason = checks.foldRight(lit(null).cast("string")) { (c, acc) =>
-      when(!c.passes, c.name).otherwise(acc)
-    }
-    val tagged = df.withColumn("quarantine_reason", reason)
+    val tagged = df.withColumn("quarantine_reason", reasonCol(checks))
     (tagged.filter(col("quarantine_reason").isNull).drop("quarantine_reason"),
       tagged.filter(col("quarantine_reason").isNotNull))
   }

@@ -158,36 +158,63 @@ final class KgPipeline(cfg: PipelineConfig) {
   /** Per-conversation triple supports: (conv_id, subj, pred, obj, lang,
     * weight) — the unit of idempotent incremental replacement. */
   /** K2: structurally-bad rows can never succeed on retry — divert them to
-    * the quarantine table with a reason instead of failing the job. Runs
-    * once per pipeline run (not per recompute) so the extraction job itself
-    * stays a single input pass; the run's event-time watermark (max ts)
-    * rides the same scan via Dataset.observe, so no dedicated max(ts) pass
-    * is needed. Writes are runId-scoped + overwrite, so a crash-and-resume
-    * never double-appends quarantine rows (K3 idempotence).
-    * @return (valid rows, max event time observed across ALL rows) */
+    * the quarantine table with a reason instead of failing the job.
+    *
+    * r6 restructure (guide §1.2, remove unnecessary passes): the validity
+    * split, the run's event-time watermark (max ts) AND the bad-row count
+    * all ride the consuming stage's own write via ONE Dataset.observe — the
+    * former shape paid a dedicated full-source pass per run (the quarantine
+    * write when enabled, a max(ts) aggregation otherwise; ~2 s of the 16 s
+    * bench full run, and a per-sync scan). Bad rows are written only when
+    * the observation reports any — a second, rare scan — and stay
+    * runId-scoped + overwrite, so a crash-and-resume never double-appends
+    * (K3 idempotence).
+    * @return (valid rows, fire) — call fire() only AFTER the action that
+    *         consumed the valid rows completed; it writes any quarantined
+    *         rows and returns the watermark observed across ALL rows. */
   private def quarantined(spark: SparkSession, turns: Dataset[Turn],
-                          runId: String): (Dataset[Turn], Option[Timestamp]) = {
+                          runId: String): (Dataset[Turn], () => Option[Timestamp]) = {
     import spark.implicits._
-    if (!cfg.quarantineBadRows) (turns, maxEventTime(turns))
-    else {
-      val obs = new org.apache.spark.sql.Observation()
-      val (good, bad) = Quarantine.split(
-        turns.toDF().observe(obs, max(col("ts")).as("max_ts")),
-        Quarantine.turnChecks)
-      withJobDesc(spark, "quarantine-split")(bad.write.mode("overwrite")
-        .parquet(s"${cfg.workDir}/quarantine/run_id=$runId"))
-      // the observation fired on the bad.write action and saw every row
-      // (the quarantine filter sits above the observe node)
-      val wm = obs.get("max_ts") match {
-        case null => None
-        case t: Timestamp => Some(t)
-        case i: java.time.Instant => Some(Timestamp.from(i))
-        case l: java.time.LocalDateTime =>
-          Some(new Timestamp(l.atZone(java.time.ZoneOffset.UTC)
-            .toInstant.toEpochMilli))
-        case other => sys.error(s"unexpected max_ts type: ${other.getClass}")
-      }
-      (good.as[Turn], wm)
+    val obs = new org.apache.spark.sql.Observation()
+    def wmOf(v: Any): Option[Timestamp] = v match {
+      case null => None
+      case t: Timestamp => Some(t)
+      case i: java.time.Instant => Some(Timestamp.from(i))
+      case l: java.time.LocalDateTime =>
+        Some(new Timestamp(l.atZone(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli))
+      case other => sys.error(s"unexpected max_ts type: ${other.getClass}")
+    }
+    // EMPTY-RESULT corner: when the consuming stage's result prunes to an
+    // empty relation, AQE's empty-relation propagation removes the whole
+    // subtree INCLUDING the CollectMetrics node — the observation then
+    // reports an empty map even though the action completed. fire() falls
+    // back to explicit (input-sized — delta-sized on the sync path) passes
+    // in that case: re-derive the watermark, and write the quarantine
+    // defensively (an all-bad input is exactly the empty-good-plan case).
+    if (!cfg.quarantineBadRows) {
+      val observed = turns.toDF()
+        .observe(obs, max(col("ts")).as("max_ts")).as[Turn]
+      (observed, () => obs.get.get("max_ts") match {
+        case Some(v) => wmOf(v)
+        case None => maxEventTime(turns)
+      })
+    } else {
+      val reason = Quarantine.reasonCol(Quarantine.turnChecks)
+      val observed = turns.toDF().observe(obs,
+        max(col("ts")).as("max_ts"),
+        count(when(reason.isNotNull, lit(1))).as("n_bad"))
+      val (good, bad) = Quarantine.split(observed, Quarantine.turnChecks)
+      (good.as[Turn], () => {
+        val m = obs.get
+        if (m.get("n_bad").map(_.asInstanceOf[Long]).forall(_ > 0))
+          withJobDesc(spark, "quarantine-write")(bad.write.mode("overwrite")
+            .parquet(s"${cfg.workDir}/quarantine/run_id=$runId"))
+        m.get("max_ts") match {
+          case Some(v) => wmOf(v)
+          case None => maxEventTime(turns)
+        }
+      })
     }
   }
 
@@ -467,11 +494,14 @@ final class KgPipeline(cfg: PipelineConfig) {
               runId: String): RunResult = {
     pinOrVerifyBucketCount()
     pinSemantics() // full rebuilds every row: it defines the semantics
-    var obsWm: Option[Timestamp] = None
+    // the quarantine split + watermark observation ride the stage write;
+    // fire() runs in afterWrite, when the write (and thus the observation)
+    // has completed
+    var fire: () => Option[Timestamp] = () => None
     val supports = stage(spark, runId, "supports",
-      afterWrite = writeWmSidecar(_, obsWm)) {
-      val (good, w) = quarantined(spark, turns, runId)
-      obsWm = w
+      afterWrite = tmp => writeWmSidecar(tmp, fire())) {
+      val (good, f) = quarantined(spark, turns, runId)
+      fire = f
       computeSupports(spark, good, catalog, markers)
     }
     // resumed run replays the checkpoint's own watermark; the live-source
@@ -611,11 +641,11 @@ final class KgPipeline(cfg: PipelineConfig) {
     val changedTurns = stage(spark, runId, "changed_turns") {
       turns.join(changedConvs, Seq("conv_id"), "left_semi").toDF()
     }.as[Turn]
-    var obsWm: Option[Timestamp] = None
+    var fire: () => Option[Timestamp] = () => None
     val newSupports = stage(spark, runId, "sync_supports",
-      afterWrite = writeWmSidecar(_, obsWm)) {
-      val (good, w) = quarantined(spark, changedTurns, runId)
-      obsWm = w
+      afterWrite = tmp => writeWmSidecar(tmp, fire())) {
+      val (good, f) = quarantined(spark, changedTurns, runId)
+      fire = f
       computeSupports(spark, good, catalog, markers)
     }
     // resumed run replays the checkpoint's own watermark — recomputing from
