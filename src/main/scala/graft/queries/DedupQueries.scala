@@ -27,9 +27,20 @@ object DedupQueries {
     * min-hash family over a row-local array with `transform`/`array_min` —
     * higher-order functions are CodegenFallback (interpreted per element),
     * ~7x slower than the codegen'd explode + min-aggregate kept below. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String,
+                       parallelize: Boolean = false): DataFrame = {
     val l = TextNorm.tokensCol(col("text"))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
+    // parallelize=true round-robins first — the tokenize + 3-gram concat
+    // map work otherwise runs on the single partition a sub-split-size
+    // file reads as (guide §2.5; same as simhashDf/winnowOverlap).
+    // dd_ngram_jaccard keeps it OFF: its doc_id < 200 filter pushes to the
+    // parquet scan, and a repartition in between blocks that pushdown —
+    // shingling 25x the docs costs more than the parallelism buys (A/B:
+    // 0.46 -> 0.60 s with the exchange, so the scan prune wins there).
+    val src = if (parallelize)
+      base.repartition(s.sparkContext.defaultParallelism) else base
+    src
       .select(col("doc_id"), l.as("l"))
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), explode(transform(
@@ -76,6 +87,11 @@ object DedupQueries {
     * that was ~10M shuffled rows vs ~300k here. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
+      // round-robin first: the per-token md5 + 32-way partial aggregation
+      // otherwise runs on the ONE partition a sub-split-size file reads as
+      // (guide §2.5) — the shuffled rows are whole docs, pennies against
+      // the per-token map work
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(array_distinct(TextNorm.tokensCol(col("text")))).as("tok"))
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
@@ -266,7 +282,7 @@ object DedupQueries {
          |           JOIN sz sb ON inter.b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d)
+      val sh = shingles(s, d, parallelize = true)
       // one digest per shingle; all 16 permuted min-hashes in ONE
       // aggregation pass (no x16 row blow-up; arithmetic identical to the
       // oracle's perm VALUES — see MinHash). This stays the exploded
@@ -301,7 +317,7 @@ object DedupQueries {
       // doc and an array_intersect per candidate pair
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
-      val docSets = shingles(s, d)
+      val docSets = shingles(s, d, parallelize = true)
         .join(candDocs, Seq("doc_id"), "left_semi")
         .groupBy("doc_id")
         .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n"))

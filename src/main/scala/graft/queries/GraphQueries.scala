@@ -116,8 +116,12 @@ object GraphQueries {
   def bfsHops(ed: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     var dist = seeds
     for (_ <- 1 to hops) {
+      // candidate rows feed the merge aggregate RAW (one exchange per
+      // round): the former per-destination pre-aggregation keyed the same
+      // column as the merge and was exactly what the merge's map-side
+      // partial aggregation already does — min(min) == min (guide §2.4)
       val next = ed.join(dist.withColumnRenamed("id", "u"), "u")
-        .groupBy(col("v").as("id")).agg((min(col("h")) + 1).as("h"))
+        .select(col("v").as("id"), (col("h") + 1).as("h"))
       dist = dist.unionAll(next).groupBy("id").agg(min(col("h")).as("h"))
     }
     dist
@@ -166,8 +170,11 @@ object GraphQueries {
   def bellmanFord(ew: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     var dist = seeds
     for (_ <- 1 to rounds) {
+      // relaxations feed the merge aggregate RAW — see bfsHops: the former
+      // per-destination pre-aggregation duplicated the merge's map-side
+      // combine on the same key, costing one extra exchange per round
       val relax = ew.join(dist.withColumnRenamed("id", "u"), "u")
-        .groupBy(col("v").as("id")).agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relax).groupBy("id").agg(min(col("dist")).as("dist"))
     }
     dist

@@ -434,9 +434,12 @@ object KgQueries {
           .over(Window.partitionBy("event_type", "day")))
         .filter(col("user_id") =!= col("mn"))
         .select(col("user_id").as("src"), col("mn").as("dst"))
-        // the distinct LOOKS redundant against CC's canonical-form dedup,
-        // but dropping it measured slower (see dd_dup_clusters' note)
-        .distinct()
+        // r6: NO caller-side distinct here — the events co-occurrence rows
+        // duplicate heavily per (user, bucket-min) and CC's own canonical
+        // hi->lo distinct dedups them in its first exchange anyway; the
+        // extra exchange measured 1.62 -> 1.11 s SLOWER kept (A/B min-of-5).
+        // dd_dup_clusters keeps ITS distinct: star edges are near-unique
+        // there, and the materialized stage's stats help AQE (same A/B).
       ConnectedComponents.run(edges)
         .orderBy("id")
     },
