@@ -1,6 +1,6 @@
 package graft.materialize
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.config.PipelineConfig
@@ -122,41 +122,7 @@ object DocAssembler {
                labelSource: Option[DataFrame] = None): DataFrame = {
     val resolved = resolveUriLabels(triples, cfg, labelSource.getOrElse(triples))
 
-    // includeResourceURI: about=[subj] on the shared ("") doc
-    val withAbout =
-      if (!cfg.includeResourceURI) resolved
-      else resolved.unionByName(
-        resolved.select(col("subj")).distinct()
-          .select(col("subj"), lit("about").as("pred"),
-            col("subj").as("obj"), lit("").as("lang")))
-
-    // A5 normMissing, reference-exact (ESNormalizer.normalizeMissing,
-    // ESNormalizer.java:127-155, called from process() after the property
-    // loop): a subject missing a defaulted predicate in its UNTAGGED ("")
-    // map gets the raw default values there — absence is judged on the
-    // untagged map alone (a subject holding the predicate only under a
-    // language tag STILL receives the default, which then unions into its
-    // tagged docs via the shared merge — bug-compatible by design). Defaults
-    // are config strings, never label-substituted (they skip
-    // processProperty's getLabelForUri), hence applied after resolution.
-    val withDefaults =
-      if (cfg.normMissing.isEmpty) withAbout
-      else {
-        val spark = withAbout.sparkSession
-        import spark.implicits._
-        val defaults = cfg.normMissing.toSeq.sortBy(_._1)
-          .flatMap { case (p, vs) => vs.map(v => (p, v)) }
-          .toDF("pred", "obj")
-        val untaggedPreds = withAbout.filter(col("lang") === "")
-          .select("subj", "pred").distinct()
-        val missing = withAbout.select("subj").distinct()
-          .crossJoin(broadcast(defaults)) // config-sized right side
-          .join(untaggedPreds, Seq("subj", "pred"), "left_anti")
-          .select(col("subj"), col("pred"), col("obj"), lit("").as("lang"))
-        withAbout.unionByName(missing)
-      }
-
-    val vals = withDefaults
+    val vals = resolved
       .groupBy("subj", "lang", "pred")
       .agg(array_sort(collect_set(col("obj"))).as("vals"))
       .filter(size(col("vals")) > 0) // P3
@@ -165,6 +131,57 @@ object DocAssembler {
       .groupBy("subj", "lang")
       .agg(map_from_entries(collect_list(struct(col("pred"), col("vals")))).as("doc"))
 
+    // A6 merge kernel: union value lists per key, sorted
+    def mergeMaps(a: Column, b: Column): Column =
+      map_zip_with(a, b,
+        (_, v1, v2) => when(v1.isNull, v2).when(v2.isNull, v1)
+          .otherwise(array_sort(array_union(v1, v2))))
+
+    // includeResourceURI (about=[subj] into the shared doc) and A5
+    // normMissing (per-predicate defaults where the untagged map lacks the
+    // predicate) are ROW-LOCAL map edits applied to the aggregated shared
+    // doc — r6 restructure (guide §2.4): the former pre-aggregation row
+    // unions paid a distinct-subjects exchange (about), a distinct
+    // (subj, pred) exchange plus an anti-join (defaults), and re-shuffled
+    // the synthetic rows through the value aggregation; the map edits cost
+    // nothing but per-row work and are value-identical because collect_set
+    // + array_sort over the synthetic rows equals the sorted-distinct
+    // literal (defaults) / the sorted union with [subj] (about, via the
+    // same A6 merge kernel). Reference semantics preserved: about inserts
+    // BEFORE the missing judgment (an 'about' default would see it
+    // present), absence is judged on the UNTAGGED map alone, and a subject
+    // holding a defaulted predicate only under a language tag still
+    // receives the default, which then unions into its tagged docs via the
+    // shared merge (bug-compatible by design, ESNormalizer.java:127-155).
+    // Defaults skip label resolution (applied after resolveUriLabels).
+    val aboutMap = map(lit("about"), array(col("subj")))
+    def withAbout(m: Column): Column =
+      if (!cfg.includeResourceURI) m else mergeMaps(m, aboutMap)
+    val defaultsLit: Option[Column] =
+      if (cfg.normMissing.isEmpty) None
+      else {
+        val entries = cfg.normMissing.toSeq.sortBy(_._1)
+        Some(map_from_arrays(
+          array(entries.map { case (p, _) => lit(p) }: _*),
+          array(entries.map { case (_, vs) =>
+            array_sort(array_distinct(array(vs.map(lit): _*))) }: _*)))
+      }
+    def fill(m: Column): Column = defaultsLit match {
+      case None => m
+      case Some(dl) =>
+        map_concat(m, map_filter(dl, (k, _) => !map_contains_key(m, k)))
+    }
+    // the full shared doc of a subject that HAS untagged rows ...
+    val sharedDocExpr = fill(withAbout(col("shared_doc")))
+    // ... and of one that has none (about/defaults still apply there)
+    val fallbackDoc: Option[Column] =
+      (cfg.includeResourceURI, defaultsLit) match {
+        case (true, Some(_)) => Some(fill(aboutMap))
+        case (true, None) => Some(aboutMap)
+        case (false, Some(dl)) => Some(dl)
+        case (false, None) => None
+      }
+
     val shared = perLang.filter(col("lang") === "")
       .select(col("subj"), col("doc").as("shared_doc"))
     val tagged = perLang.filter(col("lang") =!= "")
@@ -172,11 +189,10 @@ object DocAssembler {
     // A6: merge shared props into every tagged doc; union value lists per key
     val mergedTagged = tagged.join(shared, Seq("subj"), "left")
       .select(col("subj"), col("lang"),
-        when(col("shared_doc").isNull, col("doc")).otherwise(
-          map_zip_with(col("doc"),
-            col("shared_doc"),
-            (_, v1, v2) => when(v1.isNull, v2).when(v2.isNull, v1)
-              .otherwise(array_sort(array_union(v1, v2))))).as("doc"))
+        when(col("shared_doc").isNull, fallbackDoc match {
+          case None => col("doc")
+          case Some(fb) => mergeMaps(col("doc"), fb)
+        }).otherwise(mergeMaps(col("doc"), sharedDocExpr)).as("doc"))
 
     // language stamp (tagged docs only; put-overwrite semantics)
     val stampedTagged =
@@ -187,10 +203,11 @@ object DocAssembler {
           map(lit("language"), array(col("lang")))))
 
     // subjects with only untagged values: one doc at the default language
+    // (about/defaults applied with the same row-local edits)
     val untaggedOnly = shared
       .join(tagged.select("subj").distinct(), Seq("subj"), "left_anti")
       .select(col("subj"), lit(cfg.language).as("lang"),
-        col("shared_doc").as("doc"))
+        sharedDocExpr.as("doc"))
 
     val docs = stampedTagged.unionByName(untaggedOnly)
       .withColumn("id", concat_ws("@", col("subj"), col("lang")))
