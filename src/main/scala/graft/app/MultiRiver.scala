@@ -70,8 +70,16 @@ object MultiRiver {
           s"river[$i] needs a non-empty string '$k'")
         v.asText()
       }
-      def opt(k: String): Option[String] =
-        Option(n.path(k)).filter(_.isTextual).map(_.asText()).filter(_.nonEmpty)
+      def opt(k: String): Option[String] = {
+        val v = n.path(k)
+        // loud-knob convention (cf. envFlag): a PRESENT key with the wrong
+        // shape (inline object, number, empty string) must not silently
+        // fall back to the default config/catalog
+        require(v.isMissingNode || v.isNull ||
+          (v.isTextual && v.asText().nonEmpty),
+          s"river[$i] '$k', when present, must be a non-empty string path")
+        Option(v).filter(_.isTextual).map(_.asText()).filter(_.nonEmpty)
+      }
       val name = req("name")
       // the name becomes a path segment and a scheduler-pool id
       require(name.matches("[A-Za-z0-9._-]+"),
@@ -134,7 +142,15 @@ object MultiRiver {
           // thread-local: every job this river submits lands in its own
           // FAIR pool; cleared so a reused pool thread never leaks the tag
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.name)
-          try Try(runOne(spark, spec, overlay))
+          // catch Throwable, not just NonFatal: Future{} only completes a
+          // promise for NonFatal throwables, so a fatal error in one river
+          // (OutOfMemoryError, StackOverflowError) would leave its promise
+          // uncompleted and hang the Await below FOREVER; captured here,
+          // the fatal becomes that river's failure report instead
+          try {
+            try Try(runOne(spark, spec, overlay))
+            catch { case t: Throwable => Failure(t) }
+          }
           finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         }
       }

@@ -235,10 +235,15 @@ object GraphQueries {
     * re-execute the whole prefix 2x per round (16x by round 4). */
   def transitiveClosure(edges: DataFrame, rounds: Int): DataFrame = {
     var p = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val ext = p.alias("a").join(p.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      p = p.unionAll(ext).distinct().localCheckpoint(true)
+      val nxt = p.unionAll(ext).distinct()
+      // intermediate rounds are consumed TWICE (both sides of the next
+      // self-join) and must materialize; the LAST round flows straight
+      // into the single consumer — its eager checkpoint was one pure
+      // extra materialization job (r6)
+      p = if (r < rounds) nxt.localCheckpoint(true) else nxt
     }
     p
   }

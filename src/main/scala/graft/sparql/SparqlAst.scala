@@ -108,8 +108,19 @@ object SparqlAst {
   /** isNumeric(?v) — true iff ?v is a literal with a numeric XSD datatype
     * (SPARQL 17.4.2.4). Total boolean like the term-kind checks (false for
     * IRIs/blanks/plain literals — no type error), so BOTH polarities are
-    * spec-exact on any dt-bearing frame, tk not required: a null dt (plain
-    * literal, IRI, blank) is simply false. Same scan pushdown contract. */
+    * dt-exact on any dt-bearing frame, tk not required: a null dt (plain
+    * literal, IRI, blank) is simply false.
+    *
+    * DOCUMENTED DIVERGENCE (datatype- vs value-space): the spec's
+    * fn:isNumeric is true only for a literal whose LEXICAL FORM is a valid
+    * numeric (an ill-formed "abc"^^xsd:integer is false per XPath
+    * semantics); the dt-membership compile returns true for it, and a
+    * positive pin can then feed try_cast-null rows into downstream numeric
+    * aggregates (cf. the try_cast note in the numeric-proof machinery).
+    * Well-formed data — everything this engine's own exporters emit — is
+    * unaffected; conjoin an explicit REGEX guard in the query when
+    * consuming foreign dumps with unvalidated typed literals. Same scan
+    * pushdown contract as the term-kind checks. */
   final case class FIsNumeric(v: String, pos: Boolean) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr

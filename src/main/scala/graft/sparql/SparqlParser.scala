@@ -750,9 +750,15 @@ object SparqlParser {
       def intArg(what: String, min: Long): Long = p.next() match {
         case TNum(v, pos) =>
           if (v.contains(".")) fail(s"SUBSTR $what must be an integer", pos)
-          val n = v.toLong
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            fail(s"SUBSTR $what out of range", pos) }
           if (n < min) fail(s"SUBSTR $what must be >= $min (1-based, XPath " +
             "zero/negative-index edge semantics are out of the subset)", pos)
+          // the compiler lowers through Int (Column#substr): a literal above
+          // Int.MaxValue would silently TRUNCATE there (e.g. 4294967297
+          // becoming 1) — refuse with a position instead of miscompiling
+          if (n > Int.MaxValue) fail(
+            s"SUBSTR $what exceeds Int.MaxValue (unsupported)", pos)
           n
         case other => fail(s"SUBSTR $what must be an integer literal " +
           s"(expression arguments are out of the subset), got ${describe(other)}",
@@ -777,7 +783,22 @@ object SparqlParser {
       catch { case ex: java.util.regex.PatternSyntaxException =>
         fail(s"REPLACE pattern does not compile: ${ex.getDescription}", patPos) }
       p.eatPunct(",")
+      val repPos = p.peek.pos
       val rep = litArg("replacement")
+      // validate the REPLACEMENT too (fn:replace FORX0004 family): Spark's
+      // regexp_replace feeds it to java.util.regex.Matcher group
+      // references, where a '$' not followed by a digit or a dangling '\'
+      // throws an UNPOSITIONED IllegalArgumentException at task time —
+      // outside the positioned parse-error contract the mutation sweep
+      // enforces. '$<digit>' backrefs would additionally diverge from the
+      // DuckDB oracle dialect (which spells them '\\1'). Both characters
+      // are therefore out of the subset: refused HERE with a position,
+      // never miscompiled or thrown mid-task.
+      if (rep.contains('$') || rep.contains('\\'))
+        fail("REPLACE replacement must not contain '$' or '\\' (group " +
+          "references and escapes are out of the subset — their semantics " +
+          "differ between engines and invalid forms throw at task time)",
+          repPos)
       if (p.isPunct(","))
         fail("REPLACE flags are not supported (REGEX parity)", p.peek.pos)
       p.eatPunct(")")

@@ -1560,6 +1560,20 @@ class SparqlSpec extends AnyFunSuite {
       .contains("flags"))
     assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "[", "b") AS ?t) }""")
       .contains("does not compile"))
+    // r6: the REPLACEMENT is validated at parse time too — a '$' or '\'
+    // would otherwise reach java Matcher group-reference handling and
+    // throw UNPOSITIONED at task time (fn:replace FORX0004 family), and
+    // '$1' backrefs silently diverge from the DuckDB oracle dialect
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "a", "$") AS ?t) }""")
+      .contains("replacement"))
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "a", "$1") AS ?t) }""")
+      .contains("replacement"))
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(REPLACE(?o, "a", "x\\y") AS ?t) }""")
+      .contains("replacement"))
+    // r6: SUBSTR args above Int.MaxValue used to TRUNCATE through .toInt
+    // (4294967297 silently became start=1) — now a positioned refusal
+    assert(badParse("""SELECT ?t WHERE { ?s <urn:p> ?o . BIND(SUBSTR(?o, 4294967297) AS ?t) }""")
+      .contains("Int.MaxValue"))
     // differential over random graphs: compose every new function
     for (seed <- 4 to 6) {
       val rts = randomTriples(seed, 20)
