@@ -99,13 +99,19 @@ object GraphQueries {
     * + two LEFT SEMI joins against the (distinct) keeper set — never a
     * row-multiplying inner join against a non-unique side. */
   def kcorePeel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var e = sym
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("u")
-      e = e.join(keep, Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+      // u-side keep attaches as a count WINDOW over u — one exchange, and
+      // the u-side semi-join disappears (guide §2.4). The v-side keeper
+      // set is the distinct u of the SURVIVORS: every node with deg >= k
+      // keeps its own >= k edges through the u-filter, so that set equals
+      // the former degree-table keeper set exactly.
+      val byU = e
+        .withColumn("du", count(lit(1)).over(Window.partitionBy("u")))
+        .filter(col("du") >= k)
         .select("u", "v")
+      e = byU.join(byU.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
     }
     e
   }
