@@ -111,7 +111,16 @@ object TextNorm {
     * defined by equality on this key, so it exists exactly once). NULL
     * text hashes like empty text, matching the oracles'
     * md5(coalesce(..., '')) — an un-coalesced md5 would be NULL and
-    * silently drop the doc from every equality join. */
+    * silently drop the doc from every equality join.
+    *
+    * Optimization dead end (measured r6, kept OUT): a single-pass native
+    * sort+dedup-adjacent+join Expression (DotProduct-style) replacing the
+    * array_sort(array_distinct(...)) chain was row-exact but a wash on the
+    * 200k-doc dedup-index corpus (~150 tokens/doc): chain 0.36-0.42 s vs
+    * kernel 0.38-0.39 s noop min-of-3, with tokens-only at 0.35 s — the
+    * md5 + tokenize map dominates and the chain costs ~50 ms total, so the
+    * suspected O(n^2) string array_distinct cost never materializes at
+    * this tokens-per-doc shape. */
   def fingerprintCol(text: Column): Column =
     md5(coalesce(
       array_join(array_sort(array_distinct(tokensCol(text))), " "),
